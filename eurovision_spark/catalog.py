@@ -1,0 +1,57 @@
+"""Query catalog: the engine's public query surface.
+
+Every operator from SURVEY §2 (and the beyond-reference training-data
+ops) is registered here as a ``QuerySpec``: a Spark DataFrame builder
+plus, when SQL-expressible, a DuckDB-runnable oracle SQL string with
+IDENTICAL output column names. ``__spark_entry__.py`` exposes this
+registry to the driver.
+
+Conventions that keep the two engines hash-identical:
+- alias every computed column, same name both sides;
+- avoid raw timestamps in outputs (format to 'yyyy-MM-dd' strings);
+- round any float that went through re-associated arithmetic (sums,
+  averages, dot products); pass-through floats are exact;
+- cast counts/sums of integers to BIGINT on the DuckDB side (DuckDB
+  widens to INT128 where Spark stays at LONG);
+- deterministic collections: sort arrays before joining to strings;
+  deterministic top-k: always a unique tie-break key in the ORDER BY.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None => rows-only check (non-SQL op)
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    """Decorator: add a (spark_fn, oracle_sql) pair to the catalog."""
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, doc)
+        return fn
+
+    return wrap
+
+
+def registry() -> dict[str, QuerySpec]:
+    """All registered queries (importing the op modules populates it)."""
+    # imports are deferred so `import eurovision_spark` stays light
+    from eurovision_spark.plans import relational  # noqa: F401
+    from eurovision_spark.operators import dedup  # noqa: F401
+    from eurovision_spark.operators import similarity  # noqa: F401
+    from eurovision_spark.operators import textstats  # noqa: F401
+
+    return dict(_REGISTRY)

@@ -1,0 +1,310 @@
+"""Deduplication operators — exact and near-dup, designed for 100 TB.
+
+The reference's only dedup ops are exact set-dedup (sponsor,
+scan.py:243-248) and the fuzzy any-key-equal IMP merge (scan.py:135-188,
+generalized in ``imp_dedup.py``). This module adds the corpus-scale
+family a training-data pipeline needs (BASELINE.json north star):
+
+- exact dedup        : hash-groupBy on content — one shuffle on a short
+                       digest, never on the full text;
+- n-gram Jaccard     : shingle-set similarity for chosen candidate pairs;
+- MinHash + LSH      : shingles -> minhash signature -> banded bucket
+                       join. THE scalable near-dup path: candidate
+                       generation is an equi-join on (band, signature),
+                       so cost is proportional to true collisions, not
+                       n² — this is what survives 100 TB;
+- SimHash            : 16-bit majority-vote signature per document.
+
+Every hash derives from md5 so the DuckDB oracles compute bit-identical
+values. The testdata has no natural duplicates (TESTDATA.md seed data),
+so the exact/minhash queries synthesize a perturbed copy of each
+document inside the query (doc_id + 1_000_000) — the operator must then
+find exactly those planted pairs; the oracle proves it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eurovision_spark.catalog import register
+from eurovision_spark.operators.textstats import md5_long, md5_long_sql, tokens
+from eurovision_spark.sources import load_table
+
+P31 = 2147483647  # 2^31 - 1, Mersenne prime for the minhash universe
+N_PERM = 16
+N_BANDS = 4  # 4 bands x 4 rows
+
+
+def shingles(toks: Column) -> Column:
+    """Word 3-gram shingles (1-indexed element_at to mirror DuckDB lists)."""
+    return F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+SHINGLES_SQL = (
+    "list_transform(generate_series(1, len({t}) - 2), "
+    "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2])"
+)
+
+TOKS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
+SH_SQL = SHINGLES_SQL.format(t=TOKS_SQL)
+
+# planted near-duplicates: every doc gets a copy with one appended token
+DOCS_WITH_COPIES_SQL = """
+    SELECT doc_id, text FROM documents WHERE n_chars > 0
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text || ' perturbed' AS text
+    FROM documents WHERE n_chars > 0
+"""
+
+
+def docs_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    orig = d.select("doc_id", "text")
+    copy = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" perturbed")).alias("text"),
+    )
+    return orig.unionByName(copy)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: group by content digest
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    f"""
+    WITH docs AS ({DOCS_WITH_COPIES_SQL}),
+    canon AS (
+        SELECT md5(text) AS content_md5,
+               CAST(min(doc_id) AS BIGINT) AS canonical_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM docs GROUP BY md5(text))
+    SELECT canonical_id, n_copies FROM canon
+    """,
+    "exact dedup at scale: group on a 128-bit content digest (never "
+    "shuffle full documents), keep min doc_id as canonical — the Spark "
+    "rebuild of scan.py:243-248 set-dedup for corpus-size data. Exact "
+    "copies planted by construction must all collapse (n_copies check "
+    "in tests).",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = docs_with_copies(spark, sf_dir)
+    # exact copies: re-plant doc+copy with identical text so groups form
+    return (
+        docs.select("doc_id", F.md5("text").alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("canonical_id"),
+            F.count("*").cast("bigint").alias("n_copies"),
+        )
+        .select("canonical_id", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard similarity on candidate pairs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ngram_jaccard",
+    f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_distinct({SH_SQL}) AS sh
+        FROM documents WHERE n_chars > 0),
+    pairs AS (
+        SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, a.sh AS sh1, b.sh AS sh2
+        FROM t a JOIN t b ON b.doc_id = a.doc_id + 1)
+    SELECT doc_id_1, doc_id_2,
+           round(CAST(len(list_intersect(sh1, sh2)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sh1, sh2))), 6) AS jaccard
+    FROM pairs WHERE len(list_distinct(list_concat(sh1, sh2))) > 0
+    """,
+    "word-3-gram Jaccard similarity between candidate pairs (here: "
+    "adjacent doc_ids; in production the candidates come from the LSH "
+    "bucket join below). array_intersect/array_union are JVM-side set "
+    "ops; no UDFs.",
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    t = d.select(
+        "doc_id", F.array_distinct(shingles(tokens(F.lower(F.col("text"))))).alias("sh")
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    pairs = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("doc_id_1"),
+        F.col("b.doc_id").alias("doc_id_2"),
+        F.col("a.sh").alias("sh1"),
+        F.col("b.sh").alias("sh2"),
+    )
+    union_size = F.size(F.array_distinct(F.concat("sh1", "sh2")))
+    return pairs.filter(union_size > 0).select(
+        "doc_id_1",
+        "doc_id_2",
+        F.round(F.size(F.array_intersect("sh1", "sh2")).cast("double") / union_size, 6).alias(
+            "jaccard"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banded candidate generation
+# ---------------------------------------------------------------------------
+
+
+def _minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, perm, minhash) — minhash over distinct 3-gram shingles.
+
+    Permutation i hashes h -> ((2i+1)*h + 17i+1) mod (2^31-1); the base
+    shingle hash is the cross-engine md5-derived 60-bit int mod p.
+    Plan shape: explode shingles -> distinct -> broadcast-join 16 perms
+    -> groupBy(doc, perm) min. Shuffles carry (doc_id, hash) ints only.
+    """
+    sh = docs.select(
+        "doc_id",
+        F.explode(shingles(tokens(F.lower(F.col("text"))))).alias("shingle"),
+    ).distinct()
+    hashed = sh.select("doc_id", (md5_long(F.col("shingle")) % P31).alias("h"))
+    perms = docs.sparkSession.range(N_PERM).select(F.col("id").cast("int").alias("perm"))
+    return (
+        hashed.join(F.broadcast(perms))
+        .select(
+            "doc_id",
+            "perm",
+            (((2 * F.col("perm") + 1) * F.col("h") + 17 * F.col("perm") + 1) % P31).alias("ph"),
+        )
+        .groupBy("doc_id", "perm")
+        .agg(F.min("ph").alias("minhash"))
+    )
+
+
+MINHASH_SIG_SQL = f"""
+    WITH docs AS ({DOCS_WITH_COPIES_SQL}),
+    sh AS (
+        SELECT DISTINCT doc_id, unnest({SH_SQL}) AS shingle
+        FROM docs),
+    hashed AS (
+        SELECT doc_id, {md5_long_sql('shingle')} % {P31} AS h FROM sh),
+    sig AS (
+        SELECT doc_id, perm, min(((2*perm+1)*h + 17*perm+1) % {P31}) AS minhash
+        FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, {N_PERM - 1})) AS perm)
+        GROUP BY doc_id, perm),
+    bands AS (
+        SELECT doc_id, perm // {N_PERM // N_BANDS} AS band_id,
+               md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS band_sig
+        FROM sig GROUP BY doc_id, perm // {N_PERM // N_BANDS})
+"""
+
+
+@register(
+    "minhash_lsh_pairs",
+    MINHASH_SIG_SQL
+    + """
+    SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    """,
+    "MinHash+LSH near-dup candidates: shingle -> 16-perm minhash "
+    "signature -> 4 bands of 4 -> equi-join on (band, band_sig). The "
+    "planted perturbed copies (jaccard ~ (n-3)/n) must surface as "
+    "(d, d+1000000) pairs. At 100 TB this is the only formulation whose "
+    "join cost tracks true-duplicate density instead of n².",
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = docs_with_copies(spark, sf_dir)
+    sig = _minhash_signatures(docs)
+    rows_per_band = N_PERM // N_BANDS
+    bands = (
+        sig.withColumn("band_id", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("perm"), F.col("minhash")))
+                        ),
+                        lambda s: s.minhash.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "simhash",
+    f"""
+    WITH t AS (
+        SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS tok
+        FROM documents WHERE n_chars > 0),
+    th AS (SELECT doc_id, {md5_long_sql('tok')} AS h FROM t),
+    bits AS (
+        SELECT doc_id, bit,
+               sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        FROM th CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bit)
+        GROUP BY doc_id, bit)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN vote >= 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash16
+    FROM bits GROUP BY doc_id
+    """,
+    "SimHash: per-bit majority vote over token hashes -> 16-bit document "
+    "signature; near-dups share signatures (hamming-ball lookups become "
+    "equi-joins on signature rotations). Linear scan + one small shuffle.",
+)
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    toks = d.select("doc_id", F.explode(F.array_distinct(tokens(F.lower(F.col("text"))))).alias("tok"))
+    th = toks.select("doc_id", md5_long(F.col("tok")).alias("h"))
+    bits = d.sparkSession.range(16).select(F.col("id").cast("int").alias("bit"))
+    votes = (
+        th.join(F.broadcast(bits))
+        .select(
+            "doc_id",
+            "bit",
+            F.when(F.expr("shiftright(h, bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)).alias("v"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("v").alias("vote"))
+    )
+    return (
+        votes.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("vote") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("simhash16")
+        )
+    )

@@ -1,0 +1,198 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Two tiers (BASELINE.json north star):
+
+- brute-force cosine top-k: the exactness baseline. Probe set joined
+  against the full corpus; dot products via ``F.aggregate``/``zip_with``
+  — JVM-side higher-order functions, no Python. At cluster scale the
+  corpus side stays partitioned and the (small) probe side broadcasts,
+  so cost is one pass over the corpus per batch of probes — the right
+  shape for 100 TB (probes batch; corpus never re-shuffles).
+
+- LSH-bucketed cosine (random hyperplanes): the scale path. Signs of
+  dot(v, plane_j) build a bucket id; neighbor search becomes an
+  equi-join on bucket, cutting the candidate set by ~2^n_planes.
+  Hyperplane components derive from md5 so the DuckDB oracle builds
+  bit-identical planes.
+
+Floats: embeddings are float32, cast to double before any arithmetic in
+BOTH engines; similarity values are rounded to 6 decimals for the
+cross-engine hash, ordering uses the raw double (distinct neighbors'
+gaps are astronomically larger than 1-ulp reassociation noise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from eurovision_spark.catalog import register
+from eurovision_spark.sources import load_table
+
+TOP_K = 5
+PROBE_MOD = 50  # vec_id % 50 == 0 -> probe set
+N_PLANES = 8
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+COSINE_SQL = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@register(
+    "cosine_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id % {PROBE_MOD} = 0),
+    scored AS (
+        SELECT p.probe_id, e.vec_id AS neighbor_id,
+               {COSINE_SQL.format(a='p.pv', b='e.v')} AS cos,
+               row_number() OVER (
+                   PARTITION BY p.probe_id
+                   ORDER BY {COSINE_SQL.format(a='p.pv', b='e.v')} DESC, e.vec_id) AS rn
+        FROM probes p CROSS JOIN e
+        WHERE e.vec_id <> p.probe_id)
+    SELECT probe_id, neighbor_id, round(cos, 6) AS cosine_sim
+    FROM scored WHERE rn <= {TOP_K}
+    """,
+    "brute-force cosine top-k (exact ANN baseline): broadcast probe set x "
+    "partitioned corpus, JVM higher-order-function dot products, "
+    "row_number top-k per probe.",
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    probes = e.filter(F.col("vec_id") % PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    scored = (
+        e.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("pv"), F.col("v")) / (l2norm(F.col("pv")) * l2norm(F.col("v")))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("probe_id", "neighbor_id", F.round("cos", 6).alias("cosine_sim"))
+    )
+
+
+# --- LSH-bucketed variant ---------------------------------------------------
+# plane[j][d] = (md5int(concat('plane-', j, '-', d)) % 2001 - 1000) / 1000.0
+
+PLANE_SQL = f"""
+    SELECT j, list_transform(
+        generate_series(1, 64),
+        d -> (CAST(CAST(concat('0x', substr(md5(concat('plane-', j, '-', d)), 1, 15))
+                   AS UBIGINT) AS BIGINT) % 2001 - 1000) / 1000.0) AS plane
+    FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS j)
+"""
+
+
+def _planes(spark: SparkSession, dim: int) -> DataFrame:
+    """Deterministic pseudo-random hyperplanes (same formula as the SQL)."""
+    j = spark.range(N_PLANES).select(F.col("id").cast("int").alias("j"))
+    plane = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda d: (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("plane-"), F.col("j"), F.lit("-"), d)), 1, 15),
+                16,
+                10,
+            ).cast("bigint")
+            % 2001
+            - 1000
+        )
+        / 1000.0,
+    )
+    return j.select("j", plane.alias("plane"))
+
+
+@register(
+    "cosine_lsh_bucketed",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    planes AS ({PLANE_SQL}),
+    sigs AS (
+        SELECT e.vec_id, e.v,
+               CAST(sum(CASE WHEN list_dot_product(e.v, p.plane) >= 0
+                        THEN 1 << p.j ELSE 0 END) AS BIGINT) AS bucket
+        FROM e CROSS JOIN planes p GROUP BY e.vec_id, e.v),
+    probes AS (SELECT vec_id AS probe_id, v AS pv, bucket FROM sigs
+               WHERE vec_id % {PROBE_MOD} = 0),
+    cand AS (
+        SELECT p.probe_id, s.vec_id AS neighbor_id,
+               {COSINE_SQL.format(a='p.pv', b='s.v')} AS cos,
+               row_number() OVER (
+                   PARTITION BY p.probe_id
+                   ORDER BY {COSINE_SQL.format(a='p.pv', b='s.v')} DESC, s.vec_id) AS rn
+        FROM probes p JOIN sigs s ON s.bucket = p.bucket AND s.vec_id <> p.probe_id)
+    SELECT probe_id, neighbor_id, round(cos, 6) AS cosine_sim
+    FROM cand WHERE rn <= {TOP_K}
+    """,
+    "LSH-bucketed approximate cosine search: 8 deterministic random "
+    "hyperplanes -> sign-bit bucket -> equi-join on bucket only. The "
+    "candidate set shrinks ~2^8; at 100 TB the bucket join replaces the "
+    "full cross product (multi-probe = also join neighboring buckets).",
+)
+def cosine_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    planes = _planes(e.sparkSession, 64)
+    sigs = (
+        e.join(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "v",
+            F.when(dot(F.col("v"), F.col("plane")) >= 0, F.expr("shiftleft(1, j)"))
+            .otherwise(F.lit(0))
+            .alias("bit"),
+        )
+        .groupBy("vec_id", "v")
+        .agg(F.sum("bit").cast("bigint").alias("bucket"))
+    )
+    probes = sigs.filter(F.col("vec_id") % PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv"), F.col("bucket")
+    )
+    cand = (
+        sigs.join(
+            F.broadcast(probes),
+            (sigs.bucket == probes.bucket) & (F.col("vec_id") != F.col("probe_id")),
+        )
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("pv"), F.col("v")) / (l2norm(F.col("pv")) * l2norm(F.col("v")))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("probe_id", "neighbor_id", F.round("cos", 6).alias("cosine_sim"))
+    )

@@ -1,0 +1,196 @@
+"""Text-analysis operators over the ``documents`` table.
+
+The training-data-pipeline surface (BASELINE.json north star): token
+counting, quality scoring, language-ID heuristics, document
+fingerprinting. Everything is built-in column expressions (JVM-side,
+whole-stage codegen) — no Python UDFs — so the same code runs unchanged
+on a 100 TB documents table: these are all embarrassingly-parallel
+per-row maps with zero shuffles.
+
+Cross-engine determinism: tokenization is split-on-\\s+ of the trimmed
+text in both engines; hashes go through md5 (identical everywhere);
+ratios are single divisions of integer counts (deterministic doubles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eurovision_spark.catalog import register
+from eurovision_spark.sources import load_table
+
+# shared token-set vocabulary for the language/stopword heuristics
+EN_MARKERS = ("the", "a", "fast", "slow", "big", "small")
+TECH_MARKERS = ("spark", "query", "join", "agg", "hash", "scan")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization, identical to DuckDB string_split_regex."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def md5_long(col: Column) -> Column:
+    """Deterministic 60-bit integer hash usable in BOTH engines:
+    first 15 hex digits of md5 as a bigint. DuckDB equivalent:
+    ``CAST(CAST('0x' || substr(md5(x),1,15) AS UBIGINT) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def md5_long_sql(x: str) -> str:
+    """DuckDB-side twin of :func:`md5_long`."""
+    return f"CAST(CAST(concat('0x', substr(md5({x}), 1, 15)) AS UBIGINT) AS BIGINT)"
+
+
+@register(
+    "token_stats",
+    """
+    SELECT doc_id, lang,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               AS n_distinct,
+           round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                 / len(string_split_regex(trim(text), '\\s+')), 4) AS avg_token_len
+    FROM documents WHERE n_chars > 0
+    """,
+    "token counting (whitespace tokenizer) + lexical shape stats; per-row "
+    "map, no shuffle — scales linearly with input splits.",
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    toks = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.round(
+            F.length(F.regexp_replace("text", r"\s", "")).cast("double") / F.size(toks), 4
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "lang_stats",
+    """
+    SELECT lang,
+           CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               AS total_tokens,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents WHERE n_chars > 0 GROUP BY lang
+    """,
+    "corpus-level token totals per language bucket (map + tiny shuffle).",
+)
+def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return d.groupBy("lang").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("total_tokens"),
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+@register(
+    "lang_guess",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
+                                  {list(EN_MARKERS)!r})) AS en_hits,
+               len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
+                                  {list(TECH_MARKERS)!r})) AS tech_hits
+        FROM documents WHERE n_chars > 0)
+    SELECT doc_id, lang,
+           CAST(en_hits AS BIGINT) AS en_hits,
+           CAST(tech_hits AS BIGINT) AS tech_hits,
+           CASE WHEN en_hits >= tech_hits THEN 'en-like' ELSE 'tech' END AS guess
+    FROM scored
+    """,
+    "n-gram/stopword-overlap language-ID heuristic: distinct-token "
+    "intersection against per-language marker sets (the classic cheap "
+    "langid pre-pass for corpus filtering).",
+)
+def lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    toks = F.array_distinct(tokens(F.lower(F.col("text"))))
+    en = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in EN_MARKERS])))
+    tech = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in TECH_MARKERS])))
+    return d.select(
+        "doc_id",
+        "lang",
+        en.cast("bigint").alias("en_hits"),
+        tech.cast("bigint").alias("tech_hits"),
+        F.when(en >= tech, F.lit("en-like")).otherwise(F.lit("tech")).alias("guess"),
+    )
+
+
+@register(
+    "quality_score",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks,
+               n_chars
+        FROM documents WHERE n_chars > 0)
+    SELECT doc_id,
+           round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS diversity,
+           round(CAST(len(list_filter(toks, x -> list_contains({list(EN_MARKERS)!r}, x)))
+                      AS DOUBLE) / len(toks), 4) AS stopword_ratio,
+           CAST(len(toks) AS BIGINT) AS n_tokens
+    FROM t
+    """,
+    "document quality scoring: lexical diversity + stopword ratio — the "
+    "standard cheap quality gates for pretraining corpora; pure per-row "
+    "array expressions, no shuffle.",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    toks = tokens(F.lower(F.col("text")))
+    markers = F.array(*[F.lit(w) for w in EN_MARKERS])
+    stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(markers, x)))
+    return d.select(
+        "doc_id",
+        F.round(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 4).alias(
+            "diversity"
+        ),
+        F.round(stop_hits.cast("double") / F.size(toks), 4).alias("stopword_ratio"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+
+
+@register(
+    "fingerprint",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents WHERE n_chars > 0)
+    SELECT doc_id,
+           md5(norm) AS content_md5,
+           CAST(list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                             list_transform(toks, w -> {md5_long_sql('w')} % 1000000007)),
+                (acc, h) -> (acc * 31 + h) % 1000000007) AS BIGINT) AS rolling_hash
+    FROM t
+    """,
+    "document fingerprinting: md5 content signature + order-sensitive "
+    "polynomial rolling hash over token hashes (P3 normalization applied "
+    "first, reference scan.py:320).",
+)
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    toks = tokens(F.lower(F.col("text")))
+    tok_hashes = F.transform(toks, lambda w: md5_long(w) % F.lit(1000000007))
+    rolling = F.aggregate(
+        tok_hashes,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * 31 + h) % F.lit(1000000007),
+    )
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("content_md5"),
+        rolling.cast("bigint").alias("rolling_hash"),
+    )

@@ -1,0 +1,698 @@
+"""Relational query library — SURVEY §2 operators on the star schema.
+
+Each query re-expresses one (or a tight cluster of) reference operators
+on the driver's TPC-H-ish tables, with orders playing the "trial" parent,
+lineitem the 1:N "imp" child, supplier/nation the "location" dimension
+and customer the "sponsor" (FIXTURES.md §1 role mapping). Reference
+citations are on each function.
+
+Scale notes (100 TB design):
+- dimension joins (nation/region/supplier/part at TPC-H scale ratios)
+  are broadcast — no shuffle of the fact table;
+- fact-fact joins (orders⋈lineitem) shuffle on the join key once, and
+  every aggregation that follows reuses that key where possible;
+- all filters are plain column predicates → Catalyst pushes them into
+  the parquet scan (verified via explain in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from eurovision_spark.catalog import register
+from eurovision_spark.functions import labeled_priority_coalesce, nullif_empty
+from eurovision_spark.sources import load_table
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the denormalized search/export (reference toexcel.py:100-162)
+# J1 semi-join search + J2 reassembly + A11 group-concat + A12 priority
+# display name + A13 first-per-group + O1 sort, in ONE DataFrame query.
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_ORACLE = """
+WITH imp_names AS (
+    SELECT l.l_orderkey,
+           CASE WHEN coalesce(p.p_name, '') <> '' THEN 'product:' || p.p_name
+                WHEN coalesce(p.p_brand, '') <> '' THEN 'trade:' || p.p_brand
+                ELSE 'code:' || CAST(p.p_partkey AS VARCHAR) END AS imp_name
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+imp_agg AS (
+    SELECT l_orderkey, string_agg(imp_name, '; ' ORDER BY imp_name) AS imp_entry
+    FROM (SELECT DISTINCT l_orderkey, imp_name FROM imp_names) GROUP BY l_orderkey
+),
+loc_agg AS (
+    SELECT l_orderkey, string_agg(n_name, ', ' ORDER BY n_name) AS location_entry
+    FROM (SELECT DISTINCT l.l_orderkey, n.n_name
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey)
+    GROUP BY l_orderkey
+)
+SELECT o.o_orderkey,
+       o.o_orderstatus,
+       o.o_totalprice,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       coalesce(i.imp_entry, '') AS imp_entry,
+       coalesce(g.location_entry, '') AS location_entry,
+       c.c_name AS sponsor_entry
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN imp_agg i ON o.o_orderkey = i.l_orderkey
+LEFT JOIN loc_agg g ON o.o_orderkey = g.l_orderkey
+WHERE o.o_totalprice > 150000
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 30)
+ORDER BY o.o_orderkey
+"""
+
+
+@register(
+    "flagship_denorm",
+    FLAGSHIP_ORACLE,
+    "toexcel.py:100-162 rebuilt as one query: predicate search (P6), "
+    "semi-join pruning (J1), child reassembly (J2), group-concat (A9/A11), "
+    "priority display name (A12), first sponsor (A13), sort (O1).",
+)
+def flagship_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+
+    # IMP display name: priority coalesce product > trade > code with a
+    # "field:" prefix (reference toexcel.py:143-149); part is a dimension
+    # at fixed scale ratio -> broadcast, lineitem never shuffles for it.
+    imp_named = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .select(
+            "l_orderkey",
+            labeled_priority_coalesce(
+                [
+                    ("product", F.col("p_name")),
+                    ("trade", F.col("p_brand")),
+                    ("code", F.col("p_partkey").cast("string")),
+                ]
+            ).alias("imp_name"),
+        )
+        .distinct()
+    )
+    imp_agg = imp_named.groupBy("l_orderkey").agg(
+        F.array_join(F.array_sort(F.collect_set("imp_name")), "; ").alias("imp_entry")
+    )
+
+    # locations: distinct supplier nations per order, sorted + ", "-joined
+    # (reference scan.py:226-227 sorted write, toexcel.py:151-154 join).
+    loc_agg = (
+        lineitem.join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select("l_orderkey", "n_name")
+        .groupBy("l_orderkey")
+        .agg(F.array_join(F.array_sort(F.collect_set("n_name")), ", ").alias("location_entry"))
+    )
+
+    # the searched parent: predicate filter + child-existence semi-join
+    hits = (
+        orders.filter(F.col("o_totalprice") > 150000)
+        .join(
+            lineitem.filter(F.col("l_quantity") >= 30).select("l_orderkey"),
+            orders.o_orderkey == F.col("l_orderkey"),
+            "left_semi",
+        )
+    )
+
+    return (
+        hits.join(customer, hits.o_custkey == customer.c_custkey)
+        .join(imp_agg, hits.o_orderkey == imp_agg.l_orderkey, "left")
+        .join(loc_agg, hits.o_orderkey == loc_agg.l_orderkey, "left")
+        .select(
+            hits.o_orderkey,
+            "o_orderstatus",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.coalesce("imp_entry", F.lit("")).alias("imp_entry"),
+            F.coalesce("location_entry", F.lit("")).alias("location_entry"),
+            F.col("c_name").alias("sponsor_entry"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/T1: conditional multi-table semi-join search (toexcel.py:103-115)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "search_semi_join",
+    """
+    SELECT o.o_orderkey, o.o_orderpriority
+    FROM orders o
+    WHERE o.o_orderpriority = '1-URGENT'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.08)
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    """,
+    "toexcel.py:108-115 key-set intersection as chained left-semi joins "
+    "(J1/T1); the per-table predicate only joins when present (P6).",
+)
+def search_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    result = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    # conditional pruning: each child predicate contributes one semi-join
+    for pred in (F.col("l_discount") > 0.08, F.col("l_returnflag") == "R"):
+        result = result.join(
+            lineitem.filter(pred).select(F.col("l_orderkey").alias("o_orderkey")),
+            "o_orderkey",
+            "left_semi",
+        )
+    return result.select("o_orderkey", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# A2: first-non-empty merge under explicit order
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "first_non_empty",
+    """
+    SELECT l_orderkey,
+           min_by(l_returnflag, concat(lpad(CAST(l_linenumber AS VARCHAR), 5, '0'),
+                                       l_returnflag)) AS first_flag
+    FROM lineitem WHERE l_returnflag <> 'N'
+    GROUP BY l_orderkey
+    """,
+    "scan.py:302-305 first-non-empty-wins merge: the first (in line order) "
+    "non-missing value per group, via min_by over an explicit order key "
+    "(SURVEY §7 hard item 2: never bare first(); the key embeds the value "
+    "as tie-break because l_linenumber is not unique in the testdata).",
+)
+def first_non_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    order_key = F.concat(
+        F.lpad(F.col("l_linenumber").cast("string"), 5, "0"), F.col("l_returnflag")
+    )
+    return (
+        li.filter(F.col("l_returnflag") != "N")
+        .groupBy("l_orderkey")
+        .agg(F.min_by("l_returnflag", order_key).alias("first_flag"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4: conditional status imputation (scan.py:97-104)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "impute_status",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'O' AND o_orderdate < TIMESTAMP '1998-01-01'
+                THEN 'not ongoing' ELSE o_orderstatus END AS status_imputed
+    FROM orders
+    """,
+    "scan.py:97-104 'completion date + ongoing => not ongoing' sentinel "
+    "imputation as a when/otherwise column.",
+)
+def impute_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.when(
+            (F.col("o_orderstatus") == "O")
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01"))),
+            F.lit("not ongoing"),
+        )
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status_imputed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5/A12: conditional fallback + priority coalesce (scan.py:106-111,
+# toexcel.py:143-149)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "priority_fallback",
+    """
+    SELECT p_partkey,
+           coalesce(nullif(p_brand, ''), nullif(p_type, ''), 'unknown') AS brand_or_type
+    FROM part
+    """,
+    "scan.py:106-111 meddra_soc fallback generalized: first non-empty in "
+    "priority order via coalesce(nullif(...)).",
+)
+def priority_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.coalesce(
+            nullif_empty(F.col("p_brand")), nullif_empty(F.col("p_type")), F.lit("unknown")
+        ).alias("brand_or_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6: boolean encoding (scan.py:115-119)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bool_encode",
+    """
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purchases,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_errors
+    FROM events GROUP BY user_id
+    """,
+    "scan.py:115-119 yes/no -> 1/0 flag encoding, aggregated per key "
+    "(map-side partial agg then final — one shuffle on user_id).",
+)
+def bool_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchases"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_errors"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9/A11: sorted-distinct collect + group-concat (scan.py:225-228,
+# toexcel.py:150-154)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "group_concat",
+    """
+    SELECT l_orderkey, string_agg(sk, ', ' ORDER BY sk) AS supp_list
+    FROM (SELECT DISTINCT l_orderkey, CAST(l_suppkey AS VARCHAR) AS sk FROM lineitem)
+    GROUP BY l_orderkey
+    """,
+    "scan.py:225-228 sorted-set write + toexcel.py:150-154 delimiter join: "
+    "collect_set -> array_sort -> array_join.",
+)
+def group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", F.col("l_suppkey").cast("string").alias("sk"))
+        .groupBy("l_orderkey")
+        .agg(F.array_join(F.array_sort(F.collect_set("sk")), ", ").alias("supp_list"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A13: first-per-group (toexcel.py:155-157)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "first_per_group",
+    """
+    SELECT s_nationkey, min_by(s_name, s_suppkey) AS first_supplier
+    FROM supplier GROUP BY s_nationkey
+    """,
+    "toexcel.py:155-157 fetchone()-first-row semantics made deterministic: "
+    "min_by over the key order.",
+)
+def first_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    return s.groupBy("s_nationkey").agg(F.min_by("s_name", "s_suppkey").alias("first_supplier"))
+
+
+# ---------------------------------------------------------------------------
+# A10: counts (toexcel.py:31, 118)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hit_count",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders WHERE o_totalprice > 100000
+    """,
+    "toexcel.py:31/118 search hit counting; adds count-distinct (free in "
+    "Spark, absent in the reference — SURVEY §2.4).",
+)
+def hit_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_totalprice") > 100000).agg(
+        F.count("*").alias("n_hits"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1 + top-k: sort/limit (toexcel.py:133; limit is beyond-reference)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sort_topk",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    "toexcel.py:133 sorted output + LIMIT top-k (SURVEY §2.6: free in "
+    "Spark; unique tie-break key keeps it deterministic). Spark plans "
+    "this as TakeOrderedAndProject — no global sort.",
+)
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# T1: intersection (toexcel.py:109-115)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "key_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "toexcel.py:109-115 result-set intersection as a set op (the semi-join "
+    "formulation is search_semi_join).",
+)
+def key_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return o.intersect(f)
+
+
+# ---------------------------------------------------------------------------
+# T2/A8: distinct (scan.py:243-248 set dedup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "distinct_pairs",
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    "scan.py:243-248/487 set-insert dedup as distinct() (exact dedup over "
+    "the tuple).",
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_mktsegment", "c_nationkey").distinct()
+
+
+# ---------------------------------------------------------------------------
+# A1 analog: fill-down window (scan.py:341-351 record-boundary state)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_filldown",
+    """
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_id
+    FROM events
+    """,
+    "scan.py:341-351 carry-forward parser state as last(ignorenulls) over "
+    "an ordered window — the fill-down that rebuilds record grouping "
+    "(SURVEY §2.5); doubles as the as-of-join building block.",
+)
+def window_filldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(
+            F.when(F.col("event_type") == "signup", F.col("event_id")), ignorenulls=True
+        )
+        .over(w)
+        .alias("last_signup_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 in-block flag: running marker sum (scan.py:378-397)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "block_running_flag",
+    """
+    SELECT event_id, user_id,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS sessions_so_far
+    FROM events
+    """,
+    "scan.py:378-397 between-markers block membership as a running "
+    "sum-of-markers window (SURVEY §2.5 mapping).",
+)
+def block_running_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+        .over(w)
+        .cast("bigint")
+        .alias("sessions_so_far"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group (beyond-reference, SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_per_group",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+        SELECT l_orderkey, l_linenumber, l_extendedprice,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+        FROM lineitem)
+    WHERE rn <= 2
+    """,
+    "top-k per group via row_number window — the reference's per-trial "
+    "'first rows' generalized (SURVEY §2.6).",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy(F.col("l_extendedprice").desc(), "l_linenumber")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Banded non-equi (range) join — beyond-reference (SURVEY §2.3 "not present")
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "range_band_join",
+    """
+    WITH bands(band_id, lo, hi) AS (
+        SELECT band_id, band_id * 50000.0, (band_id + 1) * 50000.0
+        FROM (SELECT unnest(generate_series(0, 9)) AS band_id)
+    )
+    SELECT o.o_orderkey, b.band_id
+    FROM orders o JOIN bands b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    """,
+    "range join via a broadcast band table — the scalable pattern for "
+    "non-equi joins (broadcast nested loop on a tiny build side; at 100 TB "
+    "the alternative formulation is bucket-by-width then equi-join).",
+)
+def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.range(0, 10).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * 50000.0).alias("lo"),
+        ((F.col("id") + 1) * 50000.0).alias("hi"),
+    )
+    return orders.join(
+        F.broadcast(bands),
+        (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+    ).select("o_orderkey", "band_id")
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction (events.props — beyond-reference scalar surface §2.8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_extract_agg",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    "semi-structured scalar surface: JSON path extraction + aggregate "
+    "(SURVEY §2.8 'json functions absent in reference').",
+)
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).cast("bigint").alias("k_total"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped benchmark anchors (SURVEY §2.4 "free" aggregates + §6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 shape: scan-heavy groupBy with 6 aggregates — the map-side "
+    "partial agg + tiny shuffle pattern that dominates at 100 TB.",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_topn",
+    """
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey LIMIT 10
+    """,
+    "TPC-H Q3 shape: selective dim filter -> fact join -> agg -> top-n. "
+    "customer is broadcast; lineitem⋈orders shuffles on orderkey once.",
+)
+def revenue_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            o.filter(F.col("o_orderdate") < F.to_timestamp(F.lit("1998-03-15"))),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            o.o_custkey == c.c_custkey,
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "nation_volume",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name IN ('EUROPE', 'ASIA') AND o.o_orderstatus <> 'P'
+    GROUP BY n.n_name
+    """,
+    "TPC-H Q5 shape: multi-way star join; all dims broadcast so the only "
+    "shuffles are lineitem⋈orders (on orderkey) and the final small agg.",
+)
+def nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name").isin("EUROPE", "ASIA"))), n.n_regionkey == r.r_regionkey)
+        .join(o.filter(F.col("o_orderstatus") != "P"), li.l_orderkey == o.o_orderkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
