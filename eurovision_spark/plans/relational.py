@@ -99,7 +99,9 @@ def flagship_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             ).alias("imp_name"),
         )
-        .distinct()
+        # no .distinct() here: collect_set dedups inside the same
+        # aggregation exchange — a pre-distinct would add a full extra
+        # shuffle of the (orderkey, name) pairs for nothing.
     )
     imp_agg = imp_named.groupBy("l_orderkey").agg(
         F.array_join(F.array_sort(F.collect_set("imp_name")), "; ").alias("imp_entry")
