@@ -33,6 +33,9 @@ HEADLINE = [
     "dedup_exact",
     "cosine_topk",
     "token_stats",
+    "sessionize",
+    "asof_join",
+    "embedding_near_dup",
 ]
 
 

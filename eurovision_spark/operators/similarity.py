@@ -231,3 +231,93 @@ def cosine_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("probe_id", "neighbor_id", F.round("cos", 6).alias("cosine_sim"))
     )
+
+
+# --- embedding-cosine near-duplicate pairs ----------------------------------
+
+
+NEAR_DUP_THRESHOLD = 0.999
+
+VECS_WITH_COPIES_SQL = """
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id,
+           list_transform(embedding::DOUBLE[], x -> x * 2.0) AS v
+    FROM embeddings
+"""
+
+BUCKET_SQL = f"""
+    SELECT e.vec_id, e.v,
+           CAST(sum(CASE WHEN list_dot_product(e.v, p.plane) >= 0
+                    THEN 1 << p.j ELSE 0 END) AS BIGINT) AS bucket,
+           sqrt(list_dot_product(e.v, e.v)) AS nv
+    FROM e CROSS JOIN planes p GROUP BY e.vec_id, e.v
+"""
+
+
+@register(
+    "embedding_near_dup",
+    f"""
+    WITH e AS ({VECS_WITH_COPIES_SQL}),
+    planes AS ({PLANE_SQL}),
+    sigs AS ({BUCKET_SQL}),
+    pairs AS (
+        SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+               list_dot_product(a.v, b.v) / (a.nv * b.nv) AS cos
+        FROM sigs a JOIN sigs b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT vec_id_1, vec_id_2, round(cos, 6) AS cosine_sim
+    FROM pairs WHERE cos >= {NEAR_DUP_THRESHOLD}
+    """,
+    "embedding-cosine near-dup detection: every vector gets a planted "
+    "scaled copy (same direction -> cosine 1.0); LSH sign-buckets narrow "
+    "candidates (a positive-scaled copy provably lands in the SAME "
+    "bucket), cosine >= 0.999 confirms. Pair generation happens inside "
+    "each bucket's collected array after ONE shuffle — candidate cost "
+    "tracks duplicate density, not n². The corpus-dedup twin of "
+    "minhash_lsh_pairs for the modality where 'text' is a vector.",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    orig = e.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    copy = e.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(as_double(F.col("embedding")), lambda x: x * 2.0).alias("v"),
+    )
+    vecs = orig.unionByName(copy)
+    bucket = sum(
+        [
+            F.when(dot(F.col("v"), _plane_expr(j, 64)) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(N_PLANES)
+        ],
+        F.lit(0),
+    ).cast("bigint")
+    sigs = vecs.select(
+        "vec_id", "v", bucket.alias("bucket"), l2norm(F.col("v")).alias("nv")
+    )
+    buckets = (
+        sigs.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "v", "nv"))).alias("items"))
+        .filter(F.size("items") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda a, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                lambda b: F.struct(
+                    a.vec_id.alias("vec_id_1"),
+                    b.vec_id.alias("vec_id_2"),
+                    (dot(a.v, b.v) / (a.nv * b.nv)).alias("cos"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.vec_id_1", "p.vec_id_2", "p.cos")
+        .filter(F.col("cos") >= NEAR_DUP_THRESHOLD)
+        .select("vec_id_1", "vec_id_2", F.round("cos", 6).alias("cosine_sim"))
+    )

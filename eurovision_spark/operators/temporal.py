@@ -1,0 +1,111 @@
+"""Temporal operators over the ``events`` table.
+
+The reference's parser is an order-driven state machine (record
+boundaries scan.py:341-351, in-block flags scan.py:378-397); its Spark
+mapping is ordered windows (SURVEY §2.5). This module generalizes those
+two window shapes into the event-time operators every large pipeline
+needs and the reference cannot express:
+
+- gap sessionization : boundary-detect (lag) + running sum — the same
+  fill-down/flag machinery as the parser, keyed by time gaps;
+- as-of join         : "latest right-side row at or before each left
+  row" via the union + ordered fill-down trick — ONE shuffle on
+  (user_id), no per-row lookups, no pandas. This is the scalable
+  formulation: a sort-merge of both streams in a single window pass,
+  vs the naive per-left-row subquery.
+
+``events.ts`` arrives as nanosecond epoch longs in Spark (TIMESTAMP
+NANOS parquet read with nanosAsLong, see session.py); ordering and gap
+arithmetic are identical to DuckDB's native timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from eurovision_spark.catalog import register
+from eurovision_spark.sources import load_table
+
+SESSION_GAP_NS = 60 * 60 * 1_000_000_000  # 60 min
+
+
+@register(
+    "sessionize",
+    """
+    WITH g AS (
+        SELECT event_id, user_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 60 MINUTE
+                    THEN 1 ELSE 0 END AS is_new,
+               ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_id, user_id,
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+    FROM g
+    """,
+    "gap-based sessionization (60-min inactivity closes a session): "
+    "lag-detect boundaries, running-sum them into session ids — the "
+    "reference's record-boundary state machine (scan.py:341-351) "
+    "generalized to event time. One shuffle on user_id serves both "
+    "windows; batch twin of the streaming session window in "
+    "streaming/ingest.py.",
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap = F.col("ts") - F.lag("ts").over(w)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_NS), 1).otherwise(0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(is_new).over(wrun).cast("bigint").alias("session_id"),
+    )
+
+
+@register(
+    "asof_join",
+    """
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+         errs AS (SELECT event_id AS err_id, user_id, ts FROM events
+                  WHERE event_type = 'error')
+    SELECT c.event_id AS click_id, c.user_id, e.err_id AS last_error_id
+    FROM clicks c ASOF LEFT JOIN errs e
+      ON c.user_id = e.user_id AND e.ts <= c.ts
+    """,
+    "as-of join (latest error at-or-before each click, per user) as a "
+    "union + ordered fill-down: tag both streams, one window pass "
+    "carries the last right-side id forward, keep left rows. Cost = one "
+    "shuffle on user_id + a partition-local sort; never a per-row "
+    "lookup. Rights sort before lefts at equal ts to match ASOF's "
+    "inclusive bound.",
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.filter(F.col("event_type").isin("click", "error")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        # 0 sorts the right stream first on ts ties -> inclusive <=
+        F.when(F.col("event_type") == "error", 0).otherwise(1).alias("side"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = u.withColumn(
+        "last_error_id",
+        F.last(
+            F.when(F.col("event_type") == "error", F.col("event_id")), ignorenulls=True
+        ).over(w),
+    )
+    return filled.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "last_error_id"
+    )

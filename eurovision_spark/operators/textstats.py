@@ -194,3 +194,37 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("content_md5"),
         rolling.cast("bigint").alias("rolling_hash"),
     )
+
+
+BPE_ISH = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+@register(
+    "bpe_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '{BPE_ISH}')) AS BIGINT)
+               AS n_bpe_tokens,
+           round(CAST(len(regexp_extract_all(lower(text), '{BPE_ISH}')) AS DOUBLE)
+                 / len(string_split_regex(trim(text), '\\s+')), 4) AS fertility
+    FROM documents WHERE n_chars > 0
+    """,
+    "BPE-ish token counting: alpha-runs / digit-runs / single "
+    "punctuation as separate tokens (the pre-tokenizer split every BPE "
+    "vocabulary builds on), vs the whitespace count; 'fertility' = "
+    "subword-per-word ratio, the standard tokenizer-cost estimate for "
+    "pretraining budgets. Pure per-row regexp — no shuffle, linear scan.",
+)
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    ws = F.size(tokens(F.col("text"))).cast("bigint")
+    bpe = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_ISH), 0)).cast(
+        "bigint"
+    )
+    return d.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        F.round(bpe.cast("double") / ws, 4).alias("fertility"),
+    )

@@ -698,3 +698,152 @@ def nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Anti-join — the search surface's natural negation (SURVEY §2.3
+# "not present in the reference": 'trials WITHOUT any IMP')
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "anti_join",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "left-anti join: parents with NO child rows — the negated search the "
+    "reference's intersect-only engine cannot express (toexcel.py:108-115 "
+    "only intersects). Same shuffle shape as the semi-join; Catalyst "
+    "broadcasts the smaller side.",
+)
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Rollup — hierarchical subtotals (SURVEY §2.4 "grouping sets free in Spark")
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_acctbal",
+    """
+    SELECT r.r_name, n.n_name,
+           round(sum(s.s_acctbal), 2) AS total_acctbal,
+           CAST(count(*) AS BIGINT) AS n_suppliers
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    "ROLLUP(region, nation) subtotals + grand total in one pass — "
+    "partial-agg expansion, no extra scans; the aggregate family the "
+    "reference lacks entirely (SURVEY §2.4 'not present').",
+)
+def rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+            F.count("*").alias("n_suppliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe two-phase (salted) aggregation — 100 TB scale pattern
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_agg",
+    """
+    SELECT l_returnflag,
+           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "salted two-phase aggregation: phase 1 groups on (key, salt) so a "
+    "hot key spreads over 16 reducers, phase 2 folds the partials. "
+    "Result is identical to the plain groupBy (the oracle IS the plain "
+    "SQL); the salt is deterministic (orderkey mod 16), no RNG. This is "
+    "the skew escape hatch when AQE skew handling isn't enough — "
+    "l_returnflag has 3 values, the worst-case skew shape at 100 TB.",
+)
+def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    partial = (
+        li.withColumn("salt", F.pmod(F.col("l_orderkey"), F.lit(16)))
+        .groupBy("l_returnflag", "salt")
+        .agg(F.sum("l_quantity").alias("pq"), F.count("*").alias("pn"))
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.round(F.sum("pq"), 2).alias("sum_qty"),
+        F.sum("pn").cast("bigint").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date promotion — typed dates the reference stores as TEXT (§1.3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "monthly_orders",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           round(sum(o_totalprice), 2) AS total_price,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY strftime(o_orderdate, '%Y-%m')
+    """,
+    "typed-date promotion (SURVEY §1.3: reference keeps dates as TEXT, "
+    "scan.py:413-415): month bucketing + aggregates. At scale this is "
+    "the partition-pruning column — write parquet partitioned by month "
+    "and date filters skip files entirely.",
+)
+def monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct counting (SURVEY §2.4 "not present"; approx_count_distinct is
+# the 100 TB path — exact shown here because the oracle must match)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "distinct_users",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    "count(DISTINCT key) per group — expands to a two-level aggregate "
+    "(partial distinct then merge). At 100 TB swap in "
+    "approx_count_distinct (HyperLogLog++, fixed-size sketches, one "
+    "pass) when 2% error is acceptable; exact kept here so the DuckDB "
+    "oracle hash-matches.",
+)
+def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
