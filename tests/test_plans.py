@@ -1,0 +1,122 @@
+"""Physical-plan assertions: the 100 TB design claims, checked.
+
+Correctness tests prove the queries compute the right answer at small
+sf; these prove the PLANS are the ones that survive a 1000-executor
+cluster: dimension joins broadcast (no fact shuffle), predicates reach
+the parquet scan, unused columns are pruned from ReadSchema, per-row
+operators stay shuffle-free, aggregations are partial+final, top-n is
+TakeOrderedAndProject (never a global sort), and nothing degenerates
+into a cartesian product.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from eurovision_spark.catalog import registry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = registry()[name].fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_flagship_broadcasts_dims_and_pushes_predicate(spark):
+    plan = plan_of(spark, "flagship_denorm")
+    assert "BroadcastHashJoin" in plan  # part/supplier/nation never shuffle lineitem
+    assert "GreaterThan(o_totalprice" in plan  # filter reached the orders scan
+    assert "CartesianProduct" not in plan
+
+
+def test_pricing_summary_pushdown_pruning_partial_agg(spark):
+    plan = plan_of(spark, "pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate pushdown to parquet
+    assert "l_comment" not in plan  # column pruning: untouched wide column
+    # partial (map-side) + final aggregate around the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_token_stats_is_shuffle_free(spark):
+    plan = plan_of(spark, "token_stats")
+    assert "Exchange" not in plan  # pure per-row map: linear scan at any scale
+
+
+def test_bpe_token_count_is_shuffle_free(spark):
+    plan = plan_of(spark, "bpe_token_count")
+    assert "Exchange" not in plan
+
+
+def test_fingerprint_is_shuffle_free(spark):
+    plan = plan_of(spark, "fingerprint")
+    assert "Exchange" not in plan
+
+
+def test_search_semi_join_stays_semi(spark):
+    plan = plan_of(spark, "search_semi_join")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_anti_join_stays_anti(spark):
+    plan = plan_of(spark, "anti_join")
+    assert "LeftAnti" in plan
+
+
+def test_revenue_topn_uses_topk_not_global_sort(spark):
+    plan = plan_of(spark, "revenue_topn")
+    assert "TakeOrderedAndProject" in plan  # limit+order fused, no full sort
+    assert "BroadcastHashJoin" in plan  # filtered customer dim broadcast
+
+
+def test_nation_volume_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "nation_volume")
+    # supplier/nation/region all broadcast: lineitem shuffles only for
+    # the orders join + final agg
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_minhash_no_joins_before_bucket_group(spark):
+    plan = plan_of(spark, "minhash_lsh_pairs")
+    # signature stage is join-free (per-row fold); candidate generation
+    # is bucket-local -> no self-join of the signature table
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cosine_topk_broadcasts_probes(spark):
+    plan = plan_of(spark, "cosine_topk")
+    # corpus side never shuffles for the join; probes broadcast
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def n_exchanges(plan: str) -> int:
+    return len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+
+
+def test_sessionize_single_user_exchange(spark):
+    plan = plan_of(spark, "sessionize")
+    # both windows (lag + running sum) share ONE user_id exchange
+    assert n_exchanges(plan) == 1
+
+
+def test_asof_join_single_user_exchange(spark):
+    plan = plan_of(spark, "asof_join")
+    assert n_exchanges(plan) == 1
+    assert "Join" not in plan  # the as-of is a window pass, not a join
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_exact", "group_concat", "salted_agg", "distinct_users"]
+)
+def test_aggregates_are_partial_then_final(spark, name):
+    plan = plan_of(spark, name)
+    assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan
