@@ -49,19 +49,20 @@ from eurovision_spark.operators.filldown import fill_down
 from eurovision_spark.operators.imp_dedup import dedup_imps
 
 
-def read_lines(spark: SparkSession, path: str) -> DataFrame:
-    """S4 text scan with a stable, dense global line number — JVM-only.
+def number_lines(text_df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Attach a stable, dense global line number to a text DataFrame —
+    JVM-only.
 
-    File order is the parser's only implicit input (SURVEY §7 hard item
-    1). ``rdd.zipWithIndex`` would serialize every line through Python;
+    ``rdd.zipWithIndex`` would serialize every line through Python;
     instead: ``monotonically_increasing_id``'s low 33 bits are the row
     index within a partition, so a dense global number is that index
     plus a per-partition offset. The offset table is one tiny collect
-    (one row per file split) joined back as a broadcast — the 2 GB of
-    text itself never leaves the JVM and never globally sorts.
+    (one row per file split) joined back as a broadcast — the text
+    itself never leaves the JVM and never globally sorts.
     """
-    raw = spark.read.text(path).select(
-        F.col("value").alias("raw"),
+    spark = text_df.sparkSession
+    raw = text_df.select(
+        F.col(value_col).alias("raw"),
         F.spark_partition_id().alias("_pid"),
         F.monotonically_increasing_id().alias("_mid"),
     )
@@ -74,6 +75,12 @@ def read_lines(spark: SparkSession, path: str) -> DataFrame:
     return raw.join(F.broadcast(off), "_pid").select(
         (F.col("_off") + F.col("_mid") % F.lit(1 << 33)).alias("line_no"), "raw"
     )
+
+
+def read_lines(spark: SparkSession, path: str) -> DataFrame:
+    """S4 text scan with a stable global line number (SURVEY §7 hard
+    item 1: file order is the parser's only implicit input)."""
+    return number_lines(spark.read.text(path))
 
 
 def _extract(field: fieldspec.Field, norm_col: Column) -> Column:

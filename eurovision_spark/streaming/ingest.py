@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from eurovision_spark.operators.parse import parse_registry_lines
+from eurovision_spark.operators.parse import number_lines, parse_registry_lines
 
 
 def stream_registry_ingest(
@@ -38,12 +38,9 @@ def stream_registry_ingest(
     parquet, merging per micro-batch with first-wins semantics."""
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        rdd = batch_df.rdd.zipWithIndex()
-        lines = batch_df.sparkSession.createDataFrame(
-            rdd.map(lambda t: (t[1], t[0][0])), "line_no: bigint, raw: string"
-        )
-        if lines.rdd.isEmpty():
+        if batch_df.isEmpty():
             return
+        lines = number_lines(batch_df)
         tables = parse_registry_lines(lines)
         for name, df in tables.items():
             path = f"{out_dir}/{name}"
@@ -98,5 +95,68 @@ def stream_events_rollup(
         agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName(query_name)
+        .start()
+    )
+
+
+SESSION_GAP_NS = 60 * 60 * 1_000_000_000  # match operators/temporal.py
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "stream_sessions",
+    gap_ns: int = SESSION_GAP_NS,
+) -> StreamingQuery:
+    """Custom stateful streaming operator: per-user gap sessionization
+    via ``applyInPandasWithState`` (SURVEY §2.9 / M5: the reference's
+    per-trial mutable state generalized to keyed streaming state).
+
+    State per user = (last event ts, sessions so far); each micro-batch
+    folds its events into that state and emits the updated per-user
+    totals. The batch twin is ``operators/temporal.sessionize`` — the
+    test asserts both agree on the same data, which is the streaming/
+    batch-parity property the engine guarantees.
+
+    Scale: state is two longs per user key, hash-partitioned by user_id
+    across executors; micro-batch cost is one shuffle of the new events
+    on user_id — identical shape to the batch window's exchange.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+
+    def update(key, pdfs, state: GroupState):  # noqa: ANN001
+        (user_id,) = key
+        last_ts, n_sessions, n_events = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        for pdf in pdfs:
+            for ts in sorted(int(t) for t in pdf["ts"]):
+                if last_ts is None or ts - last_ts > gap_ns:
+                    n_sessions += 1
+                last_ts = ts
+            n_events += len(pdf)
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            [(user_id, n_events, n_sessions)],
+            columns=["user_id", "n_events", "n_sessions"],
+        )
+
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, n_sessions bigint",
+        stateStructType="last_ts bigint, n_sessions bigint, n_events bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        sessions.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
         .start()
     )

@@ -79,3 +79,65 @@ def test_stream_events_rollup(spark, sf_dir, tmp_path):
         .count()
     )
     assert len(rows) == batch
+
+
+def test_stream_sessionize_state_carries_across_batches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionizer: state survives micro-batch
+    boundaries and the final counts equal the batch window twin."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from eurovision_spark.streaming.ingest import stream_sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    median_ts = ev.approxQuantile("ts", [0.5], 0.01)[0]
+    first_half = ev.filter(F.col("ts") <= median_ts)
+    second_half = ev.filter(F.col("ts") > median_ts)
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    ckpt = tmp_path / "ckpt"
+    first_half.coalesce(1).write.parquet(str(tmp_path / "b1"))
+    for f in (tmp_path / "b1").glob("*.parquet"):
+        shutil.copy(f, events_dir / "batch1.parquet")
+
+    q = stream_sessionize(spark, str(events_dir), str(ckpt), query_name="t_sess")
+    try:
+        q.processAllAvailable()
+        mid = {
+            r.user_id: r.n_sessions
+            for r in spark.sql("SELECT * FROM t_sess").collect()
+        }
+        # second micro-batch arrives: state must continue, not restart
+        second_half.coalesce(1).write.parquet(str(tmp_path / "b2"))
+        for f in (tmp_path / "b2").glob("*.parquet"):
+            shutil.copy(f, events_dir / "batch2.parquet")
+        q.processAllAvailable()
+        final = {
+            r.user_id: r.n_sessions
+            for r in spark.sql(
+                "SELECT user_id, max(n_sessions) AS n_sessions FROM t_sess GROUP BY user_id"
+            ).collect()
+        }
+    finally:
+        q.stop()
+
+    # batch twin on the full table: max session_id == total sessions
+    from eurovision_spark.catalog import registry
+
+    full = tmp_path / "full"
+    full.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", full / "events.parquet")
+    batch = {
+        r.user_id: r.n_sessions
+        for r in registry()["sessionize"]
+        .fn(spark, str(full))
+        .groupBy("user_id")
+        .agg(F.max("session_id").alias("n_sessions"))
+        .collect()
+    }
+    assert final == batch
+    # and the stream made progress in batch 1 already (state continuity
+    # means final counts are >= the mid-point counts, never a reset)
+    assert all(final[u] >= mid.get(u, 0) for u in final)
