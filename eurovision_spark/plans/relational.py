@@ -84,53 +84,47 @@ def flagship_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     customer = load_table(spark, sf_dir, "customer")
 
-    # IMP display name: priority coalesce product > trade > code with a
-    # "field:" prefix (reference toexcel.py:143-149); part is a dimension
-    # at fixed scale ratio -> broadcast, lineitem never shuffles for it.
-    imp_named = (
+    # ONE pass over the fact table serves all three child consumers —
+    # IMP group-concat, location group-concat, AND the qty>=30
+    # existence test (the EXISTS becomes max(l_quantity) >= 30 on the
+    # same aggregate). The naive formulation scans+shuffles lineitem
+    # three times; this shuffles it ONCE on l_orderkey. All dims
+    # (part/supplier/nation at fixed TPC-H scale ratios) broadcast, so
+    # the fact rows never move for the dimension joins.
+    imp_name = labeled_priority_coalesce(
+        [
+            # priority coalesce product > trade > code with a "field:"
+            # prefix (reference toexcel.py:143-149)
+            ("product", F.col("p_name")),
+            ("trade", F.col("p_brand")),
+            ("code", F.col("p_partkey").cast("string")),
+        ]
+    )
+    child_agg = (
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
-        .select(
-            "l_orderkey",
-            labeled_priority_coalesce(
-                [
-                    ("product", F.col("p_name")),
-                    ("trade", F.col("p_brand")),
-                    ("code", F.col("p_partkey").cast("string")),
-                ]
-            ).alias("imp_name"),
-        )
-        # no .distinct() here: collect_set dedups inside the same
-        # aggregation exchange — a pre-distinct would add a full extra
-        # shuffle of the (orderkey, name) pairs for nothing.
-    )
-    imp_agg = imp_named.groupBy("l_orderkey").agg(
-        F.array_join(F.array_sort(F.collect_set("imp_name")), "; ").alias("imp_entry")
-    )
-
-    # locations: distinct supplier nations per order, sorted + ", "-joined
-    # (reference scan.py:226-227 sorted write, toexcel.py:151-154 join).
-    loc_agg = (
-        lineitem.join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
-        .select("l_orderkey", "n_name")
+        .select("l_orderkey", "l_quantity", imp_name.alias("imp_name"), "n_name")
         .groupBy("l_orderkey")
-        .agg(F.array_join(F.array_sort(F.collect_set("n_name")), ", ").alias("location_entry"))
-    )
-
-    # the searched parent: predicate filter + child-existence semi-join
-    hits = (
-        orders.filter(F.col("o_totalprice") > 150000)
-        .join(
-            lineitem.filter(F.col("l_quantity") >= 30).select("l_orderkey"),
-            orders.o_orderkey == F.col("l_orderkey"),
-            "left_semi",
+        .agg(
+            # collect_set dedups inside the aggregation exchange; sorted
+            # join = the reference's deterministic write order
+            # (scan.py:226-227, toexcel.py:151-154)
+            F.array_join(F.array_sort(F.collect_set("imp_name")), "; ").alias("imp_entry"),
+            F.array_join(F.array_sort(F.collect_set("n_name")), ", ").alias(
+                "location_entry"
+            ),
+            F.max("l_quantity").alias("_max_qty"),
         )
     )
 
+    hits = orders.filter(F.col("o_totalprice") > 150000)
     return (
-        hits.join(customer, hits.o_custkey == customer.c_custkey)
-        .join(imp_agg, hits.o_orderkey == imp_agg.l_orderkey, "left")
-        .join(loc_agg, hits.o_orderkey == loc_agg.l_orderkey, "left")
+        hits.join(
+            child_agg.filter(F.col("_max_qty") >= 30),
+            hits.o_orderkey == child_agg.l_orderkey,
+        )
+        .join(customer, hits.o_custkey == customer.c_custkey)
         .select(
             hits.o_orderkey,
             "o_orderstatus",
