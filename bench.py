@@ -36,6 +36,7 @@ HEADLINE = [
     "sessionize",
     "asof_join",
     "embedding_near_dup",
+    "cosine_ivf",
 ]
 
 

@@ -321,3 +321,99 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= NEAR_DUP_THRESHOLD)
         .select("vec_id_1", "vec_id_2", F.round("cos", 6).alias("cosine_sim"))
     )
+
+
+# --- IVF (inverted-file) ANN --------------------------------------------------
+
+N_CENTROID_MOD = 100  # vec_id % 100 == 7 -> centroid "codebook"
+CENTROID_REM = 7
+
+
+@register(
+    "cosine_ivf",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nv
+               FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, v AS cv, nv AS ncv FROM e
+              WHERE vec_id % {N_CENTROID_MOD} = {CENTROID_REM}),
+    assigned AS (
+        SELECT e.vec_id, e.v, e.nv, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.cv) / (e.nv * c.ncv) DESC,
+                            c.cent_id) AS rn
+        FROM e CROSS JOIN cents c),
+    cells AS (SELECT vec_id, v, nv, cent_id FROM assigned WHERE rn = 1),
+    probes AS (SELECT vec_id AS probe_id, v AS pv, nv AS np, cent_id
+               FROM cells WHERE vec_id % {PROBE_MOD} = 0),
+    cand AS (
+        SELECT p.probe_id, s.vec_id AS neighbor_id,
+               list_dot_product(p.pv, s.v) / (p.np * s.nv) AS cos,
+               row_number() OVER (
+                   PARTITION BY p.probe_id
+                   ORDER BY list_dot_product(p.pv, s.v) / (p.np * s.nv) DESC,
+                            s.vec_id) AS rn
+        FROM probes p JOIN cells s
+          ON s.cent_id = p.cent_id AND s.vec_id <> p.probe_id)
+    SELECT probe_id, neighbor_id, round(cos, 6) AS cosine_sim
+    FROM cand WHERE rn <= {TOP_K}
+    """,
+    "IVF (inverted-file) approximate nearest neighbor, nprobe=1: a "
+    "deterministic centroid codebook (every 100th vector) is collected "
+    "to the driver and inlined as literals — the canonical IVF shape "
+    "where the codebook fits in memory and ships with the task. Cell "
+    "assignment is then a per-row argmax over the codebook (NO shuffle, "
+    "no cross join); search joins the probe's cell only, cutting "
+    "candidates by ~n_centroids. At 100 TB the codebook comes from "
+    "k-means on a sample and cells become partition keys for the "
+    "inverted lists.",
+)
+def cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .withColumn("nv", l2norm(F.col("v")))
+    )
+    cents = (
+        e.filter(F.col("vec_id") % N_CENTROID_MOD == CENTROID_REM)
+        .select("vec_id", "v", "nv")
+        .collect()
+    )  # codebook: tiny by construction (1% of corpus), exact doubles
+    best = F.greatest(
+        *[
+            F.struct(
+                (dot(F.col("v"), F.array(*[F.lit(x) for x in c["v"]])) / (F.col("nv") * c["nv"]))
+                .alias("sim"),
+                F.lit(-c["vec_id"]).alias("neg_cent"),
+            )
+            for c in cents
+        ]
+    )
+    # greatest(struct(sim, -cent_id)) == row_number()=1 under
+    # (sim DESC, cent_id ASC): max sim, ties -> smallest centroid id
+    cells = e.select("vec_id", "v", "nv", (-best["neg_cent"]).cast("bigint").alias("cent_id"))
+    probes = cells.filter(F.col("vec_id") % PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("nv").alias("np"),
+        F.col("cent_id"),
+    )
+    cand = (
+        cells.join(
+            F.broadcast(probes),
+            (cells.cent_id == probes.cent_id) & (F.col("vec_id") != F.col("probe_id")),
+        )
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("pv"), F.col("v")) / (F.col("np") * F.col("nv"))).alias("cos"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("probe_id", "neighbor_id", F.round("cos", 6).alias("cosine_sim"))
+    )

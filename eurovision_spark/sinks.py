@@ -50,3 +50,18 @@ def write_jdbc(
     df.write.mode(mode).format("jdbc").option("url", url).option("dbtable", table).options(
         **options
     ).save()
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, buckets: int = 64, path: str | None = None
+) -> None:
+    """Bucketed parquet table: pre-shuffled on the join/agg key at write
+    time so every later equi-join or groupBy on ``key`` runs with NO
+    exchange (the 100 TB replacement for the reference's B-tree indexes
+    on eudract_id, scan.py:71-73 / SURVEY §4). Readers must come through
+    ``spark.table`` for the catalog to expose the bucketing spec;
+    tests/test_plans.py proves the join plan is exchange-free."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key).sortBy(key)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)

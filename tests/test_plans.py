@@ -120,3 +120,38 @@ def test_asof_join_single_user_exchange(spark):
 def test_aggregates_are_partial_then_final(spark, name):
     plan = plan_of(spark, name)
     assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Co-located join: bucketing both sides on the join key at write
+    time removes the shuffle entirely — the scale lever for repeated
+    fact-fact joins (orders⋈lineitem on every search)."""
+    from pyspark.sql import functions as F
+
+    from eurovision_spark.sinks import write_bucketed
+    from eurovision_spark.sources import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    write_bucketed(o, "b_orders", "o_orderkey", 8, str(tmp_path / "bo"))
+    write_bucketed(li, "b_lineitem", "l_orderkey", 8, str(tmp_path / "bl"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path (at test scale the optimizer would
+        # broadcast, which proves nothing about co-location)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert n_exchanges(plan) == 0  # bucketing replaced the shuffle
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
