@@ -1,0 +1,114 @@
+"""Property tests for the merge semantics (SURVEY §5 strategy item 3).
+
+The two order-sensitivity claims the engine makes, checked under
+hypothesis-generated inputs:
+
+1. A2 first-non-empty merge: ONLY the relative order of non-empty
+   values matters — moving/permuting the blanks never changes the
+   merged output (the reference's elif-on-empty, scan.py:302-305).
+2. A7 fuzzy merge: the connected-components closure is row-order
+   INSENSITIVE — permuting entry ids changes component labels but
+   never the merged (trade, product, code) content (SURVEY §7 hard
+   item 4: strictly more deterministic than the reference's
+   swap-delete loop).
+
+Each example round-trips through real Spark aggregations, so examples
+are kept few and datasets tiny; the semantics, not throughput, are
+under test here.
+"""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+VALS = st.lists(st.sampled_from(["", "a", "bb", "ccc", "dd"]), min_size=1, max_size=8)
+
+PROP_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _merge_first_spark(spark, vals: list[str]) -> str | None:
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "line_no: bigint, value: string")
+    nn = df.select("line_no", F.nullif("value", F.lit("")).alias("value")).filter(
+        F.col("value").isNotNull()
+    )
+    got = nn.agg(F.min_by("value", "line_no").alias("m")).first()["m"]
+    return got
+
+
+@PROP_SETTINGS
+@given(vals=VALS, seed=st.integers(0, 2**16))
+def test_first_non_empty_ignores_blank_positions(spark, vals, seed):
+    expected = next((v for v in vals if v), None)
+    assert _merge_first_spark(spark, vals) == expected
+
+    # move every blank somewhere else: merged value must not move
+    rng = random.Random(seed)
+    non_blank = [v for v in vals if v]
+    blanks = len(vals) - len(non_blank)
+    shuffled = list(non_blank)
+    for _ in range(blanks):
+        shuffled.insert(rng.randint(0, len(shuffled)), "")
+    assert _merge_first_spark(spark, shuffled) == expected
+
+
+IMP_ROW = st.tuples(
+    st.sampled_from(["", "t1", "t2", "longtrade"]),
+    st.sampled_from(["", "p1", "p2"]),
+    st.sampled_from(["", "c1", "c2"]),
+)
+
+
+FUZZY_SETTINGS = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@FUZZY_SETTINGS
+@given(rows=st.lists(IMP_ROW, min_size=1, max_size=6), seed=st.integers(0, 2**16))
+def test_fuzzy_merge_order_properties(spark, rows, seed):
+    """Two distinct guarantees (SURVEY §7 hard item 4):
+
+    - the operator depends ONLY on the explicit entry_id column, never
+      on physical row order: shuffling rows with their ids attached
+      reproduces the output exactly (the reference's loop depended on
+      list position; ours cannot);
+    - components and the shortest-non-empty trade/product survivors are
+      invariant even under entry-id RELABELING; only the code survivor
+      is pinned to entry order by design (scan.py:176-179 keeps the
+      earliest — an A2-style first-wins, not an instability).
+    """
+    from eurovision_spark.operators.imp_dedup import dedup_imps
+
+    rng = random.Random(seed)
+
+    def run(with_ids: list[tuple[int, tuple[str, str, str]]]):
+        df = spark.createDataFrame(
+            [("T", i, t, p, c) for i, (t, p, c) in with_ids],
+            "eudract_id: string, entry_id: bigint, trade: string, "
+            "product: string, code: string",
+        )
+        return sorted(
+            (r.trade, r.product, r.code) for r in dedup_imps(df).collect()
+        )
+
+    base_rows = list(enumerate(rows))
+    base = run(base_rows)
+
+    shuffled = list(base_rows)
+    rng.shuffle(shuffled)  # ids travel with their rows
+    assert run(shuffled) == base
+
+    relabeled = [(j, row) for j, (_, row) in enumerate(shuffled)]
+    got = run(relabeled)
+    assert [(t, p) for t, p, _ in got] == [(t, p) for t, p, _ in base]
+    assert len(got) == len(base)
