@@ -101,3 +101,121 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_table(spark, sf_dir).mapInPandas(decode_media_batch, FEATURE_SCHEMA)
+
+
+# --- resize (image) ---------------------------------------------------------
+
+TARGET_W, TARGET_H = 224, 224
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, out_width int, out_height int, "
+    "scale double, out_bytes bigint"
+)
+
+
+def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: aspect-preserving resize plan per payload.
+
+    Real path would decode + PIL .thumbnail; the deterministic stand-in
+    computes the same geometry from the fake-decoded dimensions, and the
+    'resized payload size' as bytes * scale² (what an uncompressed
+    bitmap would do). Spark-side contract (schema, batching, partition
+    behavior) is identical either way.
+    """
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+            b = bytes(payload)
+            w, h = _fake_decode(b)
+            w, h = max(w, 1), max(h, 1)
+            scale = min(TARGET_W / w, TARGET_H / h, 1.0)
+            ow, oh = int(w * scale), int(h * scale)
+            out.append((doc_id, w, h, ow, oh, round(scale, 6), int(len(b) * scale * scale)))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id", "width", "height", "out_width", "out_height", "scale", "out_bytes",
+            ],
+        )
+
+
+@register(
+    "media_resize",
+    f"""
+    WITH dims AS (
+        SELECT doc_id,
+               greatest(CAST({md5_long_sql('text')} % 1920 AS INT), 1) AS width,
+               greatest(CAST({md5_long_sql('text')} % 1080 AS INT), 1) AS height,
+               CAST(strlen(text) AS BIGINT) AS n_bytes
+        FROM documents WHERE n_chars > 0),
+    scaled AS (
+        SELECT doc_id, width, height,
+               least({TARGET_W}.0 / width, {TARGET_H}.0 / height, 1.0) AS s,
+               n_bytes
+        FROM dims)
+    SELECT doc_id, width, height,
+           CAST(floor(width * s) AS INT) AS out_width,
+           CAST(floor(height * s) AS INT) AS out_height,
+           round(s, 6) AS scale,
+           CAST(floor(n_bytes * s * s) AS BIGINT) AS out_bytes
+    FROM scaled
+    """,
+    "image resize operator: aspect-preserving thumbnail geometry per "
+    "payload via Arrow-batched mapInPandas (codec stubbed "
+    "deterministically — no PIL in container; plumbing and batch shape "
+    "real). Per-row, shuffle-free; payload bytes never leave the scan "
+    "stage.",
+)
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_table(spark, sf_dir).mapInPandas(resize_batch, RESIZE_SCHEMA)
+
+
+# --- frame sampling (video/audio) -------------------------------------------
+
+N_FRAMES = 4
+
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_offset bigint, frame_md5 string"
+
+
+def sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: N evenly-spaced frames per payload (1:N
+    output — one input row fans out to N frame rows). The deterministic
+    stand-in slices the payload at even offsets and fingerprints each
+    slice; a real decoder would emit decoded frame tensors with the
+    same (doc_id, frame_idx) keying."""
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+            b = bytes(payload)
+            n = max(len(b), 1)
+            step = n // N_FRAMES
+            for i in range(N_FRAMES):
+                off = i * step
+                sl = b[off : off + max(step, 1)]
+                out.append((doc_id, i, off, hashlib.md5(sl).hexdigest()))
+        yield pd.DataFrame(
+            out, columns=["doc_id", "frame_idx", "frame_offset", "frame_md5"]
+        )
+
+
+@register(
+    "media_frame_sample",
+    f"""
+    WITH base AS (
+        SELECT doc_id, text, greatest(strlen(text), 1) AS n,
+               strlen(text) // {N_FRAMES} AS step
+        FROM documents WHERE n_chars > 0)
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(i * step AS BIGINT) AS frame_offset,
+           md5(substr(text, i * step + 1, greatest(step, 1))) AS frame_md5
+    FROM base CROSS JOIN (SELECT unnest(generate_series(0, {N_FRAMES - 1})) AS i)
+    """,
+    "video/audio frame sampling: N evenly-spaced frames per payload, "
+    "1:N fan-out inside mapInPandas (Arrow-batched). The 100 TB shape: "
+    "frames extracted in the scan stage, only (doc_id, frame_idx, "
+    "fingerprint/tensor) flows downstream — raw media bytes are never "
+    "shuffled.",
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_table(spark, sf_dir).mapInPandas(sample_frames_batch, FRAMES_SCHEMA)

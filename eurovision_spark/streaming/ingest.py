@@ -160,3 +160,35 @@ def stream_sessionize(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def stream_dedup_events(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "deduped_events",
+) -> StreamingQuery:
+    """Exactly-once event intake: watermarked dropDuplicates on the
+    event key — the streaming rebuild of the reference's swallowed
+    duplicate-PK inserts ("database wraps on last page",
+    scan.py:129-132 / SURVEY §2.9). The watermark bounds the dedup
+    state: keys older than 1 hour of event time are expired instead of
+    accumulating forever — the piece that makes dedup state O(window)
+    instead of O(stream) at scale."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    deduped = (
+        stream.withColumn(
+            "event_ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+        .withWatermark("event_ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

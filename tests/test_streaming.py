@@ -141,3 +141,31 @@ def test_stream_sessionize_state_carries_across_batches(spark, sf_dir, tmp_path)
     # and the stream made progress in batch 1 already (state continuity
     # means final counts are >= the mid-point counts, never a reset)
     assert all(final[u] >= mid.get(u, 0) for u in final)
+
+
+def test_stream_dedup_events_drops_replayed_batch(spark, sf_dir, tmp_path):
+    """The same page/file replayed (the reference's 'database wraps'
+    case) must not produce duplicate rows downstream."""
+    import shutil
+
+    from eurovision_spark.streaming.ingest import stream_dedup_events
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "b1.parquet")
+
+    q = stream_dedup_events(spark, str(events_dir), str(tmp_path / "ckpt"), "t_dedup")
+    try:
+        q.processAllAvailable()
+        n1 = spark.sql("SELECT count(*) FROM t_dedup").first()[0]
+        # replay: identical file arrives again as a new micro-batch
+        shutil.copy(f"{sf_dir}/events.parquet", events_dir / "b2.parquet")
+        q.processAllAvailable()
+        n2 = spark.sql("SELECT count(DISTINCT event_id) FROM t_dedup").first()[0]
+        total = spark.sql("SELECT count(*) FROM t_dedup").first()[0]
+    finally:
+        q.stop()
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert n1 == src
+    assert n2 == src
+    assert total == src  # replayed rows were all dropped
