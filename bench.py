@@ -70,6 +70,23 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         warm[name] = round(time.time() - t0, 3)
 
+    # Ingest throughput: the reference's primary workload (scan.py over
+    # the ~2 GB dump) measured on a synthetic registry at 20k trials /
+    # ~870k lines. Fixture is deterministic and cached across runs.
+    from eurovision_spark.operators.parse import parse_registry
+    from tools.gen_registry import write_registry
+
+    fixture = "/tmp/spark_graft_registry_20k.txt"
+    if not os.path.exists(fixture):
+        n_lines = write_registry(fixture, 20000)
+    else:
+        with open(fixture, "rb") as fh:
+            n_lines = sum(1 for _ in fh)
+    t0 = time.time()
+    for df in parse_registry(spark, fixture).values():
+        df.write.format("noop").mode("overwrite").save()
+    parse_sec = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -79,6 +96,9 @@ def main() -> None:
                 "queries": warm,
                 "cold_queries": cold,
                 "cold_total": round(sum(cold.values()), 3),
+                "parse_lines": n_lines,
+                "parse_sec": parse_sec,
+                "parse_lines_per_sec": round(n_lines / parse_sec),
                 "sf": sf,
             }
         )

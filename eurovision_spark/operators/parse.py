@@ -92,16 +92,20 @@ def _extract(field: fieldspec.Field, norm_col: Column) -> Column:
 
 def _first_match(fields: list[fieldspec.Field], norm_col: Column) -> Column:
     """The reference's dispatch chain (scan.py:398-403): try each field in
-    order, first match wins — a short-circuiting coalesce of extracts."""
-    return F.coalesce(
+    order, first match wins.
+
+    Formulated as array-of-structs + filter + element_at(1) so each
+    field's ``regexp_extract`` is evaluated exactly ONCE per line; the
+    equivalent coalesce-of-whens names every extract twice (null probe +
+    value) and codegen does not eliminate the duplicate regex — measured
+    ~2x the regex work on the ingest hot path."""
+    arr = F.array(
         *[
-            F.when(
-                _extract(f, norm_col).isNotNull(),
-                F.struct(F.lit(f.name).alias("field"), _extract(f, norm_col).alias("value")),
-            )
+            F.struct(F.lit(f.name).alias("field"), _extract(f, norm_col).alias("value"))
             for f in fields
         ]
     )
+    return F.try_element_at(F.filter(arr, lambda s: s["value"].isNotNull()), F.lit(1))
 
 
 def parse_registry(
