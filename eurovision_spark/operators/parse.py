@@ -65,7 +65,11 @@ def number_lines(text_df: DataFrame, value_col: str = "value") -> DataFrame:
         F.col(value_col).alias("raw"),
         F.spark_partition_id().alias("_pid"),
         F.monotonically_increasing_id().alias("_mid"),
-    )
+    ).persist()
+    # the count job doubles as cache materialization: without it the
+    # source file is re-read by every downstream consumer (fill-down
+    # reads lines twice: anchors + keyed side) — 3 scans become 1.
+    # MEMORY_AND_DISK default: a dump bigger than RAM spills, never OOMs.
     counts = {r["_pid"]: r["count"] for r in raw.groupBy("_pid").count().collect()}
     offsets, acc = [], 0
     for pid in sorted(counts):
