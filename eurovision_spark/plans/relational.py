@@ -841,3 +841,79 @@ def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
         F.count("*").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cube, except, percentiles — the rest of the "free in Spark" aggregate
+# family (SURVEY §2.4 / §2.7 "not present in the reference")
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cube_acctbal",
+    """
+    SELECT n.n_name, c.c_mktsegment,
+           round(sum(c.c_acctbal), 2) AS total_acctbal,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY CUBE (n.n_name, c.c_mktsegment)
+    """,
+    "CUBE(nation, segment): all 4 grouping combinations in one pass "
+    "(partial-agg expansion). With rollup_acctbal this completes the "
+    "grouping-sets family.",
+)
+def cube_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .cube("n_name", "c_mktsegment")
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.count("*").alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "except_customers",
+    """
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    "set difference (T: the reference has intersection only, "
+    "toexcel.py:109-115): customers with orders but never an urgent one. "
+    "Spark subtract = distinct EXCEPT, same shuffle shape as intersect.",
+)
+def except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    all_c = o.select(F.col("o_custkey").alias("custkey"))
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return all_c.subtract(urgent)
+
+
+@register(
+    "percentile_prices",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "exact interpolated percentiles per group (Spark percentile == "
+    "DuckDB quantile_cont, verified bit-equal). At 100 TB swap in "
+    "approx_percentile (t-digest sketch, mergeable, single pass) when "
+    "sketch error is acceptable — exact kept here for the hash gate.",
+)
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.count("*").alias("n"),
+    )
