@@ -370,17 +370,21 @@ CENTROID_REM = 7
     "inverted lists.",
 )
 def cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    # codebook: tiny by construction (1% of corpus), exact doubles.
+    # Collected from the UN-repartitioned scan — shuffling the whole
+    # corpus to filter out 1% would be a wasted exchange.
+    cents = (
+        raw.filter(F.col("vec_id") % N_CENTROID_MOD == CENTROID_REM)
+        .withColumn("nv", l2norm(F.col("v")))
+        .collect()
+    )
     e = (
-        load_table(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+        raw.repartition(spark.sparkContext.defaultParallelism)
         .withColumn("nv", l2norm(F.col("v")))
     )
-    cents = (
-        e.filter(F.col("vec_id") % N_CENTROID_MOD == CENTROID_REM)
-        .select("vec_id", "v", "nv")
-        .collect()
-    )  # codebook: tiny by construction (1% of corpus), exact doubles
     best = F.greatest(
         *[
             F.struct(

@@ -228,3 +228,52 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe.alias("n_bpe_tokens"),
         F.round(bpe.cast("double") / ws, 4).alias("fertility"),
     )
+
+
+@register(
+    "corpus_filter",
+    """
+    WITH canon AS (
+        SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+        FROM documents WHERE n_chars > 0 GROUP BY md5(text)),
+    scored AS (
+        SELECT doc_id, lang,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents WHERE n_chars > 0)
+    SELECT s.doc_id, s.lang,
+           CAST(len(s.toks) AS BIGINT) AS n_tokens,
+           round(CAST(len(list_distinct(s.toks)) AS DOUBLE) / len(s.toks), 4)
+               AS diversity
+    FROM scored s
+    WHERE len(s.toks) BETWEEN 10 AND 5000
+      AND CAST(len(list_distinct(s.toks)) AS DOUBLE) / len(s.toks) >= 0.5
+      AND EXISTS (SELECT 1 FROM canon c WHERE c.doc_id = s.doc_id)
+    """,
+    "the composed training-corpus gate: length window + lexical-"
+    "diversity threshold + exact-dedup survivorship (keep the min doc_id "
+    "per content digest) in ONE plan — per-row scoring fuses into the "
+    "scan, the dedup semi-join shuffles only (digest, doc_id) pairs. "
+    "This is the end-to-end shape a 100 TB pretraining filter runs "
+    "nightly.",
+)
+def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    canon = (
+        d.groupBy(F.md5("text"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    toks = tokens(F.lower(F.col("text")))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("_div"),
+    )
+    return (
+        scored.filter(
+            F.col("n_tokens").between(10, 5000) & (F.col("_div") >= 0.5)
+        )
+        .join(canon, "doc_id", "left_semi")
+        .select("doc_id", "lang", "n_tokens", F.round("_div", 4).alias("diversity"))
+    )

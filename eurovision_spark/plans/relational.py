@@ -917,3 +917,43 @@ def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "full_outer_merge",
+    """
+    WITH urgent AS (
+        SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_urgent
+        FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey),
+    low AS (
+        SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_low
+        FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY o_custkey)
+    SELECT coalesce(u.custkey, l.custkey) AS custkey,
+           coalesce(u.n_urgent, 0) AS n_urgent,
+           coalesce(l.n_low, 0) AS n_low
+    FROM urgent u FULL OUTER JOIN low l ON u.custkey = l.custkey
+    """,
+    "full outer join (SURVEY §2.3 'not present in reference'): merge two "
+    "partial aggregates keeping rows unique to either side; both sides "
+    "pre-aggregate before the join so the exchange carries counts, not "
+    "order rows.",
+)
+def full_outer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("u_custkey"))
+        .agg(F.count("*").alias("n_urgent"))
+    )
+    low = (
+        o.filter(F.col("o_orderpriority") == "5-LOW")
+        .groupBy(F.col("o_custkey").alias("l_custkey"))
+        .agg(F.count("*").alias("n_low"))
+    )
+    return urgent.join(
+        low, urgent.u_custkey == low.l_custkey, "full_outer"
+    ).select(
+        F.coalesce("u_custkey", "l_custkey").alias("custkey"),
+        F.coalesce("n_urgent", F.lit(0)).cast("bigint").alias("n_urgent"),
+        F.coalesce("n_low", F.lit(0)).cast("bigint").alias("n_low"),
+    )
