@@ -109,3 +109,53 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"), "user_id", "last_error_id"
     )
+
+
+@register(
+    "session_stats",
+    """
+    WITH g AS (
+        SELECT event_id, user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 60 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+        SELECT event_id, user_id, ts, value,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM g)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST((epoch_us(max(ts)) - epoch_us(min(ts))) AS BIGINT) AS duration_us,
+           round(sum(value), 2) AS value_sum
+    FROM s GROUP BY user_id, session_id
+    """,
+    "per-session rollup on top of gap sessionization: event count, "
+    "duration, value sum. The session assignment reuses the sessionize "
+    "window (one user_id exchange serves windows AND the final "
+    "aggregation — same key, no extra shuffle).",
+)
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap = F.col("ts") - F.lag("ts").over(w)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_NS), 1).otherwise(0)
+    s = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum(is_new).over(wrun).cast("bigint").alias("session_id"),
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        # truncate ns -> us BEFORE subtracting: DuckDB reads TIMESTAMP
+        # (NANOS) parquet truncated to us, so floor(a/1000)-floor(b/1000),
+        # not floor((a-b)/1000) — off by one when ns fractions differ
+        (F.max(F.expr("ts div 1000")) - F.min(F.expr("ts div 1000")))
+        .cast("bigint")
+        .alias("duration_us"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )

@@ -192,3 +192,40 @@ def stream_dedup_events(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def stream_session_rollup(
+    spark: SparkSession,
+    events_dir: str,
+    query_name: str = "session_rollup",
+    gap: str = "60 minutes",
+) -> StreamingQuery:
+    """Native session windows (the built-in alternative to the custom
+    applyInPandasWithState sessionizer): watermarked
+    ``session_window(event_ts, gap)`` merges events into dynamic
+    per-user sessions engine-side — state bounded by the watermark,
+    sessions close when the gap passes. Complete-vs-update semantics
+    and late-event merging come for free; the custom stateful operator
+    remains for logic session_window can't express (e.g. counters that
+    never expire)."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    agg = (
+        stream.withColumn("event_ts", ts)
+        .withWatermark("event_ts", "1 hour")
+        .groupBy(F.session_window("event_ts", gap), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "value_sum",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

@@ -169,3 +169,40 @@ def test_stream_dedup_events_drops_replayed_batch(spark, sf_dir, tmp_path):
     assert n1 == src
     assert n2 == src
     assert total == src  # replayed rows were all dropped
+
+
+def test_stream_session_rollup_native_window(spark, sf_dir, tmp_path):
+    """Native session_window streaming agg: session count per user must
+    equal the batch gap-sessionizer's (same 60-min gap semantics)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from eurovision_spark.streaming.ingest import stream_session_rollup
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "b1.parquet")
+    q = stream_session_rollup(spark, str(events_dir), query_name="t_native_sess")
+    try:
+        q.processAllAvailable()
+        stream_counts = {
+            r.user_id: r.n
+            for r in spark.sql(
+                "SELECT user_id, count(*) AS n FROM t_native_sess GROUP BY user_id"
+            ).collect()
+        }
+    finally:
+        q.stop()
+
+    from eurovision_spark.catalog import registry
+
+    batch_counts = {
+        r.user_id: r.n
+        for r in registry()["sessionize"]
+        .fn(spark, sf_dir)  # same events table the stream consumed
+        .groupBy("user_id")
+        .agg(F.max("session_id").alias("n"))
+        .collect()
+    }
+    assert stream_counts == batch_counts
