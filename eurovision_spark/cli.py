@@ -1,0 +1,114 @@
+"""Command-line surface — the reference's script workflows, one binary.
+
+A dhakajack/Eurovision user runs three scripts: ``scrape.py`` (acquire),
+``scan.py`` (parse to SQLite, prompted for paths on stdin) and
+``toexcel.py`` (interactive WHERE-clause search exported to xlsx).
+The same workflows here:
+
+    python -m eurovision_spark ingest  DUMP.txt  OUT_DIR/
+    python -m eurovision_spark export  TABLES_DIR/ out.xlsx \
+        --trial-where "o.placebo = 1" --imp-where "trade <> ''"
+    python -m eurovision_spark fetch   LANDING_DIR/ --url-template ...
+
+``ingest`` replaces the stdin prompts (scan.py:498-499) with arguments
+and SQLite with parquet; ``export`` replaces the interactive loop
+(toexcel.py:100-165) with flags — a missing predicate skips that
+table's constraint exactly like an empty interactive answer
+(toexcel.py:24-28). Predicates are Spark SQL expressions parsed by the
+engine, not string-interpolated SQL (the reference's injection surface,
+toexcel.py:29).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def _cmd_ingest(args: argparse.Namespace) -> int:
+    from eurovision_spark import get_spark
+    from eurovision_spark.operators.parse import parse_registry
+    from eurovision_spark.sinks import write_parquet
+
+    spark = get_spark("eurovision-ingest")
+    t0 = time.time()
+    tables = parse_registry(spark, args.source, yes_trumps_no=args.yes_trumps_no)
+    for name, df in tables.items():
+        write_parquet(df, os.path.join(args.out_dir, name))
+    n = {name: spark.read.parquet(os.path.join(args.out_dir, name)).count() for name in tables}
+    # parity with the reference's end-of-run trace (scan.py:500-503)
+    print(f"ingested {n} in {time.time() - t0:.1f}s -> {args.out_dir}")
+    return 0
+
+
+def _cmd_export(args: argparse.Namespace) -> int:
+    from eurovision_spark import get_spark
+    from eurovision_spark.plans.search import search_and_export
+    from eurovision_spark.sinks import write_csv, write_excel
+
+    spark = get_spark("eurovision-export")
+    tables = {
+        name: spark.read.parquet(os.path.join(args.tables_dir, name))
+        for name in ("trial", "imp", "sponsor", "location")
+    }
+    result = search_and_export(
+        tables,
+        trial_where=args.trial_where,
+        imp_where=args.imp_where,
+        location_where=args.location_where,
+        sponsor_where=args.sponsor_where,
+    )
+    n = result.count()
+    print(f"{n} trials match")  # hit-count trace, toexcel.py:118
+    if args.out.endswith(".xlsx"):
+        write_excel(result, args.out)
+    else:
+        write_csv(result, args.out)
+    print(f"wrote {args.out}")
+    return 0
+
+
+def _cmd_fetch(args: argparse.Namespace) -> int:
+    from eurovision_spark.sources.fetcher import crawl, default_transport
+
+    n = crawl(args.url_template, args.landing_dir, default_transport)
+    print(f"fetched {n} pages -> {args.landing_dir}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="eurovision_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("ingest", help="parse a registry dump into 4 parquet tables")
+    pi.add_argument("source", help="registry text dump (scan.py stdin arg 1)")
+    pi.add_argument("out_dir", help="output dir for trial/imp/sponsor/location parquet")
+    pi.add_argument(
+        "--yes-trumps-no",
+        action="store_true",
+        help="enable the reference's INTENDED bool merge (its dead code, scan.py:296-301)",
+    )
+    pi.set_defaults(fn=_cmd_ingest)
+
+    pe = sub.add_parser("export", help="predicate search -> denormalized xlsx/csv")
+    pe.add_argument("tables_dir", help="dir with trial/imp/sponsor/location parquet")
+    pe.add_argument("out", help="output .xlsx (or CSV dir)")
+    pe.add_argument("--trial-where", default=None)
+    pe.add_argument("--imp-where", default=None)
+    pe.add_argument("--location-where", default=None)
+    pe.add_argument("--sponsor-where", default=None)
+    pe.set_defaults(fn=_cmd_export)
+
+    pf = sub.add_parser("fetch", help="paginated registry crawl into a landing dir")
+    pf.add_argument("landing_dir")
+    pf.add_argument("--url-template", required=True, help="page-parametrized URL (magicString.txt)")
+    pf.set_defaults(fn=_cmd_fetch)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

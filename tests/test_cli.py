@@ -1,0 +1,62 @@
+"""CLI parity: the reference's script workflows end-to-end.
+
+ingest (scan.py replacement) then export (toexcel.py replacement) over
+a small registry fixture, via the argparse entry point in-process (the
+SparkSession is shared with the test session; a subprocess would spin a
+second JVM for no extra coverage).
+"""
+
+from __future__ import annotations
+
+import csv
+import glob
+
+from eurovision_spark.cli import main
+
+REGISTRY = """\
+### PAGE 1 ####
+EudraCT Number: 2004-000001-11
+Trial Status: Ongoing
+A.3 Full title of the trial: Alpha Study
+D.8.1 Is a Placebo used in this Trial? Yes
+National Competent Authority: Austria - competent authority
+D.IMP: 1
+D.2.1.1.1 Trade name: Wonderdrug
+EudraCT Number: 2004-000002-22
+Trial Status: Completed
+A.3 Full title of the trial: Beta Study
+D.8.1 Is a Placebo used in this Trial? No
+National Competent Authority: Belgium - competent authority
+B.1.1 Name of Sponsor: acme pharma
+"""
+
+
+def test_cli_ingest_then_export(spark, tmp_path):
+    src = tmp_path / "dump.txt"
+    src.write_text(REGISTRY)
+    tables_dir = tmp_path / "tables"
+
+    rc = main(["ingest", str(src), str(tables_dir)])
+    assert rc == 0
+    trial = spark.read.parquet(str(tables_dir / "trial"))
+    assert trial.count() == 2
+
+    out = tmp_path / "out_csv"
+    rc = main(
+        [
+            "export",
+            str(tables_dir),
+            str(out),
+            "--trial-where",
+            "placebo = 1",
+        ]
+    )
+    assert rc == 0
+    rows = []
+    for f in glob.glob(str(out / "*.csv")):
+        with open(f) as fh:
+            rows += list(csv.DictReader(fh))
+    assert [r["eudract_id"] for r in rows] == ["2004-000001-11"]
+    # captured values casefold (scan.py:322-325; official_title exempt)
+    assert rows[0]["imp"] == "trade:wonderdrug"
+    assert rows[0]["location"] == "Austria"
