@@ -155,3 +155,15 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_session_stats_single_exchange(spark):
+    plan = plan_of(spark, "session_stats")
+    # sessionize windows + per-session groupBy all share the user_id key
+    assert n_exchanges(plan) == 1
+
+
+def test_corpus_filter_no_cartesian(spark):
+    plan = plan_of(spark, "corpus_filter")
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan  # dedup survivorship joins on digests only
