@@ -396,7 +396,11 @@ def cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     # greatest(struct(sim, -cent_id)) == row_number()=1 under
-    # (sim DESC, cent_id ASC): max sim, ties -> smallest centroid id
+    # (sim DESC, cent_id ASC): max sim, ties -> smallest centroid id.
+    # NB: probes derive from `cells` — the probe filter pushes below
+    # this projection, so the broadcast side only assigns the 2% probe
+    # rows; materializing a second assignment expression for the probe
+    # side doubles the codegen size for nothing (measured).
     cells = e.select("vec_id", "v", "nv", (-best["neg_cent"]).cast("bigint").alias("cent_id"))
     probes = cells.filter(F.col("vec_id") % PROBE_MOD == 0).select(
         F.col("vec_id").alias("probe_id"),
