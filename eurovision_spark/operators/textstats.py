@@ -277,3 +277,27 @@ def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(canon, "doc_id", "left_semi")
         .select("doc_id", "lang", "n_tokens", F.round("_div", 4).alias("diversity"))
     )
+
+
+@register(
+    "token_positions",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+')[1:5] AS toks
+        FROM documents WHERE n_chars > 0)
+    SELECT doc_id,
+           CAST(unnest(generate_series(1, len(toks))) - 1 AS INT) AS pos,
+           unnest(toks) AS token
+    FROM t
+    """,
+    "ordered explode (posexplode): the array -> rows direction of the "
+    "group-concat/collect_list round trip (SURVEY §2.8 'flatten'), "
+    "positions preserved, capped at the first 5 tokens per doc. "
+    "Position-aware n-gram/window features build directly on this.",
+)
+def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    toks = F.slice(tokens(F.lower(F.col("text"))), 1, 5)
+    return d.select(
+        "doc_id", F.posexplode(toks).alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), "token")

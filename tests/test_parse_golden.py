@@ -148,3 +148,14 @@ def test_yes_trumps_no_flag(spark, tmp_path_factory):
     trial = parse_registry(spark, str(p), yes_trumps_no=True)["trial"]
     t2 = next(r for r in trial.collect() if r.eudract_id == T2)
     assert t2.female == 1  # intended A3 semantics: later 'yes' wins
+
+
+def test_parse_empty_input_yields_empty_tables(spark):
+    """Zero-line input must produce the 4-table shape, not crash (the
+    first page of a failed scrape is a legitimate input)."""
+    from eurovision_spark.operators.parse import parse_registry_lines
+
+    empty = spark.createDataFrame([], "line_no: bigint, raw: string")
+    tables = parse_registry_lines(empty)
+    assert set(tables) == {"trial", "imp", "sponsor", "location"}
+    assert all(df.count() == 0 for df in tables.values())
