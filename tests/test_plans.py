@@ -167,3 +167,46 @@ def test_corpus_filter_no_cartesian(spark):
     plan = plan_of(spark, "corpus_filter")
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan  # dedup survivorship joins on digests only
+
+
+def test_partitioned_write_prunes_at_scan(spark, tmp_path):
+    """Month-partitioned parquet + month filter => the scan's partition
+    filters skip every other partition's files (the typed-date scale
+    lever monthly_orders documents)."""
+    from pyspark.sql import functions as F
+
+    from eurovision_spark.sinks import write_parquet
+    from eurovision_spark.sources import load_table
+
+    o = load_table(spark, SF_DIR, "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    write_parquet(o, str(tmp_path / "by_month"), partition_by=["month"])
+    r = spark.read.parquet(str(tmp_path / "by_month")).filter(F.col("month") == "1997-03")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        r.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [isnotnull(month" in plan
+    got = r.select(F.countDistinct("month")).first()[0]
+    assert got == 1
+
+
+def test_sql_view_surface_matches_dataframe(spark):
+    """register_views exposes the same tables to spark.sql — the P6
+    free-text predicate surface runs through the analyzer, not string
+    interpolation."""
+    from pyspark.sql import functions as F
+
+    from eurovision_spark.sources import load_table, register_views
+
+    register_views(spark, SF_DIR)
+    via_sql = spark.sql(
+        "SELECT count(*) AS n FROM orders WHERE o_orderpriority = '1-URGENT'"
+    ).first()["n"]
+    via_df = (
+        load_table(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .count()
+    )
+    assert via_sql == via_df > 0
