@@ -301,3 +301,86 @@ def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(toks).alias("pos", "token")
     ).select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
+
+
+# mixture weights per thousand: en-heavy pretraining mix
+MIX_PERMILLE = {"en": 900, "fr": 500, "de": 500, "es": 500, "zh": 250}
+MIX_SQL = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in MIX_PERMILLE.items()
+) + " ELSE 100 END"
+
+
+@register(
+    "mixture_sample",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE n_chars > 0
+      AND {md5_long_sql("concat('mix-', CAST(doc_id AS VARCHAR))")} % 1000
+          < {MIX_SQL}
+    """,
+    "deterministic mixture sampling: per-language keep-rates applied via "
+    "a content-independent hash threshold (md5 of the doc id) — the "
+    "reproducible alternative to rand() for corpus mixture weighting. "
+    "Per-row, shuffle-free, stable across reruns/retries/partitioning — "
+    "the property that matters when a 100 TB sample must be re-creatable "
+    "bit-for-bit for a training audit.",
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    rate = F.lit(100)
+    for k, v in MIX_PERMILLE.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    keep = md5_long(F.concat(F.lit("mix-"), F.col("doc_id").cast("string"))) % 1000 < rate
+    return d.filter(keep).select("doc_id", "lang")
+
+
+TOKEN_BUDGET_PER_LANG = 5000
+
+
+@register(
+    "token_budget_select",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+               CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
+                    AS DOUBLE)
+                   / len(string_split_regex(trim(lower(text)), '\\s+')) AS div
+        FROM documents WHERE n_chars > 0),
+    ranked AS (
+        SELECT doc_id, lang, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY div DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM scored)
+    SELECT doc_id, lang, n_tokens, cum_tokens
+    FROM ranked WHERE cum_tokens <= {TOKEN_BUDGET_PER_LANG}
+    """,
+    "token-budget selection: per language, take the highest-diversity "
+    "documents until the token budget fills (running-sum window + "
+    "threshold) — how a pretraining mix caps each source. Partitioning "
+    "by lang keeps the sort local to each language's partition; no "
+    "global sort exists in the plan.",
+)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    toks = tokens(F.lower(F.col("text")))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("div"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy(F.col("div").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_LANG)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    )
