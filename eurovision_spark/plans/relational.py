@@ -957,3 +957,34 @@ def full_outer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_urgent", F.lit(0)).cast("bigint").alias("n_urgent"),
         F.coalesce("n_low", F.lit(0)).cast("bigint").alias("n_low"),
     )
+
+
+@register(
+    "order_gaps",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(rank() OVER w AS BIGINT) AS order_rank,
+           CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate)
+                AS BIGINT) AS days_since_prev,
+           strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS next_order_date
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "the remaining window family in one pass: rank + lag-difference "
+    "(inter-order gap days) + lead (next order date), sharing a single "
+    "customer-keyed exchange. Completes SURVEY §2.5 beyond the "
+    "fill-down/running-sum shapes the parser needed.",
+)
+def order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("bigint").alias("order_rank"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("bigint")
+        .alias("days_since_prev"),
+        F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd").alias("next_order_date"),
+    )
