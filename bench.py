@@ -88,6 +88,9 @@ def main() -> None:
     else:
         with open(fixture, "rb") as fh:
             n_lines = sum(1 for _ in fh)
+    # drop anything the query section left cached so the parse runs
+    # against a clean heap (its own lines cache is the one that matters)
+    spark.catalog.clearCache()
     t0 = time.time()
     for df in parse_registry(spark, fixture).values():
         df.write.format("noop").mode("overwrite").save()
