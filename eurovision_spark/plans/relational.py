@@ -988,3 +988,37 @@ def order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("days_since_prev"),
         F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd").alias("next_order_date"),
     )
+
+
+@register(
+    "distinct_users_approx",
+    None,  # sketches are engine-specific: rows-only check by design
+    "HyperLogLog++ approximate distinct count — THE 100 TB formulation "
+    "of distinct_users: fixed-size mergeable sketches, one pass, ~2% "
+    "default error. No DuckDB oracle on purpose (sketch estimates are "
+    "engine-specific); the exact twin distinct_users carries the hash "
+    "gate, and the test below bounds this one against it.",
+)
+def distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").cast("bigint").alias("n_users_approx"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "percentile_prices_approx",
+    None,  # rows-only: t-digest estimates are engine-specific
+    "approx_percentile (t-digest) — the single-pass mergeable-sketch "
+    "form of percentile_prices for 100 TB; accuracy parameter 10000. "
+    "Exact twin percentile_prices carries the hash gate; the test "
+    "bounds the relative error.",
+)
+def percentile_prices_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("median_approx"),
+        F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("p90_approx"),
+        F.count("*").alias("n"),
+    )

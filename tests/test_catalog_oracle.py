@@ -41,3 +41,28 @@ def test_query_matches_oracle(spark, sf_dir, duck, name, spec):
     orows = res.fetchall()
     assert sorted(sdf.columns) == sorted(ocols), "schema mismatch"
     assert table_hash(sdf.columns, srows) == table_hash(ocols, orows)
+
+
+def test_approx_variants_bounded_by_exact(spark):
+    """The sketch queries (rows-only in the driver gate) are bounded
+    here against their exact twins: HLL++ within 5%, t-digest within
+    1% at sf0.001."""
+    from eurovision_spark.catalog import registry
+
+    r = registry()
+    sf = "/root/testdata/sf0.001"
+    exact = {x.event_type: x.n_users for x in r["distinct_users"].fn(spark, sf).collect()}
+    approx = {
+        x.event_type: x.n_users_approx
+        for x in r["distinct_users_approx"].fn(spark, sf).collect()
+    }
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(2, 0.05 * exact[k])
+
+    pe = {x.l_returnflag: x.median_price for x in r["percentile_prices"].fn(spark, sf).collect()}
+    pa = {
+        x.l_returnflag: x.median_approx
+        for x in r["percentile_prices_approx"].fn(spark, sf).collect()
+    }
+    for k in pe:
+        assert abs(pa[k] - pe[k]) / pe[k] < 0.01
