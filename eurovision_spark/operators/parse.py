@@ -343,3 +343,28 @@ def _build_sponsor(melted: DataFrame, seg: DataFrame) -> DataFrame:
         F.lit("").alias("email"),
     )
     return deduped.unionByName(empties)
+
+
+# fields the reference stores as TEXT that carry typed values
+# (SURVEY §1.3: dates scan.py:413-415/462, numbers scan.py:460, 425)
+DATE_FIELDS = ("study_first_submitted_date", "completion_date")
+INT_FIELDS = ("enrollment",)
+
+
+def promote_types(trial: DataFrame) -> DataFrame:
+    """Typed view of the trial table: TEXT dates -> DateType, numeric
+    text -> IntegerType (null on unparseable, '' included), bool01 ints
+    -> BooleanType. The parquet store keeps the reference's
+    all-text-plus-0/1 convention for parity; this is the analysis-side
+    promotion SURVEY §1.3 prescribes — date columns become range-filter
+    and partition-pruning keys instead of opaque strings.
+    """
+    out = trial
+    for c in DATE_FIELDS:
+        out = out.withColumn(c, F.to_date(F.nullif(F.col(c), F.lit(""))))
+    for c in INT_FIELDS:
+        out = out.withColumn(c, F.nullif(F.col(c), F.lit("")).try_cast("int"))
+    bool01 = [f.name for f in fieldspec.TRIAL_FIELDS if f.dtype == "bool01"]
+    for c in bool01:
+        out = out.withColumn(c, F.when(F.col(c).isNotNull(), F.col(c) == 1))
+    return out

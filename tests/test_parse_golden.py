@@ -159,3 +159,28 @@ def test_parse_empty_input_yields_empty_tables(spark):
     tables = parse_registry_lines(empty)
     assert set(tables) == {"trial", "imp", "sponsor", "location"}
     assert all(df.count() == 0 for df in tables.values())
+
+
+def test_promote_types(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from eurovision_spark.operators.parse import parse_registry, promote_types
+
+    p = tmp_path / "dump.txt"
+    p.write_text(
+        "EudraCT Number: 2004-000009-99\n"
+        "Trial Status: Ongoing\n"
+        "F.4.2.2 In the whole clinical trial: 250\n"
+        "E.8.1.1 Randomised: Yes\n"
+        "P. Date of the global end of the trial: 2007-03-15\n"
+    )
+    trial = promote_types(parse_registry(spark, str(p))["trial"])
+    row = trial.first()
+    schema = {f.name: f.dataType for f in trial.schema.fields}
+    assert schema["completion_date"] == T.DateType()
+    assert schema["enrollment"] == T.IntegerType()
+    assert schema["randomised"] == T.BooleanType()
+    assert str(row.completion_date) == "2007-03-15"
+    assert row.enrollment == 250
+    assert row.randomised is True
+    assert row.placebo is None  # never captured -> typed NULL, not ''
