@@ -65,3 +65,46 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def write_sqlite(tables: dict[str, DataFrame], db_path: str) -> None:
+    """Reference-format SQLite sink — full S5 parity (scan.py:46-132).
+
+    Emits the exact shape the reference produces: sorted column order,
+    ``eudract_id`` primary key on trial, ``eudract_id`` indexes on the
+    child tables, TEXT/INTEGER NOT NULL columns — and re-emits typed
+    NULLs as ``''`` at this edge (SURVEY §7 hard item 5: the reference
+    has no NULLs; '' means missing, and SQLite's type looseness lets
+    INTEGER columns hold '' for never-captured flags). Driver-side
+    write sized for the reference's data scale (tens of thousands of
+    rows); at engine scale the native store is parquet and this is an
+    export edge like xlsx.
+    """
+    import sqlite3
+
+    from pyspark.sql import types as T
+
+    con = sqlite3.connect(db_path)
+    try:
+        for name, df in tables.items():
+            defs = []
+            for f in df.schema.fields:
+                sql_t = "INTEGER" if isinstance(f.dataType, (T.IntegerType, T.LongType)) else "TEXT"
+                pk = " PRIMARY KEY" if name == "trial" and f.name == "eudract_id" else ""
+                defs.append(f"{f.name} {sql_t} NOT NULL{pk}")
+            con.execute(f"CREATE TABLE {name}(\n" + ",\n".join(defs) + "\n)")
+            placeholders = ",".join("?" * len(df.columns))
+            ins = f"INSERT INTO {name} VALUES({placeholders})"
+            batch = []
+            for row in df.toLocalIterator():
+                batch.append(tuple("" if v is None else v for v in row))
+                if len(batch) >= 10000:
+                    con.executemany(ins, batch)
+                    batch = []
+            if batch:
+                con.executemany(ins, batch)
+            if name != "trial" and "eudract_id" in df.columns:
+                con.execute(f"CREATE INDEX idx_{name} ON {name} (eudract_id)")
+        con.commit()
+    finally:
+        con.close()

@@ -94,3 +94,21 @@ def test_reference_parity_all_tables(spark, parity_dirs):
     ref_loc = _ref_rows(db, "SELECT eudract_id, location FROM location")
     our_loc = _our_rows(spark, out / "location", ["eudract_id", "location"])
     assert our_loc == ref_loc
+
+
+def test_sqlite_edge_sink_closes_null_delta(spark, parity_dirs, tmp_path):
+    """write_sqlite re-emits '' for typed NULLs — our SQLite output is
+    then fully identical to the reference's trial table, including the
+    ''-in-INTEGER quirk for never-captured flags."""
+    from eurovision_spark.operators.parse import parse_registry
+    from eurovision_spark.sinks import write_sqlite
+
+    dump, ref_db, _ = parity_dirs
+    ours_db = tmp_path / "ours.db"
+    write_sqlite(parse_registry(spark, str(dump)), str(ours_db))
+
+    con = sqlite3.connect(str(ref_db))
+    cols = sorted(r[1] for r in con.execute("PRAGMA table_info(trial)").fetchall())
+    con.close()
+    sel = f"SELECT {', '.join(cols)} FROM trial"
+    assert _ref_rows(ours_db, sel) == _ref_rows(ref_db, sel)
