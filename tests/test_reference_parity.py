@@ -112,3 +112,42 @@ def test_sqlite_edge_sink_closes_null_delta(spark, parity_dirs, tmp_path):
     con.close()
     sel = f"SELECT {', '.join(cols)} FROM trial"
     assert _ref_rows(ours_db, sel) == _ref_rows(ref_db, sel)
+
+
+def test_search_semantics_match_reference_keyset_intersection(spark, parity_dirs):
+    """toexcel.py's search (per-table WHERE -> eudract_id set ->
+    intersection, toexcel.py:15-33/108-115) replayed on the reference's
+    own database must select the same trials as our search_trials on
+    our tables. Predicates chosen to exercise trial, imp, and location
+    constraints together (imp predicate on `product`, the one imp
+    column the reference's swap defect leaves aligned)."""
+    from eurovision_spark.operators.parse import parse_registry
+
+    dump, ref_db, _ = parity_dirs
+    con = sqlite3.connect(str(ref_db))
+    try:
+        sets = []
+        for table, where in (
+            ("trial", "placebo = 1"),
+            ("imp", "product <> ''"),
+            ("location", "location = 'France'"),
+        ):
+            sets.append(
+                {r[0] for r in con.execute(f"SELECT eudract_id FROM {table} WHERE {where}")}
+            )
+        ref_ids = set.intersection(*sets)
+    finally:
+        con.close()
+
+    from eurovision_spark.plans.search import search_trials
+
+    tables = parse_registry(spark, str(dump))
+    ours = search_trials(
+        tables,
+        trial_where="placebo = 1",
+        imp_where="product <> ''",
+        location_where="location = 'France'",
+    )
+    our_ids = {r.eudract_id for r in ours.select("eudract_id").collect()}
+    assert our_ids == ref_ids
+    assert ref_ids  # non-degenerate: the predicates select something
