@@ -20,5 +20,41 @@ Layout
 
 from eurovision_spark.session import get_spark
 
-__all__ = ["get_spark"]
+__all__ = [
+    "get_spark",
+    "parse_registry",
+    "promote_types",
+    "search_and_export",
+    "search_trials",
+    "registry",
+    "write_parquet",
+    "write_bucketed",
+    "write_sqlite",
+    "write_excel",
+    "write_csv",
+]
 __version__ = "0.1.0"
+
+_LAZY = {
+    "parse_registry": ("eurovision_spark.operators.parse", "parse_registry"),
+    "promote_types": ("eurovision_spark.operators.parse", "promote_types"),
+    "search_and_export": ("eurovision_spark.plans.search", "search_and_export"),
+    "search_trials": ("eurovision_spark.plans.search", "search_trials"),
+    "registry": ("eurovision_spark.catalog", "registry"),
+    "write_parquet": ("eurovision_spark.sinks", "write_parquet"),
+    "write_bucketed": ("eurovision_spark.sinks", "write_bucketed"),
+    "write_sqlite": ("eurovision_spark.sinks", "write_sqlite"),
+    "write_excel": ("eurovision_spark.sinks", "write_excel"),
+    "write_csv": ("eurovision_spark.sinks", "write_csv"),
+}
+
+
+def __getattr__(name: str):
+    # lazy so `import eurovision_spark` stays light (pulling the
+    # operator modules eagerly would also trigger catalog registration)
+    if name in _LAZY:
+        import importlib
+
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)
