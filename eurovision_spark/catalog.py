@@ -49,6 +49,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 def registry() -> dict[str, QuerySpec]:
     """All registered queries (importing the op modules populates it)."""
     # imports are deferred so `import eurovision_spark` stays light
+    from eurovision_spark.plans import olap  # noqa: F401
     from eurovision_spark.plans import relational  # noqa: F401
     from eurovision_spark.operators import dedup  # noqa: F401
     from eurovision_spark.operators import imp_dedup  # noqa: F401

@@ -334,6 +334,59 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(keep).select("doc_id", "lang")
 
 
+TFIDF_TOPK = 3
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        FROM documents WHERE n_chars > 0),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, term),
+    df AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok GROUP BY term),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tok),
+    ranked AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 4) AS tfidf,
+               row_number() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf DESC, df.df, tf.term) AS rn
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+    SELECT doc_id, term, tf, df, tfidf
+    FROM ranked WHERE rn <= {TFIDF_TOPK}
+    """,
+    "TF-IDF top terms per document: explode tokens, term frequency per "
+    "doc, document frequency per term (broadcast back to the tf rows), "
+    "smoothed idf, top-3 per doc. Rank key is the INTEGER triple "
+    "(tf desc, df asc, term) so both engines agree independent of libm "
+    "ln() ulp differences; the tfidf double is reported, not ranked on. "
+    "Scale shape: tf shuffles on (doc_id, term) once; df is a tiny "
+    "term-keyed aggregate that BROADCASTS back — the fact-sized tf "
+    "relation never reshuffles for the join.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    tok = d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tok.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    w = W.partitionBy("doc_id").orderBy(F.col("tf").desc(), "df", "term")
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 4))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )
+
+
 TOKEN_BUDGET_PER_LANG = 5000
 
 

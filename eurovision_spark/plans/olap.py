@@ -1,0 +1,135 @@
+"""OLAP reshaping + analytic-window queries (beyond-reference family).
+
+The reference's export already denormalizes 1:N children into wide rows
+(toexcel.py:124-162); pivot/unpivot complete that reshaping family as
+first-class relational operators, and the moving-average / correlated
+comparison shapes complete SURVEY §2.5's window inventory with frames
+the parser rebuild didn't need.
+
+Scale notes (100 TB design):
+- pivot with an EXPLICIT value list is one partial+final aggregate pass
+  (no extra distinct-scan to discover columns — never call pivot()
+  without the list at scale);
+- unpivot is a zero-shuffle per-row flatMap (expand in the project,
+  rows never move);
+- both window queries share one exchange on their partition key; frames
+  are bounded (ROWS k PRECEDING) so state per key is O(k), not O(n).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from eurovision_spark.catalog import register
+from eurovision_spark.sources import load_table
+
+
+@register(
+    "pivot_priority_status",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_pending,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "pivot (long->wide): order counts per priority split by status "
+    "column. The value list is explicit, so Spark plans ONE aggregate "
+    "pass (pivot without the list adds a distinct-scan job to discover "
+    "columns — never at 100 TB). Oracle = conditional aggregation, which "
+    "is exactly Spark's physical rewrite (PivotFirst).",
+)
+def pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s"))
+    )
+    # pivot leaves absent cells null; the conditional-agg oracle yields 0
+    n = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("bigint")  # noqa: E731
+    # overall avg recombined from the per-status partial sums/counts
+    # (sum/count algebra survives the pivot; avg would not)
+    total = sum(F.coalesce(F.col(f"{s}_s"), F.lit(0.0)) for s in "OFP")
+    cnt = sum(F.coalesce(F.col(f"{s}_n"), F.lit(0)) for s in "OFP")
+    return wide.select(
+        "o_orderpriority",
+        n("O_n").alias("n_open"),
+        n("F_n").alias("n_finished"),
+        n("P_n").alias("n_pending"),
+        F.round(total / cnt, 4).alias("avg_price"),
+    )
+
+
+@register(
+    "unpivot_part_metrics",
+    """
+    SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    """,
+    "unpivot/melt (wide->long): per-part metrics to (key, metric, value) "
+    "triples — the inverse reshaping of the export's denormalization. "
+    "Zero shuffle: Expand runs inside the scan's project, rows never "
+    "move; output is 2x rows of 3 columns, not 1x rows of wide columns.",
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_retailprice").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    ).unpivot(["p_partkey"], ["retailprice", "size"], "metric", "value")
+
+
+@register(
+    "moving_avg_price",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(avg(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
+    FROM orders WHERE o_custkey % 50 = 0
+    """,
+    "bounded-frame moving average (3-order trailing window) per "
+    "customer — the sliding-frame shape missing from the parser's "
+    "window inventory (SURVEY §2.5 has only unbounded-preceding "
+    "frames). Bounded ROWS frame => O(k) state per key in the window "
+    "operator regardless of group size; one exchange on o_custkey.",
+)
+def moving_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("ma3"),
+    )
+
+
+@register(
+    "above_customer_avg",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice)
+                                FROM orders o2
+                                WHERE o2.o_custkey = o.o_custkey)
+    """,
+    "correlated-subquery comparison ('orders 50% above their "
+    "customer's average') decorrelated by hand into a window "
+    "aggregate: ONE pass over orders with one exchange on o_custkey, "
+    "instead of the naive plan's self-join (scan twice, shuffle "
+    "twice). The oracle keeps the correlated form — DuckDB's "
+    "decorrelation produces the same relation.",
+)
+def above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey")
+    return (
+        o.withColumn("_cavg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("_cavg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

@@ -192,6 +192,38 @@ def test_partitioned_write_prunes_at_scan(spark, tmp_path):
     assert got == 1
 
 
+def test_pivot_is_one_aggregate_pass(spark):
+    # explicit value list => plain partial+final aggregate; no extra
+    # distinct-scan job to discover the pivot columns
+    plan = plan_of(spark, "pivot_priority_status")
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_unpivot_is_shuffle_free(spark):
+    plan = plan_of(spark, "unpivot_part_metrics")
+    assert "Expand" in plan  # wide->long expansion inside the project
+    assert n_exchanges(plan) == 0  # rows never move
+
+
+@pytest.mark.parametrize("name", ["moving_avg_price", "above_customer_avg"])
+def test_window_queries_single_exchange(spark, name):
+    # bounded-frame moving average / decorrelated comparison: one
+    # exchange on the partition key, no self-join
+    plan = plan_of(spark, name)
+    assert n_exchanges(plan) == 1
+    assert "Join" not in plan
+
+
+def test_tfidf_broadcasts_df_side(spark):
+    # the tiny term->df aggregate broadcasts back; the doc-sized tf
+    # relation never reshuffles for the join
+    plan = plan_of(spark, "tfidf_top_terms")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_sql_view_surface_matches_dataframe(spark):
     """register_views exposes the same tables to spark.sql — the P6
     free-text predicate surface runs through the analyzer, not string
