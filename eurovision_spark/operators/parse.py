@@ -229,23 +229,50 @@ def _merge_first(value: Column, order: Column) -> Column:
     return F.min_by(value, order)
 
 
+def _first_of_field(name: str) -> Column:
+    """A2 fused with the pivot: first (by line order) value of one field,
+    as a conditional aggregate — min over (line_no, value) structs of the
+    field's rows (min skips nulls, struct order = line order)."""
+    return F.min(
+        F.when(
+            F.col("field") == name,
+            F.struct(F.col("line_no").alias("o"), F.col("value").alias("v")),
+        )
+    )["v"]
+
+
+def _merge_pivot(melted: DataFrame, keys: list[str], names: list[str]) -> DataFrame:
+    """groupBy(keys) with one first-non-empty conditional aggregate per
+    field — the A2 merge and the wide pivot in ONE hash aggregate (one
+    shuffle). The groupBy(keys+[field]) -> pivot formulation shuffles
+    twice and was measured ~2x slower on the ingest path."""
+    return melted.groupBy(*keys).agg(*[_first_of_field(n).alias(n) for n in names])
+
+
 def _build_trial(melted: DataFrame, seg: DataFrame, yes_trumps_no: bool) -> DataFrame:
     tf = {f.name: f for f in fieldspec.TRIAL_FIELDS}
     names = sorted(n for n in tf if n != "eudract_id")
     rows = melted.filter(F.col("field").isin(*[n for n in names]))
     if yes_trumps_no:
         # A3 intended semantics: for bool fields a 'yes' anywhere wins
-        bool_names = [n for n in names if tf[n].dtype == "bool01"]
-        merged_val = F.when(
-            F.col("field").isin(*bool_names) & F.array_contains(F.collect_set("value"), "yes"),
-            F.lit("yes"),
-        ).otherwise(_merge_first(F.col("value"), F.col("line_no")))
-        merged = rows.groupBy("trial_id", "field").agg(merged_val.alias("value"))
+        bool_names = {n for n in names if tf[n].dtype == "bool01"}
+        aggs = [
+            (
+                F.when(
+                    F.max(
+                        F.when((F.col("field") == n) & (F.col("value") == "yes"), F.lit(1))
+                    )
+                    == 1,
+                    F.lit("yes"),
+                ).otherwise(_first_of_field(n))
+                if n in bool_names
+                else _first_of_field(n)
+            ).alias(n)
+            for n in names
+        ]
+        wide = rows.groupBy("trial_id").agg(*aggs)
     else:
-        merged = rows.groupBy("trial_id", "field").agg(
-            _merge_first(F.col("value"), F.col("line_no")).alias("value")
-        )
-    wide = merged.groupBy("trial_id").pivot("field", names).agg(F.first("value"))
+        wide = _merge_pivot(rows, ["trial_id"], names)
     # trials with zero captured fields still get a row (scan.py always
     # inserts the record): right-join the distinct trial ids
     all_trials = seg.select(F.col("trial_id")).distinct()
@@ -279,13 +306,10 @@ def _build_trial(melted: DataFrame, seg: DataFrame, yes_trumps_no: bool) -> Data
 
 def _build_imp(melted: DataFrame) -> DataFrame:
     imp_names = [f.name for f in fieldspec.IMP_FIELDS]
-    entries = (
-        melted.filter(F.col("field").isin(*imp_names))
-        .groupBy("trial_id", "imp_seg", "field")
-        .agg(_merge_first(F.col("value"), F.col("line_no")).alias("value"))
-        .groupBy("trial_id", "imp_seg")
-        .pivot("field", imp_names)
-        .agg(F.first("value"))
+    entries = _merge_pivot(
+        melted.filter(F.col("field").isin(*imp_names)),
+        ["trial_id", "imp_seg"],
+        imp_names,
     )
     # empty_dict guard (scan.py:251-260): segments with no captured field
     # never appear; all-null pivots cannot occur. A7 fuzzy merge:
@@ -314,11 +338,8 @@ def _build_sponsor(melted: DataFrame, seg: DataFrame) -> DataFrame:
             F.when(F.col("_has").isNotNull(), F.greatest(F.col("sponsor_seg"), F.lit(1)))
             .otherwise(F.col("sponsor_seg")),
         )
-        .groupBy("trial_id", "blk", "field")
-        .agg(_merge_first(F.col("value"), F.col("line_no")).alias("value"))
         .groupBy("trial_id", "blk")
-        .pivot("field", sp_detail_names)
-        .agg(F.first("value"))
+        .agg(*[_first_of_field(n).alias(n) for n in sp_detail_names])
     )
     names = seg.filter(F.col("sponsor_name").isNotNull()).select(
         "trial_id", F.col("sponsor_seg").alias("blk"), F.col("sponsor_name").alias("name")
