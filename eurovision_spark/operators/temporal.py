@@ -111,6 +111,89 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DAY_US = 86_400_000_000
+CAMPAIGN_BASE_US = 1_704_067_200_000_000  # 2024-01-01 UTC
+N_CAMPAIGNS = 10
+CAMPAIGN_DAYS = 3
+
+
+@register(
+    "interval_overlap_join",
+    f"""
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 60 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM g),
+    sessions AS (
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               epoch_us(min(ts)) AS s_start, epoch_us(max(ts)) AS s_end
+        FROM s GROUP BY user_id, session_id),
+    campaigns AS (
+        SELECT CAST(j AS INT) AS campaign_id,
+               {CAMPAIGN_BASE_US} + j * {CAMPAIGN_DAYS} * {DAY_US} AS c_start,
+               {CAMPAIGN_BASE_US} + (j + 1) * {CAMPAIGN_DAYS} * {DAY_US} AS c_end
+        FROM (SELECT unnest(generate_series(0, {N_CAMPAIGNS - 1})) AS j))
+    SELECT s.user_id, s.session_id, c.campaign_id
+    FROM sessions s JOIN campaigns c
+      ON s.s_start < c.c_end AND c.c_start <= s.s_end
+    """,
+    "interval-overlap join: user sessions (gap-sessionized intervals) x "
+    "half-open campaign windows. The Spark side demonstrates the "
+    "SCALABLE big-big formulation: both interval sets expand to the day "
+    "buckets they cover, equi-join on bucket, and each overlapping pair "
+    "matches exactly once — the join keeps only the bucket containing "
+    "the LATER of the two starts (that day lies in both intervals, so "
+    "no post-join dedup). Shuffle cost is O(rows x days-spanned) on an "
+    "equi-key — no quadratic range probe, no broadcast requirement; "
+    "the oracle states the plain overlap predicate.",
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap = F.col("ts") - F.lag("ts").over(w)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_NS), 1).otherwise(0)
+    # ns -> us BEFORE min/max (DuckDB's epoch_us sees us-truncated values)
+    sessions = (
+        ev.select("user_id", "ts", F.sum(is_new).over(wrun).cast("bigint").alias("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.expr("ts div 1000")).alias("s_start"),
+            F.max(F.expr("ts div 1000")).alias("s_end"),
+        )
+    )
+    camps = spark.range(N_CAMPAIGNS).select(
+        F.col("id").cast("int").alias("campaign_id"),
+        (F.lit(CAMPAIGN_BASE_US) + F.col("id") * CAMPAIGN_DAYS * DAY_US).alias("c_start"),
+        (F.lit(CAMPAIGN_BASE_US) + (F.col("id") + 1) * CAMPAIGN_DAYS * DAY_US).alias("c_end"),
+    )
+    sess_b = sessions.withColumn(
+        "s_bucket", F.explode(F.sequence(F.expr(f"s_start div {DAY_US}"), F.expr(f"s_end div {DAY_US}")))
+    )
+    camp_b = camps.withColumn(
+        "c_bucket", F.explode(F.sequence(F.expr(f"c_start div {DAY_US}"), F.expr(f"(c_end - 1) div {DAY_US}")))
+    )
+    return (
+        sess_b.join(
+            camp_b,
+            (F.col("s_bucket") == F.col("c_bucket"))
+            & (F.col("s_start") < F.col("c_end"))
+            & (F.col("c_start") <= F.col("s_end"))
+            # dedup-free anchor: only the bucket holding the later start
+            & (F.col("s_bucket") == F.expr(f"greatest(s_start, c_start) div {DAY_US}")),
+        )
+        .select("user_id", "session_id", "campaign_id")
+    )
+
+
 @register(
     "session_stats",
     """

@@ -897,6 +897,37 @@ def except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "union_evolution",
+    """
+    SELECT o_orderkey AS key, 'urgent' AS src,
+           o_orderpriority AS priority, CAST(NULL AS DOUBLE) AS total
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, 'big', CAST(NULL AS VARCHAR), o_totalprice
+    FROM orders WHERE o_totalprice > 400000
+    """,
+    "schema-evolution union (SURVEY §2.7: union only implicit in the "
+    "reference's page appends): two feeds with different columns merged "
+    "via unionByName(allowMissingColumns) — absent columns become "
+    "typed nulls, names align by NAME not position. Zero shuffle: "
+    "union is a plan-level concatenation of scans.",
+)
+def union_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("key"),
+        F.lit("urgent").alias("src"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    big = o.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit("big").alias("src"),
+        F.col("o_totalprice").alias("total"),
+    )
+    return urgent.unionByName(big, allowMissingColumns=True)
+
+
+@register(
     "percentile_prices",
     """
     SELECT l_returnflag,
