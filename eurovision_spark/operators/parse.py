@@ -173,6 +173,13 @@ def parse_registry_lines(
             "in_loc_block",
             (F.col("loc_depth") > 0) & ~F.col("is_loc_start"),
         )
+        # whole-partition flag reuses the trial_id exchange the running
+        # windows already created — no extra shuffle (vs the previous
+        # distinct + join formulation in _build_sponsor)
+        .withColumn(
+            "has_sponsor_name",
+            F.max(F.col("sponsor_name").isNotNull()).over(W.partitionBy("trial_id")),
+        )
     )
     seg = seg.persist()
 
@@ -212,6 +219,7 @@ def parse_registry_lines(
             "trial_id",
             "imp_seg",
             "sponsor_seg",
+            "has_sponsor_name",
             F.col("m.field").alias("field"),
             F.col("m.value").alias("value"),
         )
@@ -328,14 +336,13 @@ def _build_sponsor(melted: DataFrame, seg: DataFrame) -> DataFrame:
     sp_detail_names = [f.name for f in fieldspec.SPONSOR_FIELDS if f.name != "name"]
 
     # fields captured before the first B.1.1 merge into block 1
-    # (scan.py:360-365: no flush while name is still empty)
-    has_name = seg.filter(F.col("sponsor_name").isNotNull()).select("trial_id").distinct()
+    # (scan.py:360-365: no flush while name is still empty); the
+    # has_sponsor_name flag was computed in seg's existing trial window
     details = (
         melted.filter(F.col("field").isin(*sp_detail_names))
-        .join(has_name.withColumn("_has", F.lit(1)), ["trial_id"], "left")
         .withColumn(
             "blk",
-            F.when(F.col("_has").isNotNull(), F.greatest(F.col("sponsor_seg"), F.lit(1)))
+            F.when(F.col("has_sponsor_name"), F.greatest(F.col("sponsor_seg"), F.lit(1)))
             .otherwise(F.col("sponsor_seg")),
         )
         .groupBy("trial_id", "blk")

@@ -224,6 +224,40 @@ def test_tfidf_broadcasts_df_side(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_interval_overlap_is_equi_join(spark):
+    # bucket expansion turns the range predicate into an equi-join key:
+    # no cartesian product, no broadcast nested loop required
+    plan = plan_of(spark, "interval_overlap_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_union_evolution_is_shuffle_free(spark):
+    plan = plan_of(spark, "union_evolution")
+    assert "Union" in plan
+    assert n_exchanges(plan) == 0
+
+
+def test_parse_pipeline_is_jvm_only(spark, tmp_path):
+    """The whole ingest runs without a single Python-eval operator
+    (no BatchEvalPython / ArrowEvalPython / FlatMapGroupsInPandas
+    nodes) and never degenerates into a cartesian product — the
+    'zero Python on the hot path' scale claim, checked on every
+    output table's physical plan."""
+    from eurovision_spark.operators.parse import parse_registry
+    from tools.gen_registry import write_registry
+
+    fix = str(tmp_path / "plan_fixture.txt")
+    write_registry(fix, 30)
+    for name, df in parse_registry(spark, fix).items():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "CartesianProduct"):
+            assert bad not in plan, f"{bad} in {name} plan"
+
+
 def test_sql_view_surface_matches_dataframe(spark):
     """register_views exposes the same tables to spark.sql — the P6
     free-text predicate surface runs through the analyzer, not string
