@@ -59,14 +59,16 @@ def fill_down(
         "_start",
         "_end",
         out_col,
+        # integer div, not double division + cast: doubles lose integer
+        # precision past 2^53, which a 100 TB line count can reach
         F.explode(
             F.sequence(
-                (F.col("_start") / bucket).cast("long"),
-                ((F.col("_end") - 1) / bucket).cast("long"),
+                F.expr(f"_start div {bucket}"),
+                F.expr(f"(_end - 1) div {bucket}"),
             )
         ).alias("_sbucket"),
     )
-    keyed = lines.withColumn("_bucket", (F.col(order_col) / bucket).cast("long"))
+    keyed = lines.withColumn("_bucket", F.expr(f"{order_col} div {bucket}"))
     joined = keyed.join(
         spans,
         (F.col("_bucket") == F.col("_sbucket"))
