@@ -59,6 +59,47 @@ def test_first_non_empty_ignores_blank_positions(spark, vals, seed):
     assert _merge_first_spark(spark, shuffled) == expected
 
 
+INTERVAL = st.tuples(st.integers(0, 40), st.integers(0, 15))  # (start, len)
+
+
+@PROP_SETTINGS
+@given(
+    sess=st.lists(INTERVAL, min_size=1, max_size=6),
+    camps=st.lists(INTERVAL, min_size=1, max_size=4),
+    bucket=st.sampled_from([1, 4, 16]),
+)
+def test_bucketed_interval_join_equals_naive(spark, sess, camps, bucket):
+    """The interval_overlap_join claim: expanding both interval sets to
+    covered buckets and keeping only the bucket that holds the later of
+    the two starts yields each overlapping pair EXACTLY once — equal to
+    the naive range-predicate join, for any bucket width."""
+    s = spark.createDataFrame(
+        [(i, a, a + l) for i, (a, l) in enumerate(sess)],
+        "sid: bigint, s_start: bigint, s_end: bigint",  # inclusive end
+    )
+    c = spark.createDataFrame(
+        [(j, a, a + l + 1) for j, (a, l) in enumerate(camps)],
+        "cid: bigint, c_start: bigint, c_end: bigint",  # half-open end
+    )
+    overlap = (F.col("s_start") < F.col("c_end")) & (F.col("c_start") <= F.col("s_end"))
+    naive = sorted((r.sid, r.cid) for r in s.crossJoin(c).filter(overlap).collect())
+
+    sb = s.withColumn(
+        "sb", F.explode(F.sequence(F.expr(f"s_start div {bucket}"), F.expr(f"s_end div {bucket}")))
+    )
+    cb = c.withColumn(
+        "cb", F.explode(F.sequence(F.expr(f"c_start div {bucket}"), F.expr(f"(c_end - 1) div {bucket}")))
+    )
+    bucketed = sb.join(
+        cb,
+        (F.col("sb") == F.col("cb"))
+        & overlap
+        & (F.col("sb") == F.expr(f"greatest(s_start, c_start) div {bucket}")),
+    )
+    got = sorted((r.sid, r.cid) for r in bucketed.collect())
+    assert got == naive  # exactly once each, no dedup needed
+
+
 IMP_ROW = st.tuples(
     st.sampled_from(["", "t1", "t2", "longtrade"]),
     st.sampled_from(["", "p1", "p2"]),
