@@ -1022,6 +1022,30 @@ def order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ntile_quartiles",
+    """
+    SELECT c_custkey,
+           CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey) AS INT) AS quartile,
+           c_mktsegment
+    FROM customer
+    """,
+    "ntile quartile assignment per market segment — the bucketing "
+    "window completing §2.5 (fill-down, running flag, rank/lag/lead, "
+    "moving avg, top-k already covered). Unique tie-break key keeps "
+    "bucket boundaries deterministic across engines.",
+)
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        "c_mktsegment",
+    )
+
+
+@register(
     "distinct_users_approx",
     None,  # sketches are engine-specific: rows-only check by design
     "HyperLogLog++ approximate distinct count — THE 100 TB formulation "
