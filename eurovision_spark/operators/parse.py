@@ -231,12 +231,6 @@ def parse_registry_lines(
     return {"trial": trial, "imp": imp, "sponsor": sponsor, "location": location}
 
 
-def _merge_first(value: Column, order: Column) -> Column:
-    """A2: first (by line order) non-empty value — min_by under an explicit
-    order column (SURVEY §7 hard item 2)."""
-    return F.min_by(value, order)
-
-
 def _first_of_field(name: str) -> Column:
     """A2 fused with the pivot: first (by line order) value of one field,
     as a conditional aggregate — min over (line_no, value) structs of the
