@@ -1022,6 +1022,60 @@ def order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "right_outer_orders",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_urgent
+    FROM (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    "right outer join (SURVEY §2.3 'not present in reference'): every "
+    "customer kept, urgent-order count 0 when no match — count(col) "
+    "skips the null-extended rows. Catalyst canonicalizes right-outer "
+    "to left-outer with sides swapped; the filtered orders side "
+    "broadcasts when selective.",
+)
+def right_outer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right_outer")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_urgent"))
+    )
+
+
+@register(
+    "grouping_sets_mix",
+    """
+    SELECT n.n_name, c.c_mktsegment,
+           round(sum(c.c_acctbal), 2) AS total_acctbal,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n.n_name), (c.c_mktsegment))
+    """,
+    "explicit GROUPING SETS — the two one-dimension marginals in a "
+    "single pass WITHOUT the all-combinations expansion of CUBE "
+    "(cube_acctbal) or the prefix chain of ROLLUP (rollup_acctbal): "
+    "Expand emits exactly the requested grouping rows, partial+final "
+    "aggregate around one exchange.",
+)
+def grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return j.groupingSets(
+        [[F.col("n_name")], [F.col("c_mktsegment")]],
+        F.col("n_name"),
+        F.col("c_mktsegment"),
+    ).agg(
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+@register(
     "ntile_quartiles",
     """
     SELECT c_custkey,
