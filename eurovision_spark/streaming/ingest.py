@@ -194,6 +194,60 @@ def stream_dedup_events(
     )
 
 
+def stream_click_error_join(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "click_errors",
+) -> StreamingQuery:
+    """Watermarked stream-stream interval join: each click matched to
+    the same user's errors within the preceding 30 minutes.
+
+    The time-bound predicate plus watermarks on BOTH sides is what
+    bounds join state: rows older than watermark + interval are evicted
+    instead of buffering the full history — the property that keeps a
+    stream-stream join runnable forever at scale. State is
+    hash-partitioned on user_id, the same exchange shape as the batch
+    twin (an as-of/interval join, operators/temporal.py)."""
+    schema = spark.read.parquet(events_dir).schema
+    ts_us = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            ts_us.alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    errors = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id").alias("err_user"),
+            ts_us.alias("err_ts"),
+        )
+        .withWatermark("err_ts", "1 hour")
+    )
+    joined = clicks.join(
+        errors,
+        (F.col("user_id") == F.col("err_user"))
+        & (F.col("err_ts") <= F.col("click_ts"))
+        & (F.col("err_ts") >= F.col("click_ts") - F.expr("INTERVAL 30 MINUTES")),
+    ).select("click_id", "user_id", "err_id")
+    return (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def stream_session_rollup(
     spark: SparkSession,
     events_dir: str,

@@ -171,6 +171,50 @@ def test_stream_dedup_events_drops_replayed_batch(spark, sf_dir, tmp_path):
     assert total == src  # replayed rows were all dropped
 
 
+def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream interval join returns exactly the
+    batch join's (click, error) pairs on the same data."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from eurovision_spark.streaming.ingest import stream_click_error_join
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "b1.parquet")
+    q = stream_click_error_join(spark, str(events_dir), str(tmp_path / "ckpt"), "t_ss_join")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.click_id, r.err_id)
+            for r in spark.sql("SELECT * FROM t_ss_join").collect()
+        }
+    finally:
+        q.stop()
+
+    ev = spark.read.parquet(str(events_dir))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("user_id").alias("err_user"),
+        F.col("ts").alias("err_ts"),
+    )
+    win_ns = 30 * 60 * 1_000_000_000
+    expect = {
+        (r.click_id, r.err_id)
+        for r in clicks.join(
+            errors,
+            (F.col("user_id") == F.col("err_user"))
+            & (F.col("err_ts") <= F.col("click_ts"))
+            & (F.col("err_ts") >= F.col("click_ts") - win_ns),
+        ).collect()
+    }
+    assert got == expect
+    assert got  # non-vacuous: the window does produce matches
+
+
 def test_stream_session_rollup_native_window(spark, sf_dir, tmp_path):
     """Native session_window streaming agg: session count per user must
     equal the batch gap-sessionizer's (same 60-min gap semantics)."""
