@@ -121,7 +121,7 @@ CAMPAIGN_DAYS = 3
     "interval_overlap_join",
     f"""
     WITH g AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w > INTERVAL 60 MINUTE
                     THEN 1 ELSE 0 END AS is_new
@@ -129,7 +129,7 @@ CAMPAIGN_DAYS = 3
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     s AS (
         SELECT user_id, ts,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         FROM g),
     sessions AS (
@@ -158,7 +158,7 @@ CAMPAIGN_DAYS = 3
 def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     gap = F.col("ts") - F.lag("ts").over(w)
     is_new = F.when(gap.isNull() | (gap > SESSION_GAP_NS), 1).otherwise(0)
     # ns -> us BEFORE min/max (DuckDB's epoch_us sees us-truncated values)

@@ -30,6 +30,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet is written with INT64 TIMESTAMP(NANOS); a default
+    # SparkSession (e.g. the driver harness's) refuses it with
+    # PARQUET_TYPE_ILLEGAL unless this legacy conf is on.  It is
+    # runtime-settable and idempotent, so set it here instead of relying
+    # on session.get_spark having built the session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

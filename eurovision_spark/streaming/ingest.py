@@ -78,7 +78,7 @@ def stream_events_rollup(
     schema = spark.read.parquet(events_dir).schema
     stream = spark.readStream.schema(schema).parquet(events_dir)
     # events.ts arrives as ns-since-epoch (session nanosAsLong); convert
-    ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
     agg = (
         stream.withColumn("event_ts", ts)
         .withWatermark("event_ts", "10 minutes")
@@ -179,7 +179,7 @@ def stream_dedup_events(
     stream = spark.readStream.schema(schema).parquet(events_dir)
     deduped = (
         stream.withColumn(
-            "event_ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "event_ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
         .withWatermark("event_ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
@@ -210,7 +210,7 @@ def stream_click_error_join(
     hash-partitioned on user_id, the same exchange shape as the batch
     twin (an as-of/interval join, operators/temporal.py)."""
     schema = spark.read.parquet(events_dir).schema
-    ts_us = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    ts_us = F.timestamp_micros(F.expr("ts div 1000"))
     clicks = (
         spark.readStream.schema(schema)
         .parquet(events_dir)
@@ -264,7 +264,7 @@ def stream_session_rollup(
     never expire)."""
     schema = spark.read.parquet(events_dir).schema
     stream = spark.readStream.schema(schema).parquet(events_dir)
-    ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
     agg = (
         stream.withColumn("event_ts", ts)
         .withWatermark("event_ts", "1 hour")
