@@ -33,10 +33,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY §2 (+ north-star ops)."""
-    return {name: spec.fn for name, spec in registry().items()}
+    """The driver-facing query surface: exactly 50 entries.
+
+    The full catalog is larger (``registry()``), but the driver's
+    correctness harness runs at most 50 queries, so closely-related
+    operators are certified through consolidated twins (QuerySpec.driver
+    flag; e.g. ``doc_profile`` carries the five per-document text ops
+    column-for-column). Every entry returned here gets a CORRECTNESS
+    row; the subsumed entries remain runnable catalog queries covered
+    by tools/verify_local.py and pytest.
+    """
+    return {name: spec.fn for name, spec in registry().items() if spec.driver}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL for every SQL-expressible query."""
-    return {name: spec.oracle for name, spec in registry().items() if spec.oracle is not None}
+    return {
+        name: spec.oracle
+        for name, spec in registry().items()
+        if spec.driver and spec.oracle is not None
+    }

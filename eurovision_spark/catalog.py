@@ -31,16 +31,26 @@ class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # DuckDB SQL; None => rows-only check (non-SQL op)
     doc: str = ""
+    # The driver's correctness harness runs at most 50 catalog entries,
+    # so the driver-facing surface (``__spark_entry__.queries()``) is a
+    # consolidated set of exactly 50: closely-related operators are
+    # certified together through one merged query (e.g. ``doc_profile``
+    # carries token_stats + lang_guess + quality_score + fingerprint +
+    # bpe_token_count column-for-column). Entries with ``driver=False``
+    # stay first-class catalog queries — runnable, benchable, verified
+    # by tools/verify_local.py and pytest — but are subsumed by a
+    # driver-facing twin for the hard CORRECTNESS gate.
+    driver: bool = True
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None, doc: str = ""):
+def register(name: str, oracle: str | None, doc: str = "", driver: bool = True):
     """Decorator: add a (spark_fn, oracle_sql) pair to the catalog."""
 
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
-        _REGISTRY[name] = QuerySpec(name, fn, oracle, doc)
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, doc, driver)
         return fn
 
     return wrap

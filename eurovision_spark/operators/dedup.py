@@ -136,6 +136,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "adjacent doc_ids; in production the candidates come from the LSH "
     "bucket join below). array_intersect/array_union are JVM-side set "
     "ops; no UDFs.",
+    driver=False,  # driver gate: certified via minhash_lsh_jaccard
 )
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
@@ -236,10 +237,15 @@ MINHASH_SIG_SQL = f"""
     "planted perturbed copies (jaccard ~ (n-3)/n) must surface as "
     "(d, d+1000000) pairs. At 100 TB this is the only formulation whose "
     "join cost tracks true-duplicate density instead of n².",
+    driver=False,  # driver gate: certified via minhash_lsh_jaccard
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs_with_copies(spark, sf_dir)
-    sig = _minhash_signatures(docs)
+    return _lsh_candidate_pairs(_minhash_signatures(docs))
+
+
+def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """(doc_id_1 < doc_id_2) candidate pairs from banded signatures."""
     rows_per_band = N_PERM // N_BANDS
     # 4 (band_id, band_sig) rows per doc, banded from the per-row
     # signature array; then ONE shuffle groups docs into LSH buckets and
@@ -336,5 +342,61 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("simhash16")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH candidates + Jaccard verification — the production near-dup
+# composition (driver-facing twin of minhash_lsh_pairs + ngram_jaccard)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "minhash_lsh_jaccard",
+    MINHASH_SIG_SQL
+    + f"""
+    , pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id),
+    sets AS (
+        SELECT doc_id, list_distinct({SH_SQL}) AS sh FROM docs)
+    SELECT p.doc_id_1, p.doc_id_2,
+           round(CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(s1.sh, s2.sh))), 6) AS jaccard
+    FROM pairs p
+    JOIN sets s1 ON s1.doc_id = p.doc_id_1
+    JOIN sets s2 ON s2.doc_id = p.doc_id_2
+    WHERE len(list_distinct(list_concat(s1.sh, s2.sh))) > 0
+    """,
+    "the full production near-dup pipeline: MinHash-LSH banded candidate "
+    "generation (minhash_lsh_pairs) + exact word-3-gram Jaccard "
+    "verification of each candidate (ngram_jaccard) — the driver-facing "
+    "certification twin of both. The (small) candidate set is BROADCAST "
+    "back against the corpus shingle sets, so the corpus never "
+    "reshuffles for verification; total cost stays proportional to "
+    "true-duplicate density, the only formulation that survives 100 TB.",
+)
+def minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = docs_with_copies(spark, sf_dir)
+    pairs = _lsh_candidate_pairs(_minhash_signatures(docs))
+    sets = docs.select(
+        "doc_id", F.array_distinct(shingles(tokens(F.lower(F.col("text"))))).alias("sh")
+    )
+    s1 = sets.select(F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1"))
+    s2 = sets.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2"))
+    union_size = F.size(F.array_distinct(F.concat("sh1", "sh2")))
+    return (
+        s1.join(F.broadcast(pairs), "doc_id_1")
+        .join(s2.hint("shuffle_hash"), "doc_id_2")
+        .filter(union_size > 0)
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.round(
+                F.size(F.array_intersect("sh1", "sh2")).cast("double") / union_size, 6
+            ).alias("jaccard"),
         )
     )

@@ -1,6 +1,6 @@
 """Similarity search over the ``embeddings`` table (array<float> column).
 
-Two tiers (BASELINE.json north star):
+Three tiers (BASELINE.json north star):
 
 - brute-force cosine top-k: the exactness baseline. Probe set joined
   against the full corpus; dot products via ``F.aggregate``/``zip_with``
@@ -9,11 +9,22 @@ Two tiers (BASELINE.json north star):
   so cost is one pass over the corpus per batch of probes — the right
   shape for 100 TB (probes batch; corpus never re-shuffles).
 
-- LSH-bucketed cosine (random hyperplanes): the scale path. Signs of
+- LSH-bucketed cosine (random hyperplanes) with MULTI-PROBE: signs of
   dot(v, plane_j) build a bucket id; neighbor search becomes an
-  equi-join on bucket, cutting the candidate set by ~2^n_planes.
-  Hyperplane components derive from md5 so the DuckDB oracle builds
-  bit-identical planes.
+  equi-join on bucket, cutting the candidate set by ~2^n_planes. Each
+  probe also probes its 8 Hamming-1 neighbor buckets (probe-side
+  explode keeps it an equi-join), recovering the recall a single
+  bucket loses at bit boundaries.
+
+- IVF (inverted file): a SIZE-BOUNDED codebook (k vectors chosen by a
+  deterministic content hash — the reservoir-style stand-in for k-means
+  on a sample) is broadcast as ONE array column; cell assignment is a
+  per-row higher-order argmax over that array — no shuffle, no inlined
+  literal blowup, no driver-side collect of corpus data. Search joins
+  the probe's cell only.
+
+Hyperplane components and the codebook-selection hash derive from md5
+so the DuckDB oracle builds bit-identical planes/codebooks.
 
 Floats: embeddings are float32, cast to double before any arithmetic in
 BOTH engines; similarity values are rounded to 6 decimals for the
@@ -27,6 +38,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from eurovision_spark.catalog import register
+from eurovision_spark.operators.textstats import md5_long, md5_long_sql
 from eurovision_spark.sources import load_table
 
 TOP_K = 5
@@ -111,38 +123,21 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- LSH-bucketed variant ---------------------------------------------------
 # plane[j][d] = (md5int(concat('plane-', j, '-', d)) % 2001 - 1000) / 1000.0
 
-PLANE_SQL = f"""
+PLANE_SQL_TMPL = """
     SELECT j, list_transform(
         generate_series(1, 64),
         d -> (CAST(CAST(concat('0x', substr(md5(concat('plane-', j, '-', d)), 1, 15))
                    AS UBIGINT) AS BIGINT) % 2001 - 1000) / 1000.0) AS plane
-    FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS j)
+    FROM (SELECT unnest(generate_series(0, {max_j})) AS j)
 """
 
-
-def _planes(spark: SparkSession, dim: int) -> DataFrame:
-    """Deterministic pseudo-random hyperplanes (same formula as the SQL)."""
-    j = spark.range(N_PLANES).select(F.col("id").cast("int").alias("j"))
-    plane = F.transform(
-        F.sequence(F.lit(1), F.lit(dim)),
-        lambda d: (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit("plane-"), F.col("j"), F.lit("-"), d)), 1, 15),
-                16,
-                10,
-            ).cast("bigint")
-            % 2001
-            - 1000
-        )
-        / 1000.0,
-    )
-    return j.select("j", plane.alias("plane"))
+PLANE_SQL = PLANE_SQL_TMPL.format(max_j=N_PLANES - 1)
 
 
 def _plane_expr(j: Column | int, dim: int) -> Column:
     """One hyperplane as an inline array<double> expression (same md5
-    formula as :func:`_planes` / PLANE_SQL) — all-literal, so Catalyst
-    constant-folds it to a value once at plan time."""
+    formula as PLANE_SQL) — all-literal, so Catalyst constant-folds it
+    to a value once at plan time."""
     return F.transform(
         F.sequence(F.lit(1), F.lit(dim)),
         lambda d: (
@@ -161,6 +156,18 @@ def _plane_expr(j: Column | int, dim: int) -> Column:
         / 1000.0,
     )
 
+
+def _sign_bucket(vcol: Column, planes: range, dim: int = 64) -> Column:
+    """Pack sign(dot(v, plane_j)) into bit position (j - planes.start)."""
+    return sum(
+        [
+            F.when(
+                dot(vcol, _plane_expr(j, dim)) >= 0, F.lit(1 << (j - planes.start))
+            ).otherwise(F.lit(0))
+            for j in planes
+        ],
+        F.lit(0),
+    ).cast("bigint")
 
 
 @register(
@@ -181,14 +188,19 @@ def _plane_expr(j: Column | int, dim: int) -> Column:
                row_number() OVER (
                    PARTITION BY p.probe_id
                    ORDER BY {COSINE_SQL.format(a='p.pv', b='s.v')} DESC, s.vec_id) AS rn
-        FROM probes p JOIN sigs s ON s.bucket = p.bucket AND s.vec_id <> p.probe_id)
+        FROM probes p JOIN sigs s
+          ON bit_count(xor(s.bucket, p.bucket)) <= 1 AND s.vec_id <> p.probe_id)
     SELECT probe_id, neighbor_id, round(cos, 6) AS cosine_sim
     FROM cand WHERE rn <= {TOP_K}
     """,
-    "LSH-bucketed approximate cosine search: 8 deterministic random "
-    "hyperplanes -> sign-bit bucket -> equi-join on bucket only. The "
-    "candidate set shrinks ~2^8; at 100 TB the bucket join replaces the "
-    "full cross product (multi-probe = also join neighboring buckets).",
+    "multi-probe LSH cosine search: 8 deterministic random hyperplanes "
+    "-> sign-bit bucket; each probe searches its own bucket PLUS the 8 "
+    "Hamming-1 neighbor buckets (probe-side explode keeps the corpus "
+    "join a pure equi-join on bucket), recovering the recall a single "
+    "bucket loses at bit boundaries while still cutting candidates "
+    "~2^8/9. The oracle states the same candidate set as a Hamming "
+    "predicate; tests/test_similarity_recall.py pins recall@5 vs the "
+    "exact cosine_topk.",
 )
 def cosine_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
@@ -198,26 +210,34 @@ def cosine_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Bucket id is a pure per-row map: sign(dot(v, plane_j)) packed into
     # bit j, with the 8 planes inlined as constant-foldable literals —
-    # no plane join, no groupBy-on-vector shuffle. The ONLY shuffle in
-    # the whole query is the window's partition-by-probe exchange.
-    bucket = sum(
-        [
-            F.when(dot(F.col("v"), _plane_expr(j, 64)) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-            for j in range(N_PLANES)
-        ],
-        F.lit(0),
-    ).cast("bigint")
-    sigs = e.select("vec_id", "v", bucket.alias("bucket"), l2norm(F.col("v")).alias("nv"))
-    probes = sigs.filter(F.col("vec_id") % PROBE_MOD == 0).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("v").alias("pv"),
+    # no plane join, no groupBy-on-vector shuffle.
+    sigs = e.select(
+        "vec_id",
+        "v",
+        _sign_bucket(F.col("v"), range(N_PLANES)).alias("bucket"),
+        l2norm(F.col("v")).alias("nv"),
+    )
+    # Multi-probe: the probe side (2% of rows) fans out to its bucket +
+    # the 8 Hamming-1 buckets, so the corpus side joins on plain bucket
+    # equality — candidates grow 9x on a 2%-side explode, the corpus is
+    # never re-hashed, and the join stays broadcast-able.
+    probe_buckets = F.array(
         F.col("bucket"),
-        F.col("nv").alias("np"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)],
+    )
+    probes = (
+        sigs.filter(F.col("vec_id") % PROBE_MOD == 0)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("v").alias("pv"),
+            F.col("nv").alias("np"),
+            F.explode(probe_buckets).alias("pbucket"),
+        )
     )
     cand = (
         sigs.join(
             F.broadcast(probes),
-            (sigs.bucket == probes.bucket) & (F.col("vec_id") != F.col("probe_id")),
+            (sigs.bucket == probes.pbucket) & (F.col("vec_id") != F.col("probe_id")),
         )
         .select(
             "probe_id",
@@ -237,6 +257,8 @@ def cosine_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NEAR_DUP_THRESHOLD = 0.999
+NEAR_DUP_BANDS = 2
+TARGET_BUCKET_SIZE = 64  # expected vectors per band-bucket at any corpus size
 
 VECS_WITH_COPIES_SQL = """
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -246,36 +268,47 @@ VECS_WITH_COPIES_SQL = """
     FROM embeddings
 """
 
-BUCKET_SQL = f"""
-    SELECT e.vec_id, e.v,
-           CAST(sum(CASE WHEN list_dot_product(e.v, p.plane) >= 0
-                    THEN 1 << p.j ELSE 0 END) AS BIGINT) AS bucket,
-           sqrt(list_dot_product(e.v, e.v)) AS nv
-    FROM e CROSS JOIN planes p GROUP BY e.vec_id, e.v
-"""
-
 
 @register(
     "embedding_near_dup",
     f"""
     WITH e AS ({VECS_WITH_COPIES_SQL}),
-    planes AS ({PLANE_SQL}),
-    sigs AS ({BUCKET_SQL}),
+    nb AS (SELECT greatest({N_PLANES},
+                  CAST(ceil(log2(count(*) / {TARGET_BUCKET_SIZE}.0)) AS INT)) AS b
+           FROM e),
+    planes AS ({PLANE_SQL_TMPL.format(max_j=f"(SELECT {NEAR_DUP_BANDS} * b - 1 FROM nb)")}),
+    sigs AS (
+        SELECT e.vec_id,
+               CAST(p.j // (SELECT b FROM nb) AS INT) AS band_id,
+               CAST(sum(CASE WHEN list_dot_product(e.v, p.plane) >= 0
+                        THEN 1 << (p.j % (SELECT b FROM nb)) ELSE 0 END) AS BIGINT)
+                   AS band_sig
+        FROM e CROSS JOIN planes p
+        GROUP BY e.vec_id, p.j // (SELECT b FROM nb)),
     pairs AS (
-        SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
-               list_dot_product(a.v, b.v) / (a.nv * b.nv) AS cos
-        FROM sigs a JOIN sigs b
-          ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-    SELECT vec_id_1, vec_id_2, round(cos, 6) AS cosine_sim
-    FROM pairs WHERE cos >= {NEAR_DUP_THRESHOLD}
+        SELECT DISTINCT a.vec_id AS vec_id_1, b2.vec_id AS vec_id_2
+        FROM sigs a JOIN sigs b2
+          ON a.band_id = b2.band_id AND a.band_sig = b2.band_sig
+             AND a.vec_id < b2.vec_id),
+    vecs AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e)
+    SELECT p.vec_id_1, p.vec_id_2,
+           round(list_dot_product(a.v, b2.v) / (a.nv * b2.nv), 6) AS cosine_sim
+    FROM pairs p
+    JOIN vecs a ON a.vec_id = p.vec_id_1
+    JOIN vecs b2 ON b2.vec_id = p.vec_id_2
+    WHERE list_dot_product(a.v, b2.v) / (a.nv * b2.nv) >= {NEAR_DUP_THRESHOLD}
     """,
-    "embedding-cosine near-dup detection: every vector gets a planted "
-    "scaled copy (same direction -> cosine 1.0); LSH sign-buckets narrow "
-    "candidates (a positive-scaled copy provably lands in the SAME "
-    "bucket), cosine >= 0.999 confirms. Pair generation happens inside "
-    "each bucket's collected array after ONE shuffle — candidate cost "
-    "tracks duplicate density, not n². The corpus-dedup twin of "
-    "minhash_lsh_pairs for the modality where 'text' is a vector.",
+    "embedding-cosine near-dup detection, scale-safe: every vector gets "
+    "a planted scaled copy (same direction -> cosine 1.0, same sign "
+    "signature -> guaranteed same bucket in every band). Bits per band "
+    "GROW with corpus size (b = log2(n/64), floor 8), so band-bucket "
+    "population — and with it the in-bucket pair count — stays ~constant "
+    "instead of n²/2^const; two bands (OR semantics, like "
+    "minhash_lsh_pairs) keep recall for genuine near-dups that flip a "
+    "boundary bit. Buckets carry only vec_ids; candidate pairs join "
+    "BACK to the vectors for exact cosine verification, so full vectors "
+    "never flow through the bucket shuffle. The corpus-dedup twin of "
+    "minhash_lsh_jaccard for the modality where 'text' is a vector.",
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").repartition(
@@ -287,46 +320,65 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(as_double(F.col("embedding")), lambda x: x * 2.0).alias("v"),
     )
     vecs = orig.unionByName(copy)
-    bucket = sum(
-        [
-            F.when(dot(F.col("v"), _plane_expr(j, 64)) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-            for j in range(N_PLANES)
-        ],
-        F.lit(0),
-    ).cast("bigint")
-    sigs = vecs.select(
-        "vec_id", "v", bucket.alias("bucket"), l2norm(F.col("v")).alias("nv")
+    # bits per band from the corpus size: one tiny count() action (at
+    # real scale this would come from table stats). Plane expressions
+    # are then plan-time literals, as in the single-band variant.
+    import math
+
+    n = vecs.count()
+    b = max(N_PLANES, math.ceil(math.log2(max(n, 1) / TARGET_BUCKET_SIZE)))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band_id"),
+                _sign_bucket(F.col("v"), range(band * b, (band + 1) * b)).alias(
+                    "band_sig"
+                ),
+            )
+            for band in range(NEAR_DUP_BANDS)
+        ]
+    )
+    bands = vecs.select("vec_id", F.explode(band_structs).alias("bs")).select(
+        "vec_id", "bs.band_id", "bs.band_sig"
     )
     buckets = (
-        sigs.groupBy("bucket")
-        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "v", "nv"))).alias("items"))
-        .filter(F.size("items") > 1)
+        bands.groupBy("band_id", "band_sig")
+        .agg(F.array_sort(F.collect_set("vec_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
     pair_structs = F.flatten(
         F.transform(
-            F.col("items"),
+            F.col("ids"),
             lambda a, i: F.transform(
-                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
-                lambda b: F.struct(
-                    a.vec_id.alias("vec_id_1"),
-                    b.vec_id.alias("vec_id_2"),
-                    (dot(a.v, b.v) / (a.nv * b.nv)).alias("cos"),
-                ),
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(a.alias("vec_id_1"), y.alias("vec_id_2")),
             ),
         )
     )
-    return (
+    pairs = (
         buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.vec_id_1", "p.vec_id_2", "p.cos")
-        .filter(F.col("cos") >= NEAR_DUP_THRESHOLD)
-        .select("vec_id_1", "vec_id_2", F.round("cos", 6).alias("cosine_sim"))
+        .select("p.vec_id_1", "p.vec_id_2")
+        .distinct()
+    )
+    withnorm = vecs.withColumn("nv", l2norm(F.col("v")))
+    a = withnorm.select(
+        F.col("vec_id").alias("vec_id_1"), F.col("v").alias("v1"), F.col("nv").alias("n1")
+    )
+    c = withnorm.select(
+        F.col("vec_id").alias("vec_id_2"), F.col("v").alias("v2"), F.col("nv").alias("n2")
+    )
+    cos = dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
+    return (
+        a.join(F.broadcast(pairs), "vec_id_1")
+        .join(c.hint("shuffle_hash"), "vec_id_2")
+        .filter(cos >= NEAR_DUP_THRESHOLD)
+        .select("vec_id_1", "vec_id_2", F.round(cos, 6).alias("cosine_sim"))
     )
 
 
 # --- IVF (inverted-file) ANN --------------------------------------------------
 
-N_CENTROID_MOD = 100  # vec_id % 100 == 7 -> centroid "codebook"
-CENTROID_REM = 7
+K_CENTROIDS = 64
 
 
 @register(
@@ -336,7 +388,8 @@ CENTROID_REM = 7
                       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nv
                FROM embeddings),
     cents AS (SELECT vec_id AS cent_id, v AS cv, nv AS ncv FROM e
-              WHERE vec_id % {N_CENTROID_MOD} = {CENTROID_REM}),
+              ORDER BY {md5_long_sql("concat('cent-', CAST(vec_id AS VARCHAR))")}, vec_id
+              LIMIT {K_CENTROIDS}),
     assigned AS (
         SELECT e.vec_id, e.v, e.nv, c.cent_id,
                row_number() OVER (
@@ -359,49 +412,63 @@ CENTROID_REM = 7
     SELECT probe_id, neighbor_id, round(cos, 6) AS cosine_sim
     FROM cand WHERE rn <= {TOP_K}
     """,
-    "IVF (inverted-file) approximate nearest neighbor, nprobe=1: a "
-    "deterministic centroid codebook (every 100th vector) is collected "
-    "to the driver and inlined as literals — the canonical IVF shape "
-    "where the codebook fits in memory and ships with the task. Cell "
-    "assignment is then a per-row argmax over the codebook (NO shuffle, "
-    "no cross join); search joins the probe's cell only, cutting "
-    "candidates by ~n_centroids. At 100 TB the codebook comes from "
-    "k-means on a sample and cells become partition keys for the "
-    "inverted lists.",
+    "IVF (inverted-file) approximate nearest neighbor, nprobe=1, with a "
+    "SIZE-BOUNDED codebook: k=64 centroids chosen by a deterministic "
+    "content hash (the reproducible stand-in for k-means on a fixed "
+    "sample — selection is a top-k by hash, NEVER a fraction of the "
+    "corpus), aggregated into ONE array row and broadcast. Cell "
+    "assignment is a per-row higher-order argmax over that array — no "
+    "shuffle, no per-centroid inlined literals (codegen size is "
+    "independent of k), no driver-side collect of corpus data. Search "
+    "joins the probe's cell only, cutting candidates by ~k; at 100 TB "
+    "the cells double as partition keys for the inverted lists and "
+    "nprobe>1 is the recall lever.",
 )
 def cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    # codebook: tiny by construction (1% of corpus), exact doubles.
-    # Collected from the UN-repartitioned scan — shuffling the whole
-    # corpus to filter out 1% would be a wasted exchange.
+    # Codebook: top-64 by md5 of the vec id — size-bounded for ANY
+    # corpus, deterministic across engines/reruns, and planned as
+    # TakeOrderedAndProject (no global sort). Collapsed to a single
+    # array row and broadcast: the codebook ships with the tasks, the
+    # canonical IVF shape.
+    cent_key = md5_long(F.concat(F.lit("cent-"), F.col("vec_id").cast("string")))
     cents = (
-        raw.filter(F.col("vec_id") % N_CENTROID_MOD == CENTROID_REM)
-        .withColumn("nv", l2norm(F.col("v")))
-        .collect()
+        raw.withColumn("nv", l2norm(F.col("v")))
+        .orderBy(cent_key.asc(), F.col("vec_id").asc())
+        .limit(K_CENTROIDS)
+    )
+    cent_row = cents.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("vec_id").alias("cent_id"),
+                    F.col("v").alias("cv"),
+                    F.col("nv").alias("ncv"),
+                )
+            )
+        ).alias("cents")
     )
     e = (
         raw.repartition(spark.sparkContext.defaultParallelism)
         .withColumn("nv", l2norm(F.col("v")))
+        .crossJoin(F.broadcast(cent_row))
     )
-    best = F.greatest(
-        *[
-            F.struct(
-                (dot(F.col("v"), F.array(*[F.lit(x) for x in c["v"]])) / (F.col("nv") * c["nv"]))
-                .alias("sim"),
-                F.lit(-c["vec_id"]).alias("neg_cent"),
-            )
-            for c in cents
-        ]
+    # per-row argmax over the codebook array: one dot per centroid,
+    # array_max on struct(sim, -cent_id) == row_number()=1 under
+    # (sim DESC, cent_id ASC).
+    sims = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (dot(F.col("v"), c.cv) / (F.col("nv") * c.ncv)).alias("sim"),
+            (-c.cent_id).alias("neg_cent"),
+        ),
     )
-    # greatest(struct(sim, -cent_id)) == row_number()=1 under
-    # (sim DESC, cent_id ASC): max sim, ties -> smallest centroid id.
-    # NB: probes derive from `cells` — the probe filter pushes below
-    # this projection, so the broadcast side only assigns the 2% probe
-    # rows; materializing a second assignment expression for the probe
-    # side doubles the codegen size for nothing (measured).
-    cells = e.select("vec_id", "v", "nv", (-best["neg_cent"]).cast("bigint").alias("cent_id"))
+    best = F.array_max(sims)
+    cells = e.select(
+        "vec_id", "v", "nv", (-best.neg_cent).cast("bigint").alias("cent_id")
+    )
     probes = cells.filter(F.col("vec_id") % PROBE_MOD == 0).select(
         F.col("vec_id").alias("probe_id"),
         F.col("v").alias("pv"),

@@ -53,6 +53,7 @@ SESSION_GAP_NS = 60 * 60 * 1_000_000_000  # 60 min
     "generalized to event time. One shuffle on user_id serves both "
     "windows; batch twin of the streaming session window in "
     "streaming/ingest.py.",
+    driver=False,  # driver gate: certified via session_stats (same window)
 )
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

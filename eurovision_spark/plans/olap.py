@@ -98,6 +98,7 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window inventory (SURVEY §2.5 has only unbounded-preceding "
     "frames). Bounded ROWS frame => O(k) state per key in the window "
     "operator regardless of group size; one exchange on o_custkey.",
+    driver=False,  # driver gate: certified via window_suite (same columns)
 )
 def moving_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
@@ -124,6 +125,7 @@ def moving_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     "instead of the naive plan's self-join (scan twice, shuffle "
     "twice). The oracle keeps the correlated form — DuckDB's "
     "decorrelation produces the same relation.",
+    driver=False,  # driver gate: certified via window_suite (above_cust_avg col)
 )
 def above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -132,4 +134,54 @@ def above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.withColumn("_cavg", F.avg("o_totalprice").over(w))
         .filter(F.col("o_totalprice") > 1.5 * F.col("_cavg"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "window_suite",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(avg(o_totalprice) OVER wma, 4) AS ma3,
+           CAST(rank() OVER w AS BIGINT) AS order_rank,
+           CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate)
+                AS BIGINT) AS days_since_prev,
+           strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS next_order_date,
+           CAST(ntile(4) OVER wq AS INT) AS price_quartile,
+           CAST(CASE WHEN o_totalprice > 1.5 * avg(o_totalprice) OVER wc
+                     THEN 1 ELSE 0 END AS INT) AS above_cust_avg
+    FROM orders WHERE o_custkey % 50 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wma AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+           wq AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+           wc AS (PARTITION BY o_custkey)
+    """,
+    "the full analytic-window inventory in one pass — bounded-frame "
+    "moving average, rank, lag-difference, lead, ntile bucketing, and "
+    "the decorrelated above-partition-average flag (the driver-facing "
+    "certification twin of moving_avg_price / order_gaps / "
+    "ntile_quartiles / above_customer_avg, same expressions). All "
+    "customer-keyed windows share ONE exchange on o_custkey; only the "
+    "ntile adds a second exchange on its different partition key.",
+)
+def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wma = w.rowsBetween(-2, 0)
+    wq = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wc = W.partitionBy("o_custkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(wma), 4).alias("ma3"),
+        F.rank().over(w).cast("bigint").alias("order_rank"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("bigint")
+        .alias("days_since_prev"),
+        F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd").alias("next_order_date"),
+        F.ntile(4).over(wq).cast("int").alias("price_quartile"),
+        F.when(F.col("o_totalprice") > 1.5 * F.avg("o_totalprice").over(wc), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("above_cust_avg"),
     )

@@ -393,6 +393,7 @@ def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "toexcel.py:109-115 result-set intersection as a set op (the semi-join "
     "formulation is search_semi_join).",
+    driver=False,  # driver gate: certified via set_ops (tagged union)
 )
 def key_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -411,6 +412,7 @@ def key_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
     "scan.py:243-248/487 set-insert dedup as distinct() (exact dedup over "
     "the tuple).",
+    driver=False,  # driver gate: certified via set_ops (tagged union)
 )
 def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -737,6 +739,7 @@ def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ROLLUP(region, nation) subtotals + grand total in one pass — "
     "partial-agg expansion, no extra scans; the aggregate family the "
     "reference lacks entirely (SURVEY §2.4 'not present').",
+    driver=False,  # driver gate: certified via grouping_family (tagged union)
 )
 def rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
@@ -862,6 +865,7 @@ def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "CUBE(nation, segment): all 4 grouping combinations in one pass "
     "(partial-agg expansion). With rollup_acctbal this completes the "
     "grouping-sets family.",
+    driver=False,  # driver gate: certified via grouping_family (tagged union)
 )
 def cube_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -886,6 +890,7 @@ def cube_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "set difference (T: the reference has intersection only, "
     "toexcel.py:109-115): customers with orders but never an urgent one. "
     "Spark subtract = distinct EXCEPT, same shuffle shape as intersect.",
+    driver=False,  # driver gate: certified via set_ops (tagged union)
 )
 def except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -1006,6 +1011,7 @@ def full_outer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(inter-order gap days) + lead (next order date), sharing a single "
     "customer-keyed exchange. Completes SURVEY §2.5 beyond the "
     "fill-down/running-sum shapes the parser needed.",
+    driver=False,  # driver gate: certified via window_suite (same columns)
 )
 def order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
@@ -1060,6 +1066,7 @@ def right_outer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(cube_acctbal) or the prefix chain of ROLLUP (rollup_acctbal): "
     "Expand emits exactly the requested grouping rows, partial+final "
     "aggregate around one exchange.",
+    driver=False,  # driver gate: certified via grouping_family (tagged union)
 )
 def grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -1088,6 +1095,7 @@ def grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window completing §2.5 (fill-down, running flag, rank/lag/lead, "
     "moving avg, top-k already covered). Unique tie-break key keeps "
     "bucket boundaries deterministic across engines.",
+    driver=False,  # driver gate: certified via window_suite (same columns)
 )
 def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -1131,3 +1139,107 @@ def percentile_prices_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("p90_approx"),
         F.count("*").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-facing consolidated twins (QuerySpec.driver in catalog.py): the
+# grouping-sets family and the set-operation family each certified through
+# one tagged-union query so every driver-facing entry gets a CORRECTNESS
+# row. Each branch keeps its exact original plan; UNION ALL of aggregates
+# is plan-level concatenation (no extra shuffle over the branches' own).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouping_family",
+    """
+    SELECT 'rollup' AS mode, r.r_name AS key1, n.n_name AS key2,
+           round(sum(s.s_acctbal), 2) AS total_acctbal,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    UNION ALL
+    SELECT 'cube', n.n_name, c.c_mktsegment,
+           round(sum(c.c_acctbal), 2),
+           CAST(count(*) AS BIGINT)
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY CUBE (n.n_name, c.c_mktsegment)
+    UNION ALL
+    SELECT 'sets', n.n_name, c.c_mktsegment,
+           round(sum(c.c_acctbal), 2),
+           CAST(count(*) AS BIGINT)
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n.n_name), (c.c_mktsegment))
+    """,
+    "the whole grouping-sets family — ROLLUP subtotals, CUBE "
+    "all-combinations, explicit GROUPING SETS marginals — in one "
+    "mode-tagged union (the driver-facing certification twin of "
+    "rollup_acctbal / cube_acctbal / grouping_sets_mix; each branch is "
+    "that query verbatim with aligned column names).",
+)
+def grouping_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rollup = rollup_acctbal(spark, sf_dir).select(
+        F.lit("rollup").alias("mode"),
+        F.col("r_name").alias("key1"),
+        F.col("n_name").alias("key2"),
+        "total_acctbal",
+        F.col("n_suppliers").alias("n_rows"),
+    )
+    cube = cube_acctbal(spark, sf_dir).select(
+        F.lit("cube").alias("mode"),
+        F.col("n_name").alias("key1"),
+        F.col("c_mktsegment").alias("key2"),
+        "total_acctbal",
+        F.col("n_customers").alias("n_rows"),
+    )
+    sets = grouping_sets_mix(spark, sf_dir).select(
+        F.lit("sets").alias("mode"),
+        F.col("n_name").alias("key1"),
+        F.col("c_mktsegment").alias("key2"),
+        "total_acctbal",
+        F.col("n_customers").alias("n_rows"),
+    )
+    return rollup.unionByName(cube).unionByName(sets)
+
+
+@register(
+    "set_ops",
+    """
+    SELECT 'intersect' AS op, CAST(o_custkey AS BIGINT) AS k_num,
+           CAST(NULL AS VARCHAR) AS k_str
+    FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    UNION ALL
+    SELECT 'distinct', CAST(c_nationkey AS BIGINT), c_mktsegment
+    FROM (SELECT DISTINCT c_mktsegment, c_nationkey FROM customer)
+    UNION ALL
+    SELECT 'except', CAST(custkey AS BIGINT), CAST(NULL AS VARCHAR)
+    FROM (SELECT o_custkey AS custkey FROM orders
+          EXCEPT
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+    "the set-operation family — INTERSECT (T1), tuple DISTINCT (T2/A8), "
+    "EXCEPT — in one op-tagged union (the driver-facing certification "
+    "twin of key_intersect / distinct_pairs / except_customers; each "
+    "branch is that query verbatim).",
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    isect = key_intersect(spark, sf_dir).select(
+        F.lit("intersect").alias("op"),
+        F.col("o_custkey").cast("bigint").alias("k_num"),
+        F.lit(None).cast("string").alias("k_str"),
+    )
+    dist = distinct_pairs(spark, sf_dir).select(
+        F.lit("distinct").alias("op"),
+        F.col("c_nationkey").cast("bigint").alias("k_num"),
+        F.col("c_mktsegment").alias("k_str"),
+    )
+    exc = except_customers(spark, sf_dir).select(
+        F.lit("except").alias("op"),
+        F.col("custkey").cast("bigint").alias("k_num"),
+        F.lit(None).cast("string").alias("k_str"),
+    )
+    return isect.unionByName(dist).unionByName(exc)

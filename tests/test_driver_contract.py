@@ -1,0 +1,93 @@
+"""The driver-session contract, pinned.
+
+The correctness harness builds its OWN bare SparkSession (no engine
+configs) and runs every ``__spark_entry__.queries()`` entry against it.
+Round 1 lost 6 queries to exactly this gap: events.parquet carries
+TIMESTAMP(NANOS) and only the engine-built session set the legacy read
+conf. This test reproduces the driver's environment — a fresh default
+session in a fresh process — and runs every driver-facing query's first
+action, so any future session-config dependency fails HERE before it
+fails in the driver.
+
+Also pins the driver-surface invariants: at most 50 entries (the
+harness cap), every oracle key has a query, and the flagship ``entry``
+returns rows on sf0.001.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+BARE_RUNNER = r"""
+import json, sys
+sys.path.insert(0, sys.argv[1])
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .appName("bare-driver-twin")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+import __spark_entry__ as e
+
+failures = {}
+for name, fn in e.queries().items():
+    try:
+        fn(spark, "/root/testdata/sf0.001").limit(1).collect()
+    except Exception as ex:  # noqa: BLE001 - report every failure mode
+        failures[name] = repr(ex)[:300]
+print("RESULT:" + json.dumps(failures))
+"""
+
+
+def test_driver_surface_shape():
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    assert len(qs) <= 50, f"driver harness caps at 50 entries, got {len(qs)}"
+    assert set(oracles) <= set(qs)
+    # the ops VERDICT r1 flagged as driver-untested must be on the surface
+    for name in (
+        "dedup_exact",
+        "simhash",
+        "minhash_lsh_jaccard",
+        "fuzzy_cc_dedup",
+        "media_profile",
+        "cosine_topk",
+        "cosine_lsh_bucketed",
+        "embedding_near_dup",
+        "cosine_ivf",
+        "asof_join",
+        "interval_overlap_join",
+        "session_stats",
+        "doc_profile",
+        "corpus_select",
+    ):
+        assert name in qs, name
+
+
+def test_every_driver_query_runs_under_bare_session():
+    """Fresh process + default SparkSession = the driver's environment."""
+    proc = subprocess.run(
+        [sys.executable, "-c", BARE_RUNNER, str(REPO)],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+        cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = next(
+        (ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT:")), None
+    )
+    assert line is not None, proc.stdout[-3000:]
+    failures = json.loads(line[len("RESULT:"):])
+    assert failures == {}, json.dumps(failures, indent=2)

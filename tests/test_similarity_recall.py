@@ -1,0 +1,99 @@
+"""Recall gates for the approximate similarity tiers.
+
+The hash gates (tools/verify_local.py / the driver) prove each query
+computes ITS OWN definition exactly; these tests pin what the
+approximations buy against the exact brute-force baseline.
+
+Context for the bounds: the synthetic embeddings (TESTDATA.md) are
+near-isotropic random vectors, so a probe's true top-5 neighbors are
+NOT angularly close — the regime where every sublinear ANN structure
+degrades toward its sampling rate. The meaningful guarantees here are
+relative: multi-probe must recover a multiple of the single-bucket
+recall at a bounded candidate-count cost, and IVF must beat its own
+sampling rate. For genuinely-near pairs the guarantee is absolute and
+oracle-proven elsewhere: embedding_near_dup's planted scaled copies
+share every sign bucket, and its CORRECTNESS row shows all 500 planted
+pairs found (recall 1.0 at cosine >= 0.999).
+
+Measured on sf0.01 (500 vecs, 10 probes) for reference:
+hamming<=0 -> recall .08 w/ 37 candidates; <=1 -> .20 w/ 223;
+<=2 -> .46 w/ 837; exhaustive = 4990 candidates. IVF nprobe=1,
+k=64 -> recall .10 at ~1/64 sampling rate.
+"""
+
+from __future__ import annotations
+
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from eurovision_spark.catalog import registry
+from eurovision_spark.operators import similarity as S
+from eurovision_spark.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _neighbor_sets(df):
+    out = {}
+    for row in df.collect():
+        out.setdefault(row["probe_id"], set()).add(row["neighbor_id"])
+    return out
+
+
+def _recall(exact, got):
+    hits = sum(len(exact[p] & got.get(p, set())) for p in exact)
+    return hits / sum(len(exact[p]) for p in exact)
+
+
+def _single_bucket_topk(spark):
+    """The no-multi-probe variant, for the improvement baseline."""
+    e = (
+        load_table(spark, SF_DIR, "embeddings")
+        .repartition(32)
+        .select("vec_id", S.as_double(F.col("embedding")).alias("v"))
+    )
+    sigs = e.select(
+        "vec_id",
+        "v",
+        S._sign_bucket(F.col("v"), range(S.N_PLANES)).alias("bucket"),
+        S.l2norm(F.col("v")).alias("nv"),
+    )
+    probes = sigs.filter(F.col("vec_id") % S.PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("nv").alias("np"),
+        F.col("bucket").alias("pbucket"),
+    )
+    cand = sigs.join(
+        F.broadcast(probes),
+        (sigs.bucket == probes.pbucket) & (F.col("vec_id") != F.col("probe_id")),
+    ).select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (S.dot(F.col("pv"), F.col("v")) / (F.col("np") * F.col("nv"))).alias("cos"),
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= S.TOP_K)
+
+
+def test_multiprobe_improves_recall_at_bounded_cost(spark):
+    exact = _neighbor_sets(registry()["cosine_topk"].fn(spark, SF_DIR))
+    single = _neighbor_sets(_single_bucket_topk(spark))
+    multi = _neighbor_sets(registry()["cosine_lsh_bucketed"].fn(spark, SF_DIR))
+    r_single, r_multi = _recall(exact, single), _recall(exact, multi)
+    # Hamming-1 probing must buy a real multiple of single-bucket recall
+    # while probing only 9/2^8 of the bucket space
+    assert r_multi >= max(1.5 * r_single, 0.15), (r_single, r_multi)
+    assert set(multi) == set(exact)  # every probe answered
+
+
+def test_ivf_beats_its_sampling_rate(spark):
+    exact = _neighbor_sets(registry()["cosine_topk"].fn(spark, SF_DIR))
+    ivf = _neighbor_sets(registry()["cosine_ivf"].fn(spark, SF_DIR))
+    assert set(ivf) == set(exact)  # nprobe=1 still answers every probe
+    # sampling rate = 1/k of the corpus per probe; recall must beat it
+    # by a clear locality factor (cells are direction-coherent)
+    r = _recall(exact, ivf)
+    assert r >= 3.0 / S.K_CENTROIDS * 2, f"ivf recall {r:.3f}"
+    assert r >= 0.05
