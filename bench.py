@@ -37,6 +37,14 @@ HEADLINE = [
     "asof_join",
     "embedding_near_dup",
     "cosine_ivf",
+    # driver-facing consolidated twins (round 2): one scan certifying a
+    # whole operator family each — benched so regressions in the merged
+    # plans are visible round-over-round
+    "doc_profile",
+    "media_profile",
+    "minhash_lsh_jaccard",
+    "session_stats",
+    "window_suite",
 ]
 
 

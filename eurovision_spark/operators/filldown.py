@@ -9,15 +9,22 @@ implements the scalable form:
 
 1. anchors (lines that carry a value) are a small fraction of lines —
    one per record. ``lead`` over anchors yields non-overlapping
-   [start, end) intervals per value. Only the anchor table is sorted,
-   and only to compute interval ends.
+   [start, end) intervals per value. The anchor window is PARTITIONED:
+   anchors hash into ~8x-parallelism order-range buckets, ``lead`` runs
+   inside each bucket, and the boundary (the last anchor of each
+   bucket) is fixed up from a bucket-minima table — a relation bounded
+   by the bucket count, never by the data, resolved with a broadcast
+   self-join. No single-partition window exists anywhere in the plan;
+   the only SinglePartition exchanges left are the final stages of the
+   scalar max(line_no) aggregates (one row per map partition).
 2. intervals are exploded onto fixed-width line-number buckets; lines
    join on their bucket + a range filter. This is an equi-join shuffle
    on the bucket id — no global sort of the data ever happens, and
    bucket width bounds the explode factor (records span few buckets).
 
-At 100 TB: lines stay hash-partitioned by bucket; anchors are ~2% of
-input and their window can itself be range-partitioned if needed.
+At 100 TB: lines stay hash-partitioned by bucket; anchors (~2% of
+input) hash-partition across ANCHOR_BUCKETS ranges, so both levels of
+the hierarchy scale with the cluster, not the data.
 """
 
 from __future__ import annotations
@@ -45,16 +52,46 @@ def fill_down(
     anchors = lines.filter(F.col(anchor_col).isNotNull()).select(
         F.col(order_col).alias("_start"), F.col(anchor_col).alias(out_col)
     )
-    w = W.orderBy("_start")
+
+    # --- interval ends: range-partitioned lead + boundary fix-up -----------
+    # Anchor-range buckets: width derived from the order span so the
+    # bucket COUNT is ~fixed (scales with the cluster, not the data);
+    # derived as a column from the broadcast max — no driver action.
+    n_abuckets = max(lines.sparkSession.sparkContext.defaultParallelism * 8, 8)
+    keyed_anchors = (
+        anchors.crossJoin(F.broadcast(max_order))
+        .withColumn("_aw", F.expr(f"(_max_order div {n_abuckets}) + 1"))
+        .withColumn("_ab", F.expr("_start div _aw"))
+    )
+    w_in = W.partitionBy("_ab").orderBy("_start")
+    led = keyed_anchors.withColumn("_next_in", F.lead("_start").over(w_in))
+
+    # bucket-minima table: one row per NON-EMPTY anchor bucket (bounded
+    # by n_abuckets, i.e. by the cluster, not the data). "First anchor
+    # of the next non-empty bucket" is a broadcast self-join over this
+    # tiny relation — O(n_abuckets²) trivially, and it keeps the whole
+    # plan free of single-partition exchanges (a global lead window
+    # here would reintroduce one).
+    mins = keyed_anchors.groupBy("_ab").agg(F.min("_start").alias("_bmin"))
+    later = mins.select(F.col("_ab").alias("_ab2"), F.col("_bmin").alias("_bmin2"))
+    nxt = (
+        mins.join(F.broadcast(later), F.col("_ab2") > F.col("_ab"), "left")
+        .groupBy("_ab")
+        .agg(F.min("_bmin2").alias("_bnext"))
+    )
+
     intervals = (
-        anchors.withColumn("_next", F.lead("_start").over(w))
-        .crossJoin(F.broadcast(max_order))
+        led.join(F.broadcast(nxt), "_ab")
         .select(
             "_start",
             out_col,
-            F.coalesce(F.col("_next"), F.col("_max_order") + 1).alias("_end"),
+            F.coalesce(
+                F.col("_next_in"), F.col("_bnext"), F.col("_max_order") + 1
+            ).alias("_end"),
         )
     )
+
+    # --- lines join intervals on fixed-width order buckets -----------------
     spans = intervals.select(
         "_start",
         "_end",

@@ -33,6 +33,19 @@ FEATURE_SCHEMA = (
 )
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+
+def _looks_like_image(payload: bytes) -> bool:
+    """Magic-byte sniff: only genuine image payloads take the real
+    codec path. The synthetic media_table payloads are text bytes, so
+    catalog results are identical with or without PIL installed; real
+    PNG/JPEG payloads decode for real wherever PIL exists
+    (tests/test_multimodal_codec.py)."""
+    return payload.startswith(PNG_MAGIC) or payload.startswith(JPEG_MAGIC)
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int]:
     """Deterministic stand-in for a real image decode: pseudo-dimensions
     derived from the content digest (same formula as the SQL oracle)."""
@@ -47,7 +60,7 @@ def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     closed and the deterministic fake runs (clearly marked).
     """
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
 
         have_pil = True
     except ImportError:
@@ -59,11 +72,16 @@ def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             pdf["doc_id"], pdf["media_type"], pdf["content"]
         ):
             b = bytes(payload)
-            if have_pil and media_type == "image":
-                # real path (exercised only where PIL exists):
-                # img = Image.open(io.BytesIO(b)); w, h = img.size
-                raise NotImplementedError("real decode path requires PIL test assets")
-            w, h = _fake_decode(b)
+            if have_pil and media_type == "image" and _looks_like_image(b):
+                # real path: exercised by tests/test_multimodal_codec.py
+                # wherever PIL is installed (absent in this container,
+                # so the catalog queries take the deterministic fake)
+                import io
+
+                with Image.open(io.BytesIO(b)) as img:
+                    w, h = img.size
+            else:
+                w, h = _fake_decode(b)
             out.append(
                 (doc_id, media_type, len(b), hashlib.md5(b).hexdigest(), w, h)
             )

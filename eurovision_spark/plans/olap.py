@@ -146,9 +146,9 @@ def above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate)
                 AS BIGINT) AS days_since_prev,
            strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS next_order_date,
-           CAST(ntile(4) OVER wq AS INT) AS price_quartile,
            CAST(CASE WHEN o_totalprice > 1.5 * avg(o_totalprice) OVER wc
-                     THEN 1 ELSE 0 END AS INT) AS above_cust_avg
+                     THEN 1 ELSE 0 END AS INT) AS above_cust_avg,
+           CAST(ntile(4) OVER wq AS INT) AS price_quartile
     FROM orders WHERE o_custkey % 50 = 0
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
            wma AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -179,9 +179,13 @@ def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("days_since_prev"),
         F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd").alias("next_order_date"),
-        F.ntile(4).over(wq).cast("int").alias("price_quartile"),
+        # the two o_custkey windows (w/wma and wc) are kept ADJACENT in
+        # the projection so Catalyst plans them back-to-back over ONE
+        # o_custkey exchange; interleaving the ntile window between them
+        # re-shuffles o_custkey a second time (measured in the plan)
         F.when(F.col("o_totalprice") > 1.5 * F.avg("o_totalprice").over(wc), 1)
         .otherwise(0)
         .cast("int")
         .alias("above_cust_avg"),
+        F.ntile(4).over(wq).cast("int").alias("price_quartile"),
     )

@@ -1,0 +1,107 @@
+"""Both branches of the media decode worker, including the real codec.
+
+The container has no PIL, so the catalog queries run the deterministic
+fake decode (hash-gated against the DuckDB oracle). This test covers
+the codec dispatch itself:
+
+- a genuine PNG fixture, GENERATED here from stdlib zlib (no image
+  library needed to build it), goes down the REAL path wherever PIL is
+  installed and must report its true 3x2 dimensions;
+- the same bytes without PIL — and any non-image payload always —
+  take the deterministic fake, keeping results engine-stable.
+
+The worker functions are plain Arrow-batch callables, so they are
+exercised directly on pandas frames (no Spark session needed): the
+same code object runs under mapInPandas in the catalog queries.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import pandas as pd
+import pytest
+
+from eurovision_spark.operators.multimodal import (
+    _fake_decode,
+    _looks_like_image,
+    decode_media_batch,
+)
+
+WIDTH, HEIGHT = 3, 2
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def make_png(width: int = WIDTH, height: int = HEIGHT) -> bytes:
+    """Minimal valid RGB PNG built from the spec with stdlib only."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    # each scanline: filter byte 0 + width RGB pixels
+    raw = b"".join(b"\x00" + b"\x10\x20\x30" * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_one(payload: bytes):
+    batch = pd.DataFrame(
+        {"doc_id": [1], "media_type": ["image"], "content": [payload]}
+    )
+    (out,) = list(decode_media_batch(iter([batch])))
+    return out.iloc[0]
+
+
+def test_magic_sniff():
+    assert _looks_like_image(make_png())
+    assert _looks_like_image(b"\xff\xd8\xff\xe0jpegish")
+    assert not _looks_like_image(b"plain text payload")
+
+
+def test_text_payload_always_takes_deterministic_fake():
+    payload = b"some synthetic document text"
+    row = _decode_one(payload)
+    w, h = _fake_decode(payload)
+    assert (row["width"], row["height"]) == (w, h)
+    assert row["content_md5"] == hashlib.md5(payload).hexdigest()
+    assert row["n_bytes"] == len(payload)
+
+
+def test_png_payload_real_codec_or_gated_fake():
+    png = make_png()
+    row = _decode_one(png)
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if have_pil:
+        # REAL decode: true dimensions of the generated image
+        assert (row["width"], row["height"]) == (WIDTH, HEIGHT)
+    else:
+        assert (row["width"], row["height"]) == _fake_decode(png)
+    # invariants shared by both branches
+    assert row["content_md5"] == hashlib.md5(png).hexdigest()
+    assert row["n_bytes"] == len(png)
+
+
+def test_real_codec_when_pil_available():
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    with PIL_Image.open(io.BytesIO(make_png())) as img:
+        assert img.size == (WIDTH, HEIGHT)  # fixture sanity
+    row = _decode_one(make_png())
+    assert (row["width"], row["height"]) == (WIDTH, HEIGHT)

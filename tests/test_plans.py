@@ -258,6 +258,34 @@ def test_parse_pipeline_is_jvm_only(spark, tmp_path):
             assert bad not in plan, f"{bad} in {name} plan"
 
 
+def test_parse_pipeline_has_no_data_sized_single_partition_step(spark, tmp_path):
+    """The fill-down anchor window is range-partitioned with a
+    broadcast boundary fix-up (filldown.py): no unpartitioned Window
+    may appear anywhere in the ingest plans, and every remaining
+    SinglePartition exchange must be the final stage of a scalar
+    aggregate (one row per map partition — bounded by the cluster,
+    not the data)."""
+    from eurovision_spark.operators.parse import parse_registry
+    from tools.gen_registry import write_registry
+
+    fix = str(tmp_path / "plan_fixture2.txt")
+    write_registry(fix, 30)
+    for name, df in parse_registry(spark, fix).items():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "SinglePartition" not in ln:
+                continue
+            ctx = "\n".join(lines[max(0, i - 8) : i])
+            assert "partial_" in ctx, (
+                f"non-aggregate SinglePartition exchange in {name} plan "
+                f"(an unpartitioned window would look like this):\n{ctx}"
+            )
+
+
 def test_sql_view_surface_matches_dataframe(spark):
     """register_views exposes the same tables to spark.sql — the P6
     free-text predicate surface runs through the analyzer, not string

@@ -153,3 +153,38 @@ def test_fuzzy_merge_order_properties(spark, rows, seed):
     got = run(relabeled)
     assert [(t, p) for t, p, _ in got] == [(t, p) for t, p, _ in base]
     assert len(got) == len(base)
+
+
+# --- fill_down: range-partitioned anchors == naive global window -----------
+
+FILLDOWN_CASES = st.lists(
+    st.tuples(st.integers(0, 500), st.booleans()), min_size=1, max_size=60, unique_by=lambda t: t[0]
+)
+
+
+@given(rows=FILLDOWN_CASES, bucket=st.sampled_from([1, 7, 64]))
+@PROP_SETTINGS
+def test_fill_down_equals_naive_global_window(spark, rows, bucket):
+    """The bucketed + boundary-fixed-up fill_down must equal the naive
+    single-partition `last(ignorenulls) OVER (ORDER BY line)` for any
+    anchor placement, including none, all, and bucket-boundary anchors."""
+    from pyspark.sql import Window as W
+
+    from eurovision_spark.operators.filldown import fill_down
+
+    df = spark.createDataFrame(
+        [(ln, f"v{ln}" if is_anchor else None) for ln, is_anchor in rows],
+        "line_no long, anchor string",
+    ).repartition(4)
+    got = {
+        r["line_no"]: r["filled"]
+        for r in fill_down(df, "line_no", "anchor", "filled", bucket=bucket).collect()
+    }
+    w = W.orderBy("line_no").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = {
+        r["line_no"]: r["filled"]
+        for r in df.withColumn(
+            "filled", F.last("anchor", ignorenulls=True).over(w)
+        ).collect()
+    }
+    assert got == want
