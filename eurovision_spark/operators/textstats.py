@@ -488,15 +488,27 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(regexp_extract_all(lower(text), '{BPE_ISH}')) AS BIGINT)
                AS n_bpe_tokens,
            round(CAST(len(regexp_extract_all(lower(text), '{BPE_ISH}')) AS DOUBLE)
-                 / len(wtoks), 4) AS fertility
+                 / len(wtoks), 4) AS fertility,
+           round(CASE WHEN len(toks) >= 2 THEN
+                 1.0 - CAST(len(list_distinct(list_transform(
+                           generate_series(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+                     / (len(toks) - 1)
+                 ELSE 0.0 END, 4) AS dup_2gram_frac,
+           round(CAST(list_max(list_transform(list_distinct(toks),
+                     w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE)
+                 / len(toks), 4) AS top_word_ratio
     FROM t
     """,
     "consolidated per-document text profile: token_stats + lang_guess + "
     "quality_score + fingerprint + bpe_token_count column-for-column in "
     "ONE scan (the driver-facing certification twin of those five "
-    "catalog entries). Still a pure per-row map — no shuffle, one pass "
-    "over the corpus, which is exactly how a production profiler runs "
-    "these together at 100 TB.",
+    "catalog entries), plus the two repetition quality gates every "
+    "pretraining filter runs (Rae et al. 2021 'MassiveText' rules): "
+    "dup_2gram_frac (fraction of duplicate word bigrams) and "
+    "top_word_ratio (most-frequent-token share). Still a pure per-row "
+    "map — no shuffle, one pass over the corpus, which is exactly how a "
+    "production profiler runs these together at 100 TB.",
 )
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
@@ -509,6 +521,10 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tech = F.size(F.array_intersect(dtoks, tech_m))
     stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(en_m, x)))
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
     tok_hashes = F.transform(toks, lambda w: md5_long(w) % F.lit(1000000007))
     rolling = F.aggregate(
         tok_hashes,
@@ -536,6 +552,25 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolling.cast("bigint").alias("rolling_hash"),
         bpe.alias("n_bpe_tokens"),
         F.round(bpe.cast("double") / ws, 4).alias("fertility"),
+        F.round(
+            F.when(
+                F.size(toks) >= 2,
+                1.0
+                - F.size(F.array_distinct(bigrams)).cast("double")
+                / (F.size(toks) - 1),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("dup_2gram_frac"),
+        F.round(
+            F.array_max(
+                F.transform(
+                    dtoks,
+                    lambda w: F.size(F.filter(toks, lambda x: x == w)),
+                )
+            ).cast("double")
+            / F.size(toks),
+            4,
+        ).alias("top_word_ratio"),
     )
 
 

@@ -5,7 +5,12 @@ compares row count, sorted column names, and an order-insensitive
 value hash (rows canonicalized to strings, column-name-sorted, row
 multiset hashed). Prints one line per query + a summary.
 
-Usage: python tools/verify_local.py [sf_dir] [query ...]
+Usage: python tools/verify_local.py [--bare] [--driver-only] [sf_dir] [query ...]
+
+--bare: build a DEFAULT SparkSession (no engine configs) instead of
+get_spark — exactly the driver harness's environment. --driver-only:
+verify only the driver-facing surface (QuerySpec.driver). Together they
+replicate the driver's CORRECTNESS run.
 """
 
 from __future__ import annotations
@@ -53,13 +58,27 @@ def table_hash(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:]]
+    bare = "--bare" in args
+    driver_only = "--driver-only" in args
+    args = [a for a in args if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
-    from eurovision_spark import get_spark
     from eurovision_spark.catalog import registry
 
-    spark = get_spark("verify_local")
+    if bare:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("verify_bare")
+            .getOrCreate()
+        )
+    else:
+        from eurovision_spark import get_spark
+
+        spark = get_spark("verify_local")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -70,6 +89,8 @@ def main() -> int:
     failures = []
     for name, spec in sorted(specs.items()):
         if only and name not in only:
+            continue
+        if driver_only and not spec.driver:
             continue
         t0 = time.time()
         try:
