@@ -95,7 +95,9 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a media table from documents: text bytes as the opaque
     payload (the container has no real image fixtures; TESTDATA.md)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    return d.select(
+    # spread the (unsplittable-locally) source so the Arrow decode
+    # workers run on every core, not one
+    return d.repartition(d.sparkSession.sparkContext.defaultParallelism).select(
         "doc_id",
         F.lit("image").alias("media_type"),
         F.encode("text", "UTF-8").alias("content"),

@@ -457,6 +457,29 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _max_run_length(sorted_arr: Column) -> Column:
+    """Longest equal-run in a sorted array = the max element frequency,
+    via ONE O(n) fold (the naive per-distinct-token count is O(n·k) and
+    measured 30x slower at sf0.1). The oracle states the naive form —
+    engines only need equal VALUES, not equal algorithms."""
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    return F.aggregate(
+        sorted_arr,
+        init,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+
+
 @register(
     "doc_profile",
     f"""
@@ -511,7 +534,17 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     "production profiler runs these together at 100 TB.",
 )
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    # Spread the compute: the source can arrive in few coarse splits
+    # (single row group locally; unsplittable files on a cluster) while
+    # this query evaluates EVERY heavy per-row expression (md5 per
+    # token, bigram sets, run-length folds). One round-robin exchange
+    # of the narrow input unlocks full parallelism — measured 6.7s ->
+    # 0.6s at sf0.1. The map itself stays shuffle-free.
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     wtoks = tokens(F.col("text"))
     toks = tokens(F.lower(F.col("text")))
     dtoks = F.array_distinct(toks)
@@ -562,13 +595,7 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dup_2gram_frac"),
         F.round(
-            F.array_max(
-                F.transform(
-                    dtoks,
-                    lambda w: F.size(F.filter(toks, lambda x: x == w)),
-                )
-            ).cast("double")
-            / F.size(toks),
+            _max_run_length(F.array_sort(toks)).cast("double") / F.size(toks),
             4,
         ).alias("top_word_ratio"),
     )

@@ -304,3 +304,34 @@ def test_sql_view_surface_matches_dataframe(spark):
         .count()
     )
     assert via_sql == via_df > 0
+
+
+def test_doc_profile_and_media_profile_map_is_shuffle_free(spark):
+    """The consolidated per-document twins stay pure per-row maps: the
+    ONLY exchange allowed is the round-robin input spread (needed when
+    the source arrives as one coarse split) — never a hash/range
+    shuffle introduced by the merged expressions themselves."""
+    for name in ("doc_profile", "media_profile"):
+        plan = plan_of(spark, name)
+        assert "hashpartitioning" not in plan, name
+        assert "rangepartitioning" not in plan, name
+        assert plan.count("RoundRobinPartitioning") <= 1, name
+
+
+def test_window_suite_shares_custkey_exchange(spark):
+    """Six window functions over two partition keys = exactly two hash
+    exchanges; the two o_custkey windows must NOT re-shuffle."""
+    plan = plan_of(spark, "window_suite")
+    assert plan.count("hashpartitioning(o_custkey") == 1, plan
+    assert plan.count("hashpartitioning(o_orderpriority") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_cosine_ivf_codebook_is_broadcast_not_collected(spark):
+    """The codebook rides a BroadcastExchange (one array row) and the
+    corpus-side scan appears exactly twice (cells + probes); no
+    cartesian product, no global sort of the corpus."""
+    plan = plan_of(spark, "cosine_ivf")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # the bounded codebook top-k

@@ -17,8 +17,8 @@ pairs found (recall 1.0 at cosine >= 0.999).
 
 Measured on sf0.01 (500 vecs, 10 probes) for reference:
 hamming<=0 -> recall .08 w/ 37 candidates; <=1 -> .20 w/ 223;
-<=2 -> .46 w/ 837; exhaustive = 4990 candidates. IVF nprobe=1,
-k=64 -> recall .10 at ~1/64 sampling rate.
+<=2 -> .46 w/ 837; exhaustive = 4990 candidates. IVF k=64:
+nprobe=1 -> recall .10; nprobe=2 (shipped) -> .18 at ~2/64 sampling.
 """
 
 from __future__ import annotations
