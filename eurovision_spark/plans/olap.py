@@ -146,6 +146,7 @@ def above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate)
                 AS BIGINT) AS days_since_prev,
            strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS next_order_date,
+           round(sum(o_totalprice) OVER wr, 4) AS rev_30d,
            CAST(CASE WHEN o_totalprice > 1.5 * avg(o_totalprice) OVER wc
                      THEN 1 ELSE 0 END AS INT) AS above_cust_avg,
            CAST(ntile(4) OVER wq AS INT) AS price_quartile
@@ -153,11 +154,16 @@ def above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
            wma AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+           wr AS (PARTITION BY o_custkey
+                  ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW),
            wq AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
            wc AS (PARTITION BY o_custkey)
     """,
-    "the full analytic-window inventory in one pass — bounded-frame "
-    "moving average, rank, lag-difference, lead, ntile bucketing, and "
+    "the full analytic-window inventory in one pass — bounded ROWS-"
+    "frame moving average, rank, lag-difference, lead, a value-based "
+    "RANGE frame (trailing-30-day revenue: frame membership by ORDER "
+    "value, not row count — ties share frames), ntile bucketing, and "
     "the decorrelated above-partition-average flag (the driver-facing "
     "certification twin of moving_avg_price / order_gaps / "
     "ntile_quartiles / above_customer_avg, same expressions). All "
@@ -168,6 +174,9 @@ def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     wma = w.rowsBetween(-2, 0)
+    # RANGE frame needs a numeric order key: days since epoch
+    days = F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1970-01-01")))
+    wr = W.partitionBy("o_custkey").orderBy(days).rangeBetween(-30, 0)
     wq = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     wc = W.partitionBy("o_custkey")
     return o.select(
@@ -179,6 +188,7 @@ def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("days_since_prev"),
         F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd").alias("next_order_date"),
+        F.round(F.sum("o_totalprice").over(wr), 4).alias("rev_30d"),
         # the two o_custkey windows (w/wma and wc) are kept ADJACENT in
         # the projection so Catalyst plans them back-to-back over ONE
         # o_custkey exchange; interleaving the ntile window between them
