@@ -53,6 +53,43 @@ def _fake_decode(payload: bytes) -> tuple[int, int]:
     return h % 1920, h % 1080
 
 
+def _decode_dims(payload: bytes, media_type: str, have_pil: bool) -> tuple[int, int]:
+    """Dimensions for one payload: real PIL decode for genuine image
+    bytes when PIL exists, deterministic fake otherwise. A payload that
+    passes the magic sniff but fails to decode (truncated/corrupt file)
+    falls back to the fake instead of killing the whole query — one bad
+    row must never fail a 100 TB scan."""
+    if have_pil and media_type == "image" and _looks_like_image(payload):
+        import io
+
+        from PIL import Image
+
+        try:
+            with Image.open(io.BytesIO(payload)) as img:
+                return img.size
+        except Exception:  # truncated/corrupt image: degrade, don't die
+            return _fake_decode(payload)
+    return _fake_decode(payload)
+
+
+def _resize_geometry(w: int, h: int) -> tuple[int, int, int, int, float]:
+    """Aspect-preserving thumbnail plan shared by every worker:
+    (clamped_w, clamped_h, out_w, out_h, scale)."""
+    rw, rh = max(w, 1), max(h, 1)
+    scale = min(TARGET_W / rw, TARGET_H / rh, 1.0)
+    return rw, rh, int(rw * scale), int(rh * scale), scale
+
+
+def _frame_slices(payload: bytes) -> list[tuple[int, int, str]]:
+    """N evenly-spaced frame fingerprints: (idx, offset, md5)."""
+    n = max(len(payload), 1)
+    step = n // N_FRAMES
+    return [
+        (i, i * step, hashlib.md5(payload[i * step : i * step + max(step, 1)]).hexdigest())
+        for i in range(N_FRAMES)
+    ]
+
+
 def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: one Arrow batch in, one feature batch out.
 
@@ -60,7 +97,7 @@ def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     closed and the deterministic fake runs (clearly marked).
     """
     try:
-        from PIL import Image
+        from PIL import Image  # noqa: F401
 
         have_pil = True
     except ImportError:
@@ -72,16 +109,7 @@ def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             pdf["doc_id"], pdf["media_type"], pdf["content"]
         ):
             b = bytes(payload)
-            if have_pil and media_type == "image" and _looks_like_image(b):
-                # real path: exercised by tests/test_multimodal_codec.py
-                # wherever PIL is installed (absent in this container,
-                # so the catalog queries take the deterministic fake)
-                import io
-
-                with Image.open(io.BytesIO(b)) as img:
-                    w, h = img.size
-            else:
-                w, h = _fake_decode(b)
+            w, h = _decode_dims(b, media_type, have_pil)
             out.append(
                 (doc_id, media_type, len(b), hashlib.md5(b).hexdigest(), w, h)
             )
@@ -147,10 +175,7 @@ def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
             b = bytes(payload)
-            w, h = _fake_decode(b)
-            w, h = max(w, 1), max(h, 1)
-            scale = min(TARGET_W / w, TARGET_H / h, 1.0)
-            ow, oh = int(w * scale), int(h * scale)
+            w, h, ow, oh, scale = _resize_geometry(*_fake_decode(b))
             out.append((doc_id, w, h, ow, oh, round(scale, 6), int(len(b) * scale * scale)))
         yield pd.DataFrame(
             out,
@@ -209,12 +234,8 @@ def sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         out = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
             b = bytes(payload)
-            n = max(len(b), 1)
-            step = n // N_FRAMES
-            for i in range(N_FRAMES):
-                off = i * step
-                sl = b[off : off + max(step, 1)]
-                out.append((doc_id, i, off, hashlib.md5(sl).hexdigest()))
+            for i, off, md5 in _frame_slices(b):
+                out.append((doc_id, i, off, md5))
         yield pd.DataFrame(
             out, columns=["doc_id", "frame_idx", "frame_offset", "frame_md5"]
         )
@@ -261,25 +282,26 @@ PROFILE_SCHEMA = (
 
 def media_profile_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: one decode per payload feeds features, resize
-    plan, and frame fingerprints (same deterministic codec stand-in as
-    the individual workers; frames joined to a comma string so the
-    output stays one row per payload)."""
+    plan, and frame fingerprints (same codec dispatch as the individual
+    workers — real PIL for genuine image bytes, deterministic fake
+    otherwise; frames joined to a comma string so the output stays one
+    row per payload)."""
+    try:
+        from PIL import Image  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
     for pdf in batches:
         out = []
         for doc_id, media_type, payload in zip(
             pdf["doc_id"], pdf["media_type"], pdf["content"]
         ):
             b = bytes(payload)
-            w, h = _fake_decode(b)
-            rw, rh = max(w, 1), max(h, 1)
-            scale = min(TARGET_W / rw, TARGET_H / rh, 1.0)
-            n = max(len(b), 1)
-            step = n // N_FRAMES
-            offs, md5s = [], []
-            for i in range(N_FRAMES):
-                off = i * step
-                offs.append(str(off))
-                md5s.append(hashlib.md5(b[off : off + max(step, 1)]).hexdigest())
+            w, h = _decode_dims(b, media_type, have_pil)
+            _, _, ow, oh, scale = _resize_geometry(w, h)
+            frames = _frame_slices(b)
             out.append(
                 (
                     doc_id,
@@ -288,12 +310,12 @@ def media_profile_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                     hashlib.md5(b).hexdigest(),
                     w,
                     h,
-                    int(rw * scale),
-                    int(rh * scale),
+                    ow,
+                    oh,
                     round(scale, 6),
                     int(len(b) * scale * scale),
-                    ",".join(offs),
-                    ",".join(md5s),
+                    ",".join(str(off) for _, off, _ in frames),
+                    ",".join(md5 for _, _, md5 in frames),
                 )
             )
         yield pd.DataFrame(
