@@ -105,3 +105,14 @@ def test_real_codec_when_pil_available():
         assert img.size == (WIDTH, HEIGHT)  # fixture sanity
     row = _decode_one(make_png())
     assert (row["width"], row["height"]) == (WIDTH, HEIGHT)
+
+
+def test_corrupt_image_payload_degrades_to_fake_never_raises():
+    """Magic bytes + garbage body: with PIL the decode fails and must
+    fall back to the deterministic fake (one bad row never kills a
+    scan); without PIL the sniffed payload takes the fake directly.
+    Either way the row comes back with the fake dimensions."""
+    corrupt = b"\x89PNG\r\n\x1a\n" + b"this is not a real png body"
+    row = _decode_one(corrupt)
+    assert (row["width"], row["height"]) == _fake_decode(corrupt)
+    assert row["n_bytes"] == len(corrupt)
