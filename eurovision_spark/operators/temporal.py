@@ -14,9 +14,12 @@ needs and the reference cannot express:
   formulation: a sort-merge of both streams in a single window pass,
   vs the naive per-left-row subquery.
 
-``events.ts`` arrives as nanosecond epoch longs in Spark (TIMESTAMP
-NANOS parquet read with nanosAsLong, see session.py); ordering and gap
-arithmetic are identical to DuckDB's native timestamps.
+Time axis: every operator here consumes the canonical epoch-µs bigint
+``ts_us`` column from ``sources.load_events`` (timeaxis.py) — the
+producer may write TIMESTAMP(NANOS), TIMESTAMP(MICROS), or raw bigint
+ns, and the normalization happens once at the source. Gap/duration
+arithmetic in µs matches DuckDB's native TIMESTAMP resolution, so the
+oracles' ``epoch_us``/INTERVAL expressions line up exactly.
 """
 
 from __future__ import annotations
@@ -25,9 +28,8 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from eurovision_spark.catalog import register
-from eurovision_spark.sources import load_table
-
-SESSION_GAP_NS = 60 * 60 * 1_000_000_000  # 60 min
+from eurovision_spark.sources import load_events
+from eurovision_spark.timeaxis import SESSION_GAP_US
 
 
 @register(
@@ -56,11 +58,11 @@ SESSION_GAP_NS = 60 * 60 * 1_000_000_000  # 60 min
     driver=False,  # driver gate: certified via session_stats (same window)
 )
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
     wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    gap = F.col("ts") - F.lag("ts").over(w)
-    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_NS), 1).otherwise(0)
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
     return ev.select(
         "event_id",
         "user_id",
@@ -87,18 +89,18 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "inclusive bound.",
 )
 def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_events(spark, sf_dir)
     u = ev.filter(F.col("event_type").isin("click", "error")).select(
         "event_id",
         "user_id",
-        "ts",
+        "ts_us",
         "event_type",
         # 0 sorts the right stream first on ts ties -> inclusive <=
         F.when(F.col("event_type") == "error", 0).otherwise(1).alias("side"),
     )
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "side", "event_id")
+        .orderBy("ts_us", "side", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     filled = u.withColumn(
@@ -157,18 +159,19 @@ CAMPAIGN_DAYS = 3
     "the oracle states the plain overlap predicate.",
 )
 def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
     wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    gap = F.col("ts") - F.lag("ts").over(w)
-    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_NS), 1).otherwise(0)
-    # ns -> us BEFORE min/max (DuckDB's epoch_us sees us-truncated values)
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    # ts_us is already the µs DuckDB's epoch_us sees, whatever the
+    # parquet physical type (ns reads are truncated the same way)
     sessions = (
-        ev.select("user_id", "ts", F.sum(is_new).over(wrun).cast("bigint").alias("session_id"))
+        ev.select("user_id", "ts_us", F.sum(is_new).over(wrun).cast("bigint").alias("session_id"))
         .groupBy("user_id", "session_id")
         .agg(
-            F.min(F.expr("ts div 1000")).alias("s_start"),
-            F.max(F.expr("ts div 1000")).alias("s_end"),
+            F.min("ts_us").alias("s_start"),
+            F.max("ts_us").alias("s_end"),
         )
     )
     camps = spark.range(N_CAMPAIGNS).select(
@@ -222,24 +225,22 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregation — same key, no extra shuffle).",
 )
 def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
     wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    gap = F.col("ts") - F.lag("ts").over(w)
-    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_NS), 1).otherwise(0)
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
     s = ev.select(
         "user_id",
-        "ts",
+        "ts_us",
         "value",
         F.sum(is_new).over(wrun).cast("bigint").alias("session_id"),
     )
     return s.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
-        # truncate ns -> us BEFORE subtracting: DuckDB reads TIMESTAMP
-        # (NANOS) parquet truncated to us, so floor(a/1000)-floor(b/1000),
-        # not floor((a-b)/1000) — off by one when ns fractions differ
-        (F.max(F.expr("ts div 1000")) - F.min(F.expr("ts div 1000")))
-        .cast("bigint")
-        .alias("duration_us"),
+        # ts_us is truncated to µs BEFORE subtraction (DuckDB reads any
+        # ns parquet truncated to µs, so floor(a)-floor(b), never
+        # floor(a-b) — off by one when sub-µs fractions differ)
+        (F.max("ts_us") - F.min("ts_us")).cast("bigint").alias("duration_us"),
         F.round(F.sum("value"), 2).alias("value_sum"),
     )

@@ -38,10 +38,10 @@ def get_spark(app_name: str = "eurovision_spark", cpus: int | None = None) -> Sp
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # events.parquet carries TIMESTAMP(NANOS); read as long (ns since
-        # epoch) — ordering is preserved, and we avoid raw timestamps in
-        # query outputs anyway (catalog.py conventions).
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # NOTE: no nanosAsLong here — events.ts's physical type is
+        # producer-controlled, so timeaxis.ensure_readable probes the
+        # parquet footer and sets that legacy conf only when the data
+        # actually carries TIMESTAMP(NANOS).
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

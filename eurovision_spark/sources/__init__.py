@@ -1,3 +1,9 @@
-from eurovision_spark.sources.tables import TABLES, load_table, load_tables, register_views
+from eurovision_spark.sources.tables import (
+    TABLES,
+    load_events,
+    load_table,
+    load_tables,
+    register_views,
+)
 
-__all__ = ["TABLES", "load_table", "load_tables", "register_views"]
+__all__ = ["TABLES", "load_events", "load_table", "load_tables", "register_views"]

@@ -13,6 +13,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from eurovision_spark.timeaxis import ensure_readable, with_ts_us
+
 TABLES = (
     "region",
     "nation",
@@ -30,13 +32,22 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet is written with INT64 TIMESTAMP(NANOS); a default
-    # SparkSession (e.g. the driver harness's) refuses it with
-    # PARQUET_TYPE_ILLEGAL unless this legacy conf is on.  It is
-    # runtime-settable and idempotent, so set it here instead of relying
-    # on session.get_spark having built the session.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts's physical type is producer-controlled (TIMESTAMP NANOS
+    # needs the nanosAsLong legacy conf or a default session — e.g. the
+    # driver harness's — refuses it with PARQUET_TYPE_ILLEGAL; MICROS
+    # needs nothing). Probe the footer and set the conf only when the
+    # data actually demands it (timeaxis.ensure_readable).
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        ensure_readable(spark, path)
+    return spark.read.parquet(path)
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with the canonical epoch-µs bigint ``ts_us`` column
+    appended — the ONLY time axis temporal/streaming operators consume
+    (see timeaxis.py for the dtype contract)."""
+    return with_ts_us(load_table(spark, sf_dir, "events"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -29,6 +29,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from eurovision_spark.operators.parse import number_lines, parse_registry_lines
+from eurovision_spark.timeaxis import (
+    SESSION_GAP_US,
+    event_ts_col,
+    stream_events_source,
+    ts_us_col,
+)
 
 
 def stream_registry_ingest(
@@ -75,10 +81,10 @@ def stream_events_rollup(
 ) -> StreamingQuery:
     """Watermarked 1-hour tumbling rollup of the events stream
     (counts + value sums per event_type), 10-minute late-data bound."""
-    schema = spark.read.parquet(events_dir).schema
-    stream = spark.readStream.schema(schema).parquet(events_dir)
-    # events.ts arrives as ns-since-epoch (session nanosAsLong); convert
-    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    stream = stream_events_source(spark, events_dir)
+    # dtype-adaptive: ns-bigint or timestamp(_ntz) ts both land on the
+    # same µs-resolution TIMESTAMP axis (timeaxis.event_ts_col)
+    ts = event_ts_col(stream.schema["ts"].dataType, spark)
     agg = (
         stream.withColumn("event_ts", ts)
         .withWatermark("event_ts", "10 minutes")
@@ -99,15 +105,12 @@ def stream_events_rollup(
     )
 
 
-SESSION_GAP_NS = 60 * 60 * 1_000_000_000  # match operators/temporal.py
-
-
 def stream_sessionize(
     spark: SparkSession,
     events_dir: str,
     checkpoint_dir: str,
     query_name: str = "stream_sessions",
-    gap_ns: int = SESSION_GAP_NS,
+    gap_us: int = SESSION_GAP_US,
 ) -> StreamingQuery:
     """Custom stateful streaming operator: per-user gap sessionization
     via ``applyInPandasWithState`` (SURVEY §2.9 / M5: the reference's
@@ -126,8 +129,12 @@ def stream_sessionize(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    schema = spark.read.parquet(events_dir).schema
-    stream = spark.readStream.schema(schema).parquet(events_dir)
+    raw = stream_events_source(spark, events_dir)
+    # normalize to canonical µs BEFORE the stateful operator so state
+    # (a bigint) is dtype-independent
+    stream = raw.withColumn(
+        "ts_us", ts_us_col(raw.schema["ts"].dataType, spark)
+    ).select("user_id", "ts_us")
 
     def update(key, pdfs, state: GroupState):  # noqa: ANN001
         (user_id,) = key
@@ -135,8 +142,8 @@ def stream_sessionize(
             state.get if state.exists else (None, 0, 0)
         )
         for pdf in pdfs:
-            for ts in sorted(int(t) for t in pdf["ts"]):
-                if last_ts is None or ts - last_ts > gap_ns:
+            for ts in sorted(int(t) for t in pdf["ts_us"]):
+                if last_ts is None or ts - last_ts > gap_us:
                     n_sessions += 1
                 last_ts = ts
             n_events += len(pdf)
@@ -175,11 +182,10 @@ def stream_dedup_events(
     state: keys older than 1 hour of event time are expired instead of
     accumulating forever — the piece that makes dedup state O(window)
     instead of O(stream) at scale."""
-    schema = spark.read.parquet(events_dir).schema
-    stream = spark.readStream.schema(schema).parquet(events_dir)
+    stream = stream_events_source(spark, events_dir)
     deduped = (
         stream.withColumn(
-            "event_ts", F.timestamp_micros(F.expr("ts div 1000"))
+            "event_ts", event_ts_col(stream.schema["ts"].dataType, spark)
         )
         .withWatermark("event_ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
@@ -209,27 +215,24 @@ def stream_click_error_join(
     stream-stream join runnable forever at scale. State is
     hash-partitioned on user_id, the same exchange shape as the batch
     twin (an as-of/interval join, operators/temporal.py)."""
-    schema = spark.read.parquet(events_dir).schema
-    ts_us = F.timestamp_micros(F.expr("ts div 1000"))
+    base = stream_events_source(spark, events_dir)
+    ts_ev = event_ts_col(base.schema["ts"].dataType, spark)
     clicks = (
-        spark.readStream.schema(schema)
-        .parquet(events_dir)
-        .filter(F.col("event_type") == "click")
+        base.filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
             "user_id",
-            ts_us.alias("click_ts"),
+            ts_ev.alias("click_ts"),
         )
         .withWatermark("click_ts", "1 hour")
     )
     errors = (
-        spark.readStream.schema(schema)
-        .parquet(events_dir)
+        stream_events_source(spark, events_dir)
         .filter(F.col("event_type") == "error")
         .select(
             F.col("event_id").alias("err_id"),
             F.col("user_id").alias("err_user"),
-            ts_us.alias("err_ts"),
+            ts_ev.alias("err_ts"),
         )
         .withWatermark("err_ts", "1 hour")
     )
@@ -262,9 +265,8 @@ def stream_session_rollup(
     and late-event merging come for free; the custom stateful operator
     remains for logic session_window can't express (e.g. counters that
     never expire)."""
-    schema = spark.read.parquet(events_dir).schema
-    stream = spark.readStream.schema(schema).parquet(events_dir)
-    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    stream = stream_events_source(spark, events_dir)
+    ts = event_ts_col(stream.schema["ts"].dataType, spark)
     agg = (
         stream.withColumn("event_ts", ts)
         .withWatermark("event_ts", "1 hour")

@@ -71,9 +71,11 @@ def test_stream_events_rollup(spark, sf_dir, tmp_path):
     # cross-check one bucket against a batch aggregation
     from pyspark.sql import functions as F
 
-    ev = spark.read.parquet(str(events_dir))
+    from eurovision_spark.timeaxis import event_ts_col, load_events_dir
+
+    ev = load_events_dir(spark, str(events_dir))
     batch = (
-        ev.withColumn("event_ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        ev.withColumn("event_ts", event_ts_col(ev.schema["ts"].dataType, spark))
         .groupBy(F.window("event_ts", "1 hour"), "event_type")
         .agg(F.count("*").alias("n"))
         .count()
@@ -89,11 +91,14 @@ def test_stream_sessionize_state_carries_across_batches(spark, sf_dir, tmp_path)
     from pyspark.sql import functions as F
 
     from eurovision_spark.streaming.ingest import stream_sessionize
+    from eurovision_spark.timeaxis import load_events_dir, with_ts_us
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    median_ts = ev.approxQuantile("ts", [0.5], 0.01)[0]
-    first_half = ev.filter(F.col("ts") <= median_ts)
-    second_half = ev.filter(F.col("ts") > median_ts)
+    # split on the canonical µs axis (raw ts may be bigint ns or
+    # timestamp; approxQuantile needs a numeric column either way)
+    ev = with_ts_us(load_events_dir(spark, f"{sf_dir}/events.parquet"))
+    median_ts = ev.approxQuantile("ts_us", [0.5], 0.01)[0]
+    first_half = ev.filter(F.col("ts_us") <= median_ts).drop("ts_us")
+    second_half = ev.filter(F.col("ts_us") > median_ts).drop("ts_us")
 
     events_dir = tmp_path / "events"
     events_dir.mkdir()
@@ -165,7 +170,9 @@ def test_stream_dedup_events_drops_replayed_batch(spark, sf_dir, tmp_path):
         total = spark.sql("SELECT count(*) FROM t_dedup").first()[0]
     finally:
         q.stop()
-    src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    from eurovision_spark.timeaxis import load_events_dir
+
+    src = load_events_dir(spark, f"{sf_dir}/events.parquet").count()
     assert n1 == src
     assert n2 == src
     assert total == src  # replayed rows were all dropped
@@ -193,22 +200,24 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path):
     finally:
         q.stop()
 
-    ev = spark.read.parquet(str(events_dir))
+    from eurovision_spark.timeaxis import load_events_dir, with_ts_us
+
+    ev = with_ts_us(load_events_dir(spark, str(events_dir)))
     clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts_us").alias("click_ts")
     )
     errors = ev.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("err_id"), F.col("user_id").alias("err_user"),
-        F.col("ts").alias("err_ts"),
+        F.col("ts_us").alias("err_ts"),
     )
-    win_ns = 30 * 60 * 1_000_000_000
+    win_us = 30 * 60 * 1_000_000
     expect = {
         (r.click_id, r.err_id)
         for r in clicks.join(
             errors,
             (F.col("user_id") == F.col("err_user"))
             & (F.col("err_ts") <= F.col("click_ts"))
-            & (F.col("err_ts") >= F.col("click_ts") - win_ns),
+            & (F.col("err_ts") >= F.col("click_ts") - win_us),
         ).collect()
     }
     assert got == expect
