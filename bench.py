@@ -67,22 +67,30 @@ def main() -> None:
     # amortizes to nothing over a 100 TB run; the second (warm) is the
     # steady-state engine time that actually scales with data. Both are
     # reported; "value" is the warm total.
+    # Fault isolation: one broken query must not erase the performance
+    # signal for the other 20 (round 3 lost the entire bench to a single
+    # AnalysisException). Each query is try/except'd; failures land in
+    # "errors" and the totals cover whatever ran.
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = specs[name].fn
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        cold[name] = round(time.time() - t0, 3)
-        # steady state = best of two post-compilation runs (single runs
-        # swing ~20% on a shared box; min is the standard steady-state
-        # estimator and stays honest: nothing is cached between runs)
-        runs = []
-        for _ in range(2):
+        try:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.time() - t0)
-        warm[name] = round(min(runs), 3)
+            cold[name] = round(time.time() - t0, 3)
+            # steady state = best of two post-compilation runs (single runs
+            # swing ~20% on a shared box; min is the standard steady-state
+            # estimator and stays honest: nothing is cached between runs)
+            runs = []
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.time() - t0)
+            warm[name] = round(min(runs), 3)
+        except Exception as exc:  # noqa: BLE001 — report, keep benching
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     # Ingest throughput: the reference's primary workload (scan.py over
     # the ~2 GB dump) measured on a synthetic registry at 20k trials /
@@ -91,35 +99,39 @@ def main() -> None:
     from tools.gen_registry import write_registry
 
     fixture = "/tmp/spark_graft_registry_20k.txt"
-    if not os.path.exists(fixture):
-        n_lines = write_registry(fixture, 20000)
-    else:
-        with open(fixture, "rb") as fh:
-            n_lines = sum(1 for _ in fh)
-    # drop anything the query section left cached so the parse runs
-    # against a clean heap (its own lines cache is the one that matters)
-    spark.catalog.clearCache()
-    t0 = time.time()
-    for df in parse_registry(spark, fixture).values():
-        df.write.format("noop").mode("overwrite").save()
-    parse_sec = round(time.time() - t0, 3)
+    parse_sec = None
+    n_lines = 0
+    try:
+        if not os.path.exists(fixture):
+            n_lines = write_registry(fixture, 20000)
+        else:
+            with open(fixture, "rb") as fh:
+                n_lines = sum(1 for _ in fh)
+        # drop anything the query section left cached so the parse runs
+        # against a clean heap (its own lines cache is the one that matters)
+        spark.catalog.clearCache()
+        t0 = time.time()
+        for df in parse_registry(spark, fixture).values():
+            df.write.format("noop").mode("overwrite").save()
+        parse_sec = round(time.time() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["_parse_registry"] = f"{type(exc).__name__}: {exc}"[:500]
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(warm.values()), 3),
-                "unit": "sec",
-                "queries": warm,
-                "cold_queries": cold,
-                "cold_total": round(sum(cold.values()), 3),
-                "parse_lines": n_lines,
-                "parse_sec": parse_sec,
-                "parse_lines_per_sec": round(n_lines / parse_sec),
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(warm.values()), 3),
+        "unit": "sec",
+        "queries": warm,
+        "cold_queries": cold,
+        "cold_total": round(sum(cold.values()), 3),
+        "parse_lines": n_lines,
+        "parse_sec": parse_sec,
+        "parse_lines_per_sec": round(n_lines / parse_sec) if parse_sec else None,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
