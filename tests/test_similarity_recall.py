@@ -17,8 +17,10 @@ pairs found (recall 1.0 at cosine >= 0.999).
 
 Measured on sf0.01 (500 vecs, 10 probes) for reference:
 hamming<=0 -> recall .08 w/ 37 candidates; <=1 -> .20 w/ 223;
-<=2 -> .46 w/ 837; exhaustive = 4990 candidates. IVF k=64:
-nprobe=1 -> recall .10; nprobe=2 (shipped) -> .18 at ~2/64 sampling.
+<=2 -> .46 w/ 837; exhaustive = 4990 candidates. IVF with the k-means
+codebook (k=64, Lloyd on the md5 sample): nprobe=1 -> .12,
+nprobe=2 -> .22, nprobe=8 (shipped) -> ~.64 at ~61 candidates/probe —
+vs .18 for the former hash-selected codebook at nprobe=2.
 """
 
 from __future__ import annotations
@@ -91,9 +93,10 @@ def test_multiprobe_improves_recall_at_bounded_cost(spark):
 def test_ivf_beats_its_sampling_rate(spark):
     exact = _neighbor_sets(registry()["cosine_topk"].fn(spark, SF_DIR))
     ivf = _neighbor_sets(registry()["cosine_ivf"].fn(spark, SF_DIR))
-    assert set(ivf) == set(exact)  # nprobe=1 still answers every probe
-    # sampling rate = 1/k of the corpus per probe; recall must beat it
-    # by a clear locality factor (cells are direction-coherent)
+    assert set(ivf) == set(exact)  # every probe answered
+    # k-means cells are direction-coherent: recall must clear 0.5 while
+    # scanning only ~nprobe/k of the corpus per probe (the r03 verdict
+    # bar; the hash-selected codebook managed 0.18)
     r = _recall(exact, ivf)
-    assert r >= 3.0 / S.K_CENTROIDS * 2, f"ivf recall {r:.3f}"
-    assert r >= 0.05
+    assert r >= 0.5, f"ivf recall {r:.3f}"
+    assert r >= 2 * S.N_PROBE / S.K_CENTROIDS  # beats its sampling rate 2x

@@ -65,7 +65,7 @@ def main() -> int:
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
-    from eurovision_spark.catalog import registry
+    from eurovision_spark.catalog import registry, resolve_oracle
 
     if bare:
         from pyspark.sql import SparkSession
@@ -106,7 +106,7 @@ def main() -> int:
                   f"({time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(spec.oracle)
+            res = con.execute(resolve_oracle(spec, sf_dir))
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
         except Exception as e:
