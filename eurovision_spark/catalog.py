@@ -81,6 +81,7 @@ def registry() -> dict[str, QuerySpec]:
     from eurovision_spark.operators import dedup  # noqa: F401
     from eurovision_spark.operators import imp_dedup  # noqa: F401
     from eurovision_spark.operators import multimodal  # noqa: F401
+    from eurovision_spark.operators import pipeline  # noqa: F401
     from eurovision_spark.operators import similarity  # noqa: F401
     from eurovision_spark.operators import temporal  # noqa: F401
     from eurovision_spark.operators import textstats  # noqa: F401

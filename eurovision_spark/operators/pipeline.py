@@ -1,0 +1,186 @@
+"""Training-pipeline preparation operators over ``documents``.
+
+The last-mile ops an LLM data pipeline runs after filtering/dedup
+(textstats.py, dedup.py): sliding-window chunking to training-sample
+size, deterministic train/valid/test assignment, and benchmark
+decontamination. The reference has no analog (it is a clinical-trials
+parser); these generalize its per-record reshaping (scan.py:263-278's
+record flush) to corpus-scale sample production.
+
+All three are built from JVM-side expressions (no Python UDFs) and are
+designed for the 100 TB shape:
+
+- ``doc_chunk``          : per-row explode — embarrassingly parallel,
+                           zero shuffles, output size ~ input/stride;
+- ``hash_split``         : per-row md5 bucket — zero shuffles, stable
+                           under reruns and corpus growth (assignment
+                           depends only on doc_id, never on ordering);
+- ``contamination_check``: the benchmark side of the gram join is tiny
+                           (eval suites are MBs), so it broadcasts; the
+                           corpus side streams through one per-row
+                           gram explode + broadcast-hash probe. At
+                           extreme benchmark sizes swap the broadcast
+                           for a bloom-filter pre-probe + shuffle join.
+
+Cross-engine determinism follows the catalog conventions: md5-derived
+gram hashes (textstats.md5_long), whitespace tokenization identical to
+DuckDB ``string_split_regex``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eurovision_spark.catalog import register
+from eurovision_spark.operators.dedup import SH_SQL, shingles
+from eurovision_spark.operators.textstats import md5_long, md5_long_sql, tokens
+from eurovision_spark.sources import load_table
+
+# Sliding-window chunking: CHUNK tokens per sample, STRIDE tokens
+# between window starts (CHUNK - STRIDE = 8 tokens of overlap so no
+# boundary context is lost). Sized to the synthetic docs (10-99
+# tokens); production values (e.g. 2048/1920) change only these.
+CHUNK = 32
+STRIDE = 24
+
+# hash_split percentages: [0,90) train, [90,95) valid, [95,100) test
+SPLIT_SEED = ":splitseed"
+
+# decontamination: a doc sharing >= this many distinct lowercased
+# word-3-grams with the benchmark set is flagged (production pipelines
+# use 8-13-gram windows, e.g. GPT-3's 13-gram rule; 3 keeps the gate
+# non-trivial on the tiny-vocabulary synthetic corpus)
+CONTAM_THRESHOLD = 3
+BENCH_MOD = 20  # doc_id % 20 == 0 plays the held-out benchmark set
+
+
+@register(
+    "doc_chunk",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents WHERE n_chars > 0),
+    c AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(
+                   0, CAST(ceil(greatest(len(toks) - {CHUNK}, 0) / {STRIDE}.0)
+                           AS BIGINT))) AS chunk_idx
+        FROM t)
+    SELECT doc_id, chunk_idx,
+           array_to_string(
+               toks[1 + {STRIDE} * chunk_idx : {STRIDE} * chunk_idx + {CHUNK}],
+               ' ') AS chunk_text,
+           CAST(len(toks[1 + {STRIDE} * chunk_idx : {STRIDE} * chunk_idx + {CHUNK}])
+                AS BIGINT) AS n_chunk_tokens
+    FROM c
+    """,
+    "sliding-window chunking of each document into overlapping "
+    f"{CHUNK}-token training samples ({STRIDE}-token stride): tokens -> "
+    "per-row explode of window starts -> slice+join. Pure per-row map "
+    "(sequence/slice/concat_ws inside whole-stage codegen), no shuffle; "
+    "at 100 TB the output is written straight back to partitioned "
+    "parquet with cost linear in corpus size.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    n_windows = F.ceil(F.greatest(F.size("toks") - CHUNK, F.lit(0)) / F.lit(float(STRIDE)))
+    c = t.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_windows.cast("bigint"))).alias(
+            "chunk_idx"
+        ),
+    )
+    window = F.slice(F.col("toks"), (F.lit(1) + STRIDE * F.col("chunk_idx")).cast("int"), CHUNK)
+    return c.select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(" ", window).alias("chunk_text"),
+        F.size(window).cast("bigint").alias("n_chunk_tokens"),
+    )
+
+
+@register(
+    "hash_split",
+    f"""
+    SELECT doc_id,
+           {md5_long_sql(f"concat(CAST(doc_id AS VARCHAR), '{SPLIT_SEED}')")} % 100
+               AS bucket,
+           CASE WHEN {md5_long_sql(f"concat(CAST(doc_id AS VARCHAR), '{SPLIT_SEED}')")} % 100 < 90
+                THEN 'train'
+                WHEN {md5_long_sql(f"concat(CAST(doc_id AS VARCHAR), '{SPLIT_SEED}')")} % 100 < 95
+                THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents WHERE n_chars > 0
+    """,
+    "deterministic 90/5/5 train/valid/test assignment by md5 bucket of "
+    "the doc key + seed. Per-row map, zero shuffles; assignment is "
+    "stable under reruns, repartitioning, and corpus growth (a doc's "
+    "split never depends on what else is in the corpus) — the property "
+    "random() splits lose the moment data moves.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    bucket = md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(SPLIT_SEED))) % 100
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "contamination_check",
+    f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE n_chars > 0),
+    g AS (SELECT doc_id, unnest(list_distinct({SH_SQL})) AS sh FROM d),
+    h AS (SELECT doc_id, {md5_long_sql('sh')} AS gh FROM g),
+    bg AS (SELECT DISTINCT gh FROM h WHERE doc_id % {BENCH_MOD} = 0),
+    shared AS (
+        SELECT h.doc_id, count(DISTINCT h.gh) AS n
+        FROM h JOIN bg USING (gh)
+        WHERE h.doc_id % {BENCH_MOD} <> 0
+        GROUP BY h.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(s.n, 0) AS BIGINT) AS n_shared,
+           CAST(coalesce(s.n, 0) >= {CONTAM_THRESHOLD} AS INT) AS contaminated
+    FROM d LEFT JOIN shared s ON s.doc_id = d.doc_id
+    WHERE d.doc_id % {BENCH_MOD} <> 0
+    """,
+    "benchmark decontamination: flag training docs sharing lowercased "
+    "word-3-gram windows with the held-out benchmark slice (doc_id % "
+    f"{BENCH_MOD} == 0 here; a real eval suite in production). Gram "
+    "hashes are md5-derived 60-bit ints so only 8-byte keys move, never "
+    "gram text; the benchmark gram set BROADCASTs (eval suites are "
+    "MBs), so the corpus side is one per-row explode + broadcast-hash "
+    "probe — no corpus shuffle at 100 TB.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    grams = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(tokens(F.lower(F.col("text")))))).alias("sh"),
+    ).select("doc_id", md5_long(F.col("sh")).alias("gh"))
+    bench_grams = grams.filter(F.col("doc_id") % BENCH_MOD == 0).select("gh").distinct()
+    shared = (
+        grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench_grams), "gh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gh").alias("n"))
+    )
+    n_shared = F.coalesce(F.col("n"), F.lit(0))
+    return (
+        d.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .select("doc_id")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_shared.cast("bigint").alias("n_shared"),
+            (n_shared >= CONTAM_THRESHOLD).cast("int").alias("contaminated"),
+        )
+    )

@@ -35,7 +35,10 @@ def get_spark(app_name: str = "eurovision_spark", cpus: int | None = None) -> Sp
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 24g: at 8g the local[32] bench showed GC-pressure jitter — one
+        # text-heavy query per run randomly 5-10x slower warm; 24g holds
+        # the whole suite spike-free (the box carries 128 GiB)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # NOTE: no nanosAsLong here — events.ts's physical type is
