@@ -1,0 +1,109 @@
+"""Invariant tests for the sample-production operators
+(operators/pipeline.py) beyond their DuckDB hash gates.
+
+The oracle proves each op computes its own definition; these pin the
+semantic properties a training pipeline actually relies on:
+
+- doc_chunk reproduces an independent Python re-chunking exactly
+  (window starts, clipping, overlap);
+- hash_split is deterministic, complete, and matches a pure-Python
+  md5-bucket recomputation (the "stable under reruns / corpus growth"
+  claim is literally that the assignment is a function of doc_id only);
+- contamination_check flags a planted exact copy of a benchmark doc
+  and never emits benchmark rows (tested on a tiny synthetic parquet,
+  so the positive case is guaranteed rather than hoped for in the
+  random corpus).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from eurovision_spark.catalog import registry
+from eurovision_spark.operators.pipeline import (
+    BENCH_MOD,
+    CHUNK,
+    CONTAM_THRESHOLD,
+    SPLIT_SEED,
+    STRIDE,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_chunks(text: str) -> list[tuple[int, str]]:
+    toks = text.strip().split()
+    n = len(toks)
+    n_chunks = 1 + math.ceil(max(n - CHUNK, 0) / STRIDE)
+    return [
+        (i, " ".join(toks[i * STRIDE : i * STRIDE + CHUNK])) for i in range(n_chunks)
+    ]
+
+
+def test_doc_chunk_matches_python_rechunking(spark):
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .filter("n_chars > 0")
+        .limit(25)
+        .collect()
+    }
+    got = registry()["doc_chunk"].fn(spark, SF).collect()
+    got_by_doc = {}
+    for r in got:
+        if r["doc_id"] in docs:
+            got_by_doc.setdefault(r["doc_id"], []).append(
+                (r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"])
+            )
+    for doc_id, text in docs.items():
+        expected = _py_chunks(text)
+        actual = sorted(got_by_doc[doc_id])
+        assert [(i, t) for i, t, _ in actual] == expected, doc_id
+        # every chunk is non-empty, at most CHUNK tokens, and token
+        # counts agree with the chunk text itself
+        for _, t, n in actual:
+            assert 1 <= n <= CHUNK and n == len(t.split())
+
+
+def test_hash_split_matches_python_and_is_deterministic(spark):
+    fn = registry()["hash_split"].fn
+    a = {r["doc_id"]: (r["bucket"], r["split"]) for r in fn(spark, SF).collect()}
+    b = {r["doc_id"]: (r["bucket"], r["split"]) for r in fn(spark, SF).collect()}
+    assert a == b  # rerun-stable
+    n_docs = (
+        spark.read.parquet(f"{SF}/documents.parquet").filter("n_chars > 0").count()
+    )
+    assert len(a) == n_docs  # complete: every doc assigned exactly once
+    for doc_id, (bucket, split) in a.items():
+        h = int(hashlib.md5(f"{doc_id}{SPLIT_SEED}".encode()).hexdigest()[:15], 16)
+        assert bucket == h % 100
+        assert split == ("train" if bucket < 90 else "valid" if bucket < 95 else "test")
+
+
+def test_contamination_flags_planted_copy(spark, tmp_path):
+    # doc 0 (benchmark: 0 % BENCH_MOD == 0) and doc 1 (train) share the
+    # full text -> every gram collides -> contaminated; doc 2 shares
+    # nothing -> clean. 40 tokens guarantee > CONTAM_THRESHOLD grams.
+    shared = " ".join(f"tok{i}" for i in range(40))
+    clean = " ".join(f"other{i}" for i in range(40))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": [shared, shared, clean],
+            "n_chars": pa.array([len(shared), len(shared), len(clean)], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    rows = {
+        r["doc_id"]: r
+        for r in registry()["contamination_check"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {1, 2}  # benchmark doc 0 never emitted
+    assert rows[1]["contaminated"] == 1
+    assert rows[1]["n_shared"] == 40 - 2  # all 38 distinct 3-grams collide
+    assert rows[2]["contaminated"] == 0 and rows[2]["n_shared"] == 0
+    assert CONTAM_THRESHOLD <= 38
