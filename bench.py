@@ -45,6 +45,9 @@ HEADLINE = [
     "minhash_lsh_jaccard",
     "session_stats",
     "window_suite",
+    # round 4: sample-production tier (operators/pipeline.py)
+    "doc_chunk",
+    "contamination_check",
 ]
 
 

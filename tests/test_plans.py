@@ -339,3 +339,19 @@ def test_cosine_ivf_codebook_is_broadcast_not_collected(spark):
     # the corpus is never globally sorted in the search plan (the
     # window sort is per-probe after the equi-join)
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_doc_chunk_is_shuffle_free(spark):
+    """Chunking is a pure per-row explode: no exchange of any kind —
+    the property that makes it linear at 100 TB."""
+    plan = plan_of(spark, "doc_chunk")
+    assert "Exchange" not in plan
+
+
+def test_contamination_broadcasts_benchmark_grams(spark):
+    """The benchmark gram set rides a BroadcastExchange; the corpus
+    gram stream is probe-side only (no corpus-side repartitioning
+    beyond the final per-doc count), and nothing goes cartesian."""
+    plan = plan_of(spark, "contamination_check")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
