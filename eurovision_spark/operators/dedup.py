@@ -140,8 +140,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    t = d.select(
-        "doc_id", F.array_distinct(shingles(tokens(F.lower(F.col("text"))))).alias("sh")
+    # two-step projection: split once, then shingle (see _minhash_signatures)
+    t = d.select("doc_id", tokens(F.lower(F.col("text"))).alias("_toks")).select(
+        "doc_id", F.array_distinct(shingles(F.col("_toks"))).alias("sh")
     )
     a = t.alias("a")
     b = t.alias("b")
@@ -185,9 +186,15 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
     # (doc_id, text) projection is one cheap shuffle that unlocks full
     # parallelism for the md5-per-shingle stage.
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    h_arr = F.transform(
-        shingles(tokens(F.lower(F.col("text")))), lambda s: md5_long(s) % P31
-    )
+    # Materialize the token array as a real column BEFORE shingling:
+    # shingles() references its argument 3x per element, and codegen
+    # re-evaluates an inline split() expression at every reference —
+    # O(tokens) regex splits per doc instead of one (measured 4x slower
+    # at sf0.1). A projection boundary makes the split happen once.
+    toked = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("_toks")
+    ).filter(F.size("_toks") >= 3)
+    h_arr = F.transform(shingles(F.col("_toks")), lambda s: md5_long(s) % P31)
     # ONE fold over the shingle hashes maintains all 16 running minima:
     # acc[i] = min_h ((2i+1)*h + 17i+1) mod p, with i the accumulator
     # index supplied by the two-arg transform lambda. Referencing h_arr
@@ -201,9 +208,7 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
             acc, lambda m, i: F.least(m, ((2 * i + 1) * h + (17 * i + 1)) % P31)
         ),
     )
-    return docs.filter(F.size(tokens(F.col("text"))) >= 3).select(
-        "doc_id", sigs.alias("minhashes")
-    )
+    return toked.select("doc_id", sigs.alias("minhashes"))
 
 
 MINHASH_SIG_SQL = f"""
@@ -386,8 +391,11 @@ def minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one coarse split, and without the spread the whole verification
     # stage (shingle build + set ops) runs on a single core — measured
     # 10s -> 1s at sf0.1
-    sets = docs.repartition(spark.sparkContext.defaultParallelism).select(
-        "doc_id", F.array_distinct(shingles(tokens(F.lower(F.col("text"))))).alias("sh")
+    sets = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        # two-step projection: split once, then shingle (see _minhash_signatures)
+        .select("doc_id", tokens(F.lower(F.col("text"))).alias("_toks"))
+        .select("doc_id", F.array_distinct(shingles(F.col("_toks"))).alias("sh"))
     )
     s1 = sets.select(F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1"))
     s2 = sets.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2"))

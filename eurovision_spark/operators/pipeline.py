@@ -162,10 +162,13 @@ def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    grams = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles(tokens(F.lower(F.col("text")))))).alias("sh"),
-    ).select("doc_id", md5_long(F.col("sh")).alias("gh"))
+    # two-step projection: split once, then shingle (codegen re-evaluates
+    # an inline split at every element_at reference — see dedup.py)
+    grams = (
+        d.select("doc_id", tokens(F.lower(F.col("text"))).alias("_toks"))
+        .select("doc_id", F.explode(F.array_distinct(shingles(F.col("_toks")))).alias("sh"))
+        .select("doc_id", md5_long(F.col("sh")).alias("gh"))
+    )
     bench_grams = grams.filter(F.col("doc_id") % BENCH_MOD == 0).select("gh").distinct()
     shared = (
         grams.filter(F.col("doc_id") % BENCH_MOD != 0)

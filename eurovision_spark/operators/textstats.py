@@ -545,9 +545,21 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_chars") > 0)
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    wtoks = tokens(F.col("text"))
-    toks = tokens(F.lower(F.col("text")))
-    dtoks = F.array_distinct(toks)
+    # Materialize the split token arrays (and the distinct set) as real
+    # columns before the derived expressions: every column below would
+    # otherwise re-run the regex split per reference — including per
+    # ELEMENT inside the bigram/hash lambdas (codegen does not CSE an
+    # inline split across references; same fix as dedup.py's shingles).
+    d = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        tokens(F.col("text")).alias("_wtoks"),
+        tokens(F.lower(F.col("text"))).alias("_toks"),
+    ).withColumn("_dtoks", F.array_distinct(F.col("_toks")))
+    wtoks = F.col("_wtoks")
+    toks = F.col("_toks")
+    dtoks = F.col("_dtoks")
     en_m = F.array(*[F.lit(w) for w in EN_MARKERS])
     tech_m = F.array(*[F.lit(w) for w in TECH_MARKERS])
     en = F.size(F.array_intersect(dtoks, en_m))
