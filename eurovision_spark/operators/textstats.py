@@ -59,7 +59,9 @@ def md5_long_sql(x: str) -> str:
 )
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    toks = tokens(F.col("text"))
+    # split once: the token array is referenced by three output columns
+    d = d.select("doc_id", "lang", "text", tokens(F.col("text")).alias("_toks"))
+    toks = F.col("_toks")
     return d.select(
         "doc_id",
         "lang",
@@ -115,7 +117,11 @@ def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    toks = F.array_distinct(tokens(F.lower(F.col("text"))))
+    # split+distinct once: referenced by both marker intersections
+    d = d.select(
+        "doc_id", "lang", F.array_distinct(tokens(F.lower(F.col("text")))).alias("_dtoks")
+    )
+    toks = F.col("_dtoks")
     en = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in EN_MARKERS])))
     tech = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in TECH_MARKERS])))
     return d.select(
@@ -149,7 +155,9 @@ def lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    toks = tokens(F.lower(F.col("text")))
+    # split once: the token array is referenced by four output columns
+    d = d.select("doc_id", tokens(F.lower(F.col("text"))).alias("_toks"))
+    toks = F.col("_toks")
     markers = F.array(*[F.lit(w) for w in EN_MARKERS])
     stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(markers, x)))
     return d.select(
