@@ -48,6 +48,7 @@ HEADLINE = [
     # round 4: sample-production tier (operators/pipeline.py)
     "doc_chunk",
     "contamination_check",
+    "token_pack",
 ]
 
 

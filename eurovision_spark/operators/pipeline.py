@@ -29,7 +29,7 @@ DuckDB ``string_split_regex``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from eurovision_spark.catalog import register
@@ -186,4 +186,77 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_shared.cast("bigint").alias("n_shared"),
             (n_shared >= CONTAM_THRESHOLD).cast("int").alias("contaminated"),
         )
+    )
+
+
+# sequence packing: chunks are packed into CAPACITY-token training
+# sequences. Packing is inherently order-dependent, so it runs per
+# SHARD (doc_id mod N_SHARDS): each shard packs its own chunk stream
+# with a cumulative-sum window — N_SHARDS independent sorts of
+# 1/N_SHARDS of the data each, never one global sort. A pack's total
+# can overflow CAPACITY by at most one chunk (the streaming first-fit
+# bound); fill reports the utilization.
+CAPACITY = 256
+N_SHARDS = 32
+
+
+@register(
+    "token_pack",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents WHERE n_chars > 0),
+    c AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(
+                   0, CAST(ceil(greatest(len(toks) - {CHUNK}, 0) / {STRIDE}.0)
+                           AS BIGINT))) AS chunk_idx
+        FROM t),
+    chunks AS (
+        SELECT doc_id, chunk_idx,
+               CAST(len(toks[1 + {STRIDE} * chunk_idx : {STRIDE} * chunk_idx + {CHUNK}])
+                    AS BIGINT) AS n,
+               doc_id % {N_SHARDS} AS shard
+        FROM c),
+    packed AS (
+        SELECT shard,
+               CAST(ceil(CAST(sum(n) OVER (PARTITION BY shard
+                                           ORDER BY doc_id, chunk_idx) AS DOUBLE)
+                         / {CAPACITY}) AS BIGINT) AS pack_seq,
+               n
+        FROM chunks)
+    SELECT shard * 1000000 + pack_seq AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           round(CAST(sum(n) AS DOUBLE) / {CAPACITY}, 4) AS fill
+    FROM packed GROUP BY shard, pack_seq
+    """,
+    f"sequence packing: doc_chunk's chunks packed into ~{CAPACITY}-token "
+    "training sequences by a per-shard cumulative-token window (pack = "
+    "ceil(running_total / capacity)). Sharding by doc_id keeps every "
+    "sort local to 1/N of the data — the formulation that avoids the "
+    "global-order trap at 100 TB; packs overflow capacity by at most "
+    "one chunk (streaming first-fit bound).",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = doc_chunk(spark, sf_dir).select(
+        "doc_id",
+        "chunk_idx",
+        F.col("n_chunk_tokens").alias("n"),
+        (F.col("doc_id") % N_SHARDS).alias("shard"),
+    )
+    w = W.partitionBy("shard").orderBy("doc_id", "chunk_idx")
+    packed = chunks.withColumn(
+        "pack_seq", F.ceil(F.sum("n").over(w) / F.lit(float(CAPACITY))).cast("bigint")
+    )
+    return packed.groupBy("shard", "pack_seq").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.round(F.sum("n").cast("double") / CAPACITY, 4).alias("fill"),
+    ).select(
+        (F.col("shard") * 1000000 + F.col("pack_seq")).alias("pack_id"),
+        "n_chunks",
+        "total_tokens",
+        "fill",
     )

@@ -107,3 +107,28 @@ def test_contamination_flags_planted_copy(spark, tmp_path):
     assert rows[1]["n_shared"] == 40 - 2  # all 38 distinct 3-grams collide
     assert rows[2]["contaminated"] == 0 and rows[2]["n_shared"] == 0
     assert CONTAM_THRESHOLD <= 38
+
+
+def test_token_pack_conserves_tokens_and_bounds_overflow(spark):
+    from eurovision_spark.operators.pipeline import CAPACITY
+
+    chunks = registry()["doc_chunk"].fn(spark, SF).collect()
+    packs = registry()["token_pack"].fn(spark, SF).collect()
+    # conservation: every chunk token lands in exactly one pack
+    assert sum(p["total_tokens"] for p in packs) == sum(
+        c["n_chunk_tokens"] for c in chunks
+    )
+    assert sum(p["n_chunks"] for p in packs) == len(chunks)
+    # streaming first-fit bound: a pack overflows capacity by < one chunk
+    from decimal import ROUND_HALF_UP, Decimal
+
+    for p in packs:
+        assert p["total_tokens"] <= CAPACITY + CHUNK - 1
+        # Spark rounds HALF_UP; Python's round() is banker's — compare
+        # against the HALF_UP value
+        expected = float(
+            (Decimal(p["total_tokens"]) / Decimal(CAPACITY)).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert abs(p["fill"] - expected) < 1e-9

@@ -355,3 +355,13 @@ def test_contamination_broadcasts_benchmark_grams(spark):
     plan = plan_of(spark, "contamination_check")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_token_pack_single_exchange(spark):
+    """The per-shard packing window hashpartitions on shard once; the
+    per-pack aggregate's clustering (shard, pack_seq) is satisfied by
+    that same partitioning — no second exchange, no global sort."""
+    plan = plan_of(spark, "token_pack")
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert "hashpartitioning(shard" in plan
+    assert "rangepartitioning" not in plan.lower()
