@@ -85,6 +85,14 @@ BENCH_MOD = 20  # doc_id % 20 == 0 plays the held-out benchmark set
 )
 def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return chunk_documents(d)
+
+
+def chunk_documents(d: DataFrame) -> DataFrame:
+    """The chunking core over any (doc_id, text) DataFrame — batch or
+    streaming (pure per-row expressions, so the same plan runs
+    unchanged under readStream; tests/test_streaming.py proves
+    stream/batch parity)."""
     t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
     n_windows = F.ceil(F.greatest(F.size("toks") - CHUNK, F.lit(0)) / F.lit(float(STRIDE)))
     c = t.select(

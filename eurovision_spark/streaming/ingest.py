@@ -285,3 +285,19 @@ def stream_session_rollup(
         .queryName(query_name)
         .start()
     )
+
+
+def stream_chunk_documents(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """Streaming twin of the sample-production chunker: a parquet file
+    stream of (doc_id, text, n_chars) documents through the SAME
+    per-row chunking expressions as the batch path
+    (operators/pipeline.chunk_documents). Stateless — no watermark, no
+    state store: each arriving file's docs chunk independently, which
+    is exactly why the batch plan composes with ``readStream``
+    unchanged. Returns the unstarted streaming DataFrame; callers pick
+    the sink (tests use a memory sink + processAllAvailable)."""
+    from eurovision_spark.operators.pipeline import chunk_documents
+
+    schema = spark.read.parquet(docs_dir).schema
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    return chunk_documents(stream.filter(F.col("n_chars") > 0))

@@ -259,3 +259,41 @@ def test_stream_session_rollup_native_window(spark, sf_dir, tmp_path):
         .collect()
     }
     assert stream_counts == batch_counts
+
+
+def test_stream_chunking_equals_batch(spark, sf_dir, tmp_path):
+    """The stateless sample-production chunker runs UNCHANGED under
+    Structured Streaming: same expressions, same output as batch over
+    the same documents — the payoff of keeping the op a pure per-row
+    map (operators/pipeline.chunk_documents)."""
+    import shutil
+
+    from eurovision_spark.streaming.ingest import stream_chunk_documents
+
+    docs_dir = str(tmp_path / "docs_stream")
+    (tmp_path / "docs_stream").mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", docs_dir)
+
+    q = (
+        stream_chunk_documents(spark, docs_dir)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("chunk_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_tokens"])
+            for r in spark.sql("SELECT * FROM chunk_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    from eurovision_spark.catalog import registry
+
+    batch = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in registry()["doc_chunk"].fn(spark, sf_dir).collect()
+    }
+    assert streamed == batch and len(batch) > 0
