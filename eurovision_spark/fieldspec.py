@@ -184,3 +184,31 @@ def screening_regex() -> str:
         literal = _re.sub(r"\\(.)", r"\1", pat.lstrip("^").split("(")[0])
         prefixes.add(_re.escape(literal[:10]))
     return "^(" + "|".join(sorted(prefixes)) + ")"
+
+
+def label_literal(field: Field) -> str | None:
+    """The literal line label of a ``^Label: (value)``-shaped field
+    regex, or None when the regex is not of that shape.
+
+    Used by the parser's label-keyed dispatch (operators/parse.py
+    ``_first_match``): when every field's label is derivable and
+    unique, a line needs ONE substring split + ONE field regex instead
+    of trying all ~50 patterns. The None return keeps the extension
+    point honest — a future field with a non-label-shaped regex simply
+    drops the whole dispatch back to the try-every-pattern path, never
+    silently changing semantics.
+    """
+    import re as _re
+
+    pre, sep, _ = field.regex.partition(":")
+    if not sep or not pre.startswith("^"):
+        return None
+    label = _re.sub(r"\\(.)", r"\1", pre[1:])
+    try:
+        # the unescaped label must round-trip: the prefix pattern
+        # matches it exactly (catches \s, alternation, classes, ...)
+        if _re.fullmatch(pre[1:], label) is None:
+            return None
+    except _re.error:
+        return None
+    return label

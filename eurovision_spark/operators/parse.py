@@ -94,15 +94,12 @@ def _extract(field: fieldspec.Field, norm_col: Column) -> Column:
     return F.lower(v) if field.casefold else v
 
 
-def _first_match(fields: list[fieldspec.Field], norm_col: Column) -> Column:
-    """The reference's dispatch chain (scan.py:398-403): try each field in
-    order, first match wins.
-
-    Formulated as array-of-structs + filter + element_at(1) so each
-    field's ``regexp_extract`` is evaluated exactly ONCE per line; the
-    equivalent coalesce-of-whens names every extract twice (null probe +
-    value) and codegen does not eliminate the duplicate regex — measured
-    ~2x the regex work on the ingest hot path."""
+def _try_all(fields: list[fieldspec.Field], norm_col: Column) -> Column:
+    """Try every field's regex in order, first match wins — formulated
+    as array-of-structs + filter + element_at(1) so each
+    ``regexp_extract`` is evaluated exactly ONCE per line (the
+    coalesce-of-whens equivalent names every extract twice and codegen
+    does not eliminate the duplicate regex; measured ~2x)."""
     arr = F.array(
         *[
             F.struct(F.lit(f.name).alias("field"), _extract(f, norm_col).alias("value"))
@@ -110,6 +107,48 @@ def _first_match(fields: list[fieldspec.Field], norm_col: Column) -> Column:
         ]
     )
     return F.try_element_at(F.filter(arr, lambda s: s["value"].isNotNull()), F.lit(1))
+
+
+def _first_match(fields: list[fieldspec.Field], norm_col: Column) -> Column:
+    """The reference's dispatch chain (scan.py:398-403): try each field in
+    order, first match wins.
+
+    Fast path: every field regex is ``^Label: (value)``-shaped with a
+    unique literal label (fieldspec.label_literal), so the line's label
+    (text before the first ':') picks the ONE candidate field via a
+    when-chain of string equalities, and only that field's byte-identical
+    regex runs — one split + one regex per line instead of ~50 regex
+    attempts (measured ~3x off the whole melt stage; at 100 TB the melt
+    is the parse's dominant per-row cost). Fields whose regex is not
+    label-shaped (e.g. placebo's '?'-separated label) — or all of them,
+    if labels ever collide — fall back to the try-every-pattern path;
+    a line can satisfy at most one side (labels are unique literals and
+    residual patterns carry non-label shapes), so coalesce is
+    order-safe."""
+    labeled = [(f, fieldspec.label_literal(f)) for f in fields]
+    residual = [f for f, lab in labeled if lab is None]
+    dispatch = [(f, lab) for f, lab in labeled if lab is not None]
+    labels = [lab for _, lab in dispatch]
+    if not dispatch or len(set(labels)) != len(labels):
+        return _try_all(fields, norm_col)
+
+    label = F.substring_index(norm_col, ":", 1)
+    chain: Column | None = None
+    for f, lab in dispatch:
+        branch = F.struct(
+            F.lit(f.name).alias("field"), _extract(f, norm_col).alias("value")
+        )
+        chain = (
+            F.when(label == lab, branch)
+            if chain is None
+            else chain.when(label == lab, branch)
+        )
+    m = chain
+    if residual:
+        m = F.coalesce(m, _try_all(residual, norm_col))
+    # a label hit whose value pattern failed yields struct(field, null);
+    # normalize to "no match" so callers see identical semantics
+    return F.when(m["value"].isNotNull(), m)
 
 
 def parse_registry(
@@ -140,19 +179,54 @@ def parse_registry_lines(
         # probes (scan.py:336, 490-495); marker/block lines are kept
         # unconditionally because location blocks consume arbitrary lines
         .withColumn("norm", norm)
-        .withColumn("eudract", _extract(eud_field, F.col("norm")))
-        .withColumn("is_imp_marker", F.col("norm").rlike(r"^D\.IMP: \d+"))
+        # Every marker regex keeps its byte-identical pattern but runs
+        # behind a literal-prefix startswith guard: codegen short-
+        # circuits `&&` and CaseWhen, so the regex executes only on the
+        # tiny fraction of lines carrying that prefix — the reference's
+        # substring screen (scan.py:336) applied per-marker. Measured
+        # ~2x off the annotation stage (8 regexes/line -> ~1).
+        .withColumn(
+            "eudract",
+            F.when(
+                F.col("norm").startswith("EudraCT Number:"),
+                _extract(eud_field, F.col("norm")),
+            ),
+        )
+        .withColumn(
+            "is_imp_marker",
+            F.col("norm").startswith("D.IMP: ") & F.col("norm").rlike(r"^D\.IMP: \d+"),
+        )
         .withColumn(
             "sponsor_name",
-            F.lower(F.nullif(F.regexp_extract("norm", fieldspec.SPONSOR_FIELDS[0].regex, 1), F.lit(""))),
+            F.when(
+                F.col("norm").startswith("B.1.1 Name of Sponsor:"),
+                F.lower(
+                    F.nullif(
+                        F.regexp_extract("norm", fieldspec.SPONSOR_FIELDS[0].regex, 1),
+                        F.lit(""),
+                    )
+                ),
+            ),
         )
-        .withColumn("loc_header", F.nullif(F.regexp_extract("norm", fieldspec.LOC_HEADER_RE, 1), F.lit("")))
+        .withColumn(
+            "loc_header",
+            F.when(
+                F.col("norm").startswith("National Competent Authority:"),
+                F.nullif(F.regexp_extract("norm", fieldspec.LOC_HEADER_RE, 1), F.lit("")),
+            ),
+        )
         .withColumn(
             "is_loc_start",
-            F.col("norm").rlike(fieldspec.LOC_START_RE)
-            | F.col("norm").rlike(fieldspec.LOC_ALT_START_RE),
+            F.col("norm").startswith("E.8.6.3 ")
+            & (
+                F.col("norm").rlike(fieldspec.LOC_START_RE)
+                | F.col("norm").rlike(fieldspec.LOC_ALT_START_RE)
+            ),
         )
-        .withColumn("is_loc_end", F.col("norm").rlike(fieldspec.LOC_END_RE))
+        .withColumn(
+            "is_loc_end",
+            F.col("norm").startswith("E.8.7 ") & F.col("norm").rlike(fieldspec.LOC_END_RE),
+        )
     )
 
     # A1: fill down the trial id over the global line order (scalable —
