@@ -78,6 +78,7 @@ def registry() -> dict[str, QuerySpec]:
     # imports are deferred so `import eurovision_spark` stays light
     from eurovision_spark.plans import olap  # noqa: F401
     from eurovision_spark.plans import relational  # noqa: F401
+    from eurovision_spark.operators import analytics  # noqa: F401
     from eurovision_spark.operators import dedup  # noqa: F401
     from eurovision_spark.operators import imp_dedup  # noqa: F401
     from eurovision_spark.operators import multimodal  # noqa: F401

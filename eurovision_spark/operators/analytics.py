@@ -1,0 +1,161 @@
+"""Product-analytics operators over the ``events`` table.
+
+The reference's export answers "which trials match these predicates"
+(toexcel.py:100-162); a modern analytics engine over event streams also
+answers "what did users DO, in what order" — ordered multi-stage funnel
+conversion and cohort retention. Both are classic event-analytics
+shapes a warehouse user would expect from the engine, and both reuse
+the canonical epoch-µs time axis (timeaxis.py) so the DuckDB oracles
+line up exactly via ``epoch_us(ts)``.
+
+Scale notes (100 TB design):
+
+- ``funnel_steps``      : three chained min-over-user windows share ONE
+                          exchange on user_id (the stage-k timestamp
+                          depends on stage-k-1's, so it cannot be a
+                          single groupBy — but all three window passes
+                          and the final dedup run on the same
+                          partitioning, so rows move once);
+- ``retention_cohorts`` : distinct (user, day) first — the raw event
+                          volume collapses by ~events-per-user-day
+                          before anything else shuffles; the cohort
+                          (first-day) aggregate and the join back both
+                          key on user_id, co-partitioned with the
+                          distinct's exchange. No window over a global
+                          order anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from eurovision_spark.catalog import register
+from eurovision_spark.sources import load_events
+
+DAY_US = 86_400_000_000
+
+# funnel stage sequence: first view -> first click after it -> first
+# purchase after that (strictly increasing timestamps; a click at the
+# exact same µs as the view does not count — matches the oracle's >)
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@register(
+    "funnel_steps",
+    """
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS tu, event_type FROM events),
+    s1 AS (
+        SELECT user_id, tu, event_type,
+               min(CASE WHEN event_type = 'view' THEN tu END)
+                   OVER (PARTITION BY user_id) AS t_view
+        FROM e),
+    s2 AS (
+        SELECT user_id, tu, event_type, t_view,
+               min(CASE WHEN event_type = 'click' AND tu > t_view THEN tu END)
+                   OVER (PARTITION BY user_id) AS t_click
+        FROM s1),
+    s3 AS (
+        SELECT user_id, t_view, t_click,
+               min(CASE WHEN event_type = 'purchase' AND tu > t_click THEN tu END)
+                   OVER (PARTITION BY user_id) AS t_purchase
+        FROM s2)
+    SELECT DISTINCT user_id,
+           CAST(t_view AS BIGINT) AS t_view_us,
+           CAST(t_click AS BIGINT) AS t_click_us,
+           CAST(t_purchase AS BIGINT) AS t_purchase_us,
+           CAST(CASE WHEN t_view IS NULL THEN 0
+                     WHEN t_click IS NULL THEN 1
+                     WHEN t_purchase IS NULL THEN 2
+                     ELSE 3 END AS INT) AS funnel_depth
+    FROM s3
+    """,
+    "ordered funnel conversion per user: first view, first click "
+    "strictly after it, first purchase strictly after that. Stage k's "
+    "timestamp depends on stage k-1's, so this is three chained "
+    "min-over-user windows — all on the same partitioning, so the plan "
+    "shuffles events on user_id ONCE and the window passes + final "
+    "per-user dedup are partition-local. The naive per-stage self-join "
+    "formulation shuffles three times and blows up on power users; "
+    "this shape is linear and skew-tolerant (a user's events fit one "
+    "partition's memory iff they fit the window operator's buffer, "
+    "same bound sessionize already carries).",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select("user_id", "ts_us", "event_type")
+    wu = W.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "t_view", F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(wu)
+    )
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts_us") > F.col("t_view")),
+                F.col("ts_us"),
+            )
+        ).over(wu),
+    )
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts_us") > F.col("t_click")),
+                F.col("ts_us"),
+            )
+        ).over(wu),
+    )
+    depth = (
+        F.when(F.col("t_view").isNull(), 0)
+        .when(F.col("t_click").isNull(), 1)
+        .when(F.col("t_purchase").isNull(), 2)
+        .otherwise(3)
+    )
+    return s3.select(
+        "user_id",
+        F.col("t_view").cast("bigint").alias("t_view_us"),
+        F.col("t_click").cast("bigint").alias("t_click_us"),
+        F.col("t_purchase").cast("bigint").alias("t_purchase_us"),
+        depth.cast("int").alias("funnel_depth"),
+    ).distinct()
+
+
+@register(
+    "retention_cohorts",
+    f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // {DAY_US} AS day FROM events),
+    c AS (
+        SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id)
+    SELECT CAST(c.cohort_day AS BIGINT) AS cohort_day,
+           CAST(ud.day - c.cohort_day AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM ud JOIN c USING (user_id)
+    GROUP BY c.cohort_day, ud.day - c.cohort_day
+    """,
+    "cohort retention: users grouped by first-active day (cohort), "
+    "counted on each subsequent active day offset — the classic "
+    "retention triangle. The plan collapses raw events to distinct "
+    "(user, day) FIRST (one exchange; volume drops by the "
+    "events-per-user-day factor before anything else runs), then the "
+    "first-day aggregate and the join back are both user_id-keyed and "
+    "reuse that partitioning. count(*) is exact because (user, day) "
+    "rows are already distinct — no count_distinct shuffle needed.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    ud = ev.select("user_id", F.expr(f"ts_us div {DAY_US}").alias("day")).distinct()
+    cohort = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ud.join(cohort, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .select(
+            F.col("cohort_day").cast("bigint").alias("cohort_day"),
+            F.col("day_offset").cast("bigint").alias("day_offset"),
+            "n_users",
+        )
+    )

@@ -197,6 +197,52 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# mixture weighting: per-source sampling weights proportional to
+# token_count^ALPHA (temperature/alpha smoothing, the standard way a
+# pretraining mixture upweights small high-quality sources relative to
+# their raw size — ALPHA=1 is proportional sampling, ALPHA=0 uniform)
+MIX_ALPHA = 0.5
+
+
+@register(
+    "mixture_weights",
+    f"""
+    WITH s AS (
+        SELECT source,
+               CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+                   AS src_tokens
+        FROM documents WHERE n_chars > 0 GROUP BY source)
+    SELECT source, src_tokens,
+           round(pow(CAST(src_tokens AS DOUBLE), {MIX_ALPHA})
+                 / sum(pow(CAST(src_tokens AS DOUBLE), {MIX_ALPHA})) OVER (), 6)
+               AS weight
+    FROM s
+    """,
+    f"per-source sampling weights for a pretraining mixture: weight ∝ "
+    f"token_count^{MIX_ALPHA} normalized over sources (alpha-smoothed "
+    "sampling à la multilingual/data-mixture practice). The heavy pass "
+    "is one partial+final token-count aggregate keyed by source; the "
+    "normalization window runs over the per-source RESULT (rows = "
+    "#sources, a bounded-cardinality table at any corpus size), so the "
+    "unpartitioned window is safe by construction — it never sees raw "
+    "documents.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    s = d.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("src_tokens")
+    )
+    powed = F.pow(F.col("src_tokens").cast("double"), F.lit(MIX_ALPHA))
+    # window over the per-source aggregate only: #sources rows total
+    total = F.sum(powed).over(W.partitionBy())
+    return s.select(
+        "source",
+        "src_tokens",
+        F.round(powed / total, 6).alias("weight"),
+    )
+
+
 # sequence packing: chunks are packed into CAPACITY-token training
 # sequences. Packing is inherently order-dependent, so it runs per
 # SHARD (doc_id mod N_SHARDS): each shard packs its own chunk stream

@@ -138,6 +138,43 @@ def above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "below_avg_qty_revenue",
+    """
+    WITH pa AS (
+        SELECT l_partkey, 0.5 * avg(l_quantity) AS thresh
+        FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(count(*) AS BIGINT) AS n_small,
+           round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < pa.thresh
+    """,
+    "TPC-H Q17 shape (small-quantity-order revenue): revenue of "
+    "lineitems below half their part's average quantity. The "
+    "correlated scalar subquery is decorrelated into an aggregate + "
+    "self-join on l_partkey: the groupBy's exchange and the join's "
+    "exchange share the same key, so AQE co-partitions them — lineitem "
+    "shuffles on l_partkey once for the agg and once for the probe, "
+    "never a per-row subquery and never a broadcast assumption (the "
+    "per-part aggregate has part-table cardinality, NOT broadcastable "
+    "at 100 TB). avg(l_quantity) is exact (integral quantities sum "
+    "exactly in doubles), so the threshold comparison is deterministic "
+    "across engines.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def below_avg_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg((0.5 * F.avg("l_quantity")).alias("thresh"))
+    return (
+        li.join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("thresh"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_small"),
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        )
+    )
+
+
+@register(
     "window_suite",
     """
     SELECT o_custkey, o_orderkey,
