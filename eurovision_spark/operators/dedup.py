@@ -300,6 +300,89 @@ def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LSH-bucket survivorship: the decision step after candidate generation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_survivors",
+    MINHASH_SIG_SQL
+    + """,
+    q AS (
+        SELECT doc_id,
+               CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
+                    AS DOUBLE)
+               / len(string_split_regex(trim(lower(text)), '\\s+')) AS diversity
+        FROM docs),
+    b0 AS (
+        SELECT bands.doc_id, band_sig, diversity
+        FROM bands JOIN q ON q.doc_id = bands.doc_id
+        WHERE band_id = 0),
+    ranked AS (
+        SELECT doc_id, band_sig, diversity,
+               row_number() OVER (PARTITION BY band_sig
+                                  ORDER BY diversity DESC, doc_id) AS rn,
+               first_value(doc_id) OVER (PARTITION BY band_sig
+                                         ORDER BY diversity DESC, doc_id) AS survivor_id,
+               count(*) OVER (PARTITION BY band_sig) AS n_members
+        FROM b0)
+    SELECT CAST(doc_id AS BIGINT) AS dropped_id,
+           CAST(survivor_id AS BIGINT) AS survivor_id,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn > 1
+    """,
+    "near-dedup survivorship (the decision step a dedup pass actually "
+    "ships): documents sharing an LSH band signature are one near-dup "
+    "bucket; the highest-lexical-diversity member survives (ties: min "
+    "doc_id) and every other member is emitted as a (dropped_id, "
+    "survivor_id) decision row. One shuffle of (band_sig, doc_id, "
+    "diversity) — ids and one double, never document text; survivor "
+    "selection and the dropped-list explode are bucket-local. diversity "
+    "is a single integer division, so the cross-engine ordering is "
+    "deterministic.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = docs_with_copies(spark, sf_dir)
+    toked = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("_toks"))
+    quality = toked.select(
+        "doc_id",
+        (F.size(F.array_distinct(F.col("_toks"))).cast("double") / F.size("_toks")).alias(
+            "diversity"
+        ),
+    )
+    rows_per_band = N_PERM // N_BANDS
+    band0 = _minhash_signatures(docs).select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                ",", *[F.col("minhashes")[r].cast("string") for r in range(rows_per_band)]
+            )
+        ).alias("band_sig"),
+    )
+    b0 = band0.join(quality, "doc_id")
+    grouped = b0.groupBy("band_sig").agg(
+        F.max_by("doc_id", F.struct(F.col("diversity"), -F.col("doc_id"))).alias(
+            "survivor_id"
+        ),
+        F.collect_list(F.struct("doc_id", "diversity")).alias("members"),
+    )
+    return (
+        grouped.select(
+            "survivor_id",
+            F.size("members").cast("bigint").alias("n_members"),
+            F.explode("members").alias("m"),
+        )
+        .filter(F.col("m.doc_id") != F.col("survivor_id"))
+        .select(
+            F.col("m.doc_id").cast("bigint").alias("dropped_id"),
+            F.col("survivor_id").cast("bigint").alias("survivor_id"),
+            "n_members",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash signatures
 # ---------------------------------------------------------------------------
 
