@@ -169,6 +169,85 @@ def stream_sessionize(
     )
 
 
+def stream_funnel(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "stream_funnel",
+) -> StreamingQuery:
+    """Stateful streaming funnel: per-user view→click→purchase stage
+    tracking via ``applyInPandasWithState`` — the streaming twin of
+    ``operators/analytics.funnel_steps``.
+
+    State per user = the three stage timestamps (bigint µs, unset =
+    None). Each micro-batch folds its events in ts order: the first
+    view sets stage 1; the first click strictly after stage 1 sets
+    stage 2; the first purchase strictly after stage 2 sets stage 3.
+    Under in-order arrival this greedy fold equals the batch query's
+    staged minima exactly (the parity test feeds time-split
+    micro-batches); stage timestamps only ever move from None to a
+    value, so emitted depths are monotone across batches.
+
+    Scale: state is three longs per user, hash-partitioned on user_id —
+    the same exchange shape as the batch funnel's single window
+    partitioning; the input projection keeps only the three funnel
+    event types, so the stateful shuffle carries a fraction of the
+    stream.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    raw = stream_events_source(spark, events_dir)
+    stream = (
+        raw.withColumn("ts_us", ts_us_col(raw.schema["ts"].dataType, spark))
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "ts_us", "event_type")
+    )
+
+    def update(key, pdfs, state: GroupState):  # noqa: ANN001
+        (user_id,) = key
+        t_view, t_click, t_purchase = state.get if state.exists else (None, None, None)
+        evs = []
+        for pdf in pdfs:
+            evs.extend(zip((int(t) for t in pdf["ts_us"]), pdf["event_type"]))
+        for ts, kind in sorted(evs):
+            if kind == "view" and t_view is None:
+                t_view = ts
+            elif kind == "click" and t_click is None and t_view is not None and ts > t_view:
+                t_click = ts
+            elif (
+                kind == "purchase"
+                and t_purchase is None
+                and t_click is not None
+                and ts > t_click
+            ):
+                t_purchase = ts
+        state.update((t_view, t_click, t_purchase))
+        depth = 0 if t_view is None else 1 if t_click is None else 2 if t_purchase is None else 3
+        yield pd.DataFrame(
+            [(user_id, t_view, t_click, t_purchase, depth)],
+            columns=["user_id", "t_view_us", "t_click_us", "t_purchase_us", "funnel_depth"],
+        )
+
+    funnel = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id bigint, t_view_us bigint, t_click_us bigint, "
+            "t_purchase_us bigint, funnel_depth int"
+        ),
+        stateStructType="t_view bigint, t_click bigint, t_purchase bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        funnel.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def stream_dedup_events(
     spark: SparkSession,
     events_dir: str,

@@ -297,3 +297,81 @@ def test_stream_chunking_equals_batch(spark, sf_dir, tmp_path):
         for r in registry()["doc_chunk"].fn(spark, sf_dir).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_stream_funnel_equals_batch_across_batches(spark, sf_dir, tmp_path):
+    """Stateful streaming funnel: stage state survives micro-batch
+    boundaries, depths are monotone across batches, and the final
+    per-user stage timestamps equal the batch twin
+    (operators/analytics.funnel_steps) under in-order arrival."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from eurovision_spark.streaming.ingest import stream_funnel
+    from eurovision_spark.timeaxis import load_events_dir, with_ts_us
+
+    ev = with_ts_us(load_events_dir(spark, f"{sf_dir}/events.parquet"))
+    median_ts = ev.approxQuantile("ts_us", [0.5], 0.01)[0]
+    first_half = ev.filter(F.col("ts_us") <= median_ts).drop("ts_us")
+    second_half = ev.filter(F.col("ts_us") > median_ts).drop("ts_us")
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    ckpt = tmp_path / "ckpt"
+    first_half.coalesce(1).write.parquet(str(tmp_path / "b1"))
+    for f in (tmp_path / "b1").glob("*.parquet"):
+        shutil.copy(f, events_dir / "batch1.parquet")
+
+    q = stream_funnel(spark, str(events_dir), str(ckpt), query_name="t_funnel")
+    try:
+        q.processAllAvailable()
+        mid = {
+            r.user_id: r.funnel_depth
+            for r in spark.sql(
+                "SELECT user_id, max(funnel_depth) AS funnel_depth"
+                " FROM t_funnel GROUP BY user_id"
+            ).collect()
+        }
+        second_half.coalesce(1).write.parquet(str(tmp_path / "b2"))
+        for f in (tmp_path / "b2").glob("*.parquet"):
+            shutil.copy(f, events_dir / "batch2.parquet")
+        q.processAllAvailable()
+        # update-mode memory sink appends every emitted row; the latest
+        # state per user is the max-depth row (stages only ever fill in)
+        final = {
+            r.user_id: (r.t_view_us, r.t_click_us, r.t_purchase_us, r.funnel_depth)
+            for r in spark.sql(
+                """
+                SELECT user_id, t_view_us, t_click_us, t_purchase_us, funnel_depth
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY user_id ORDER BY funnel_depth DESC,
+                          t_purchase_us DESC NULLS LAST, t_click_us DESC NULLS LAST,
+                          t_view_us DESC NULLS LAST) AS rn
+                      FROM t_funnel) WHERE rn = 1
+                """
+            ).collect()
+        }
+    finally:
+        q.stop()
+
+    from eurovision_spark.catalog import registry
+
+    full = tmp_path / "full"
+    full.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", full / "events.parquet")
+    batch = {
+        r.user_id: (r.t_view_us, r.t_click_us, r.t_purchase_us, r.funnel_depth)
+        for r in registry()["funnel_steps"].fn(spark, str(full)).collect()
+    }
+    # users with zero funnel-type events never enter the filtered
+    # stream; the batch twin reports them at depth 0
+    for uid, row in batch.items():
+        if uid in final:
+            assert final[uid] == row
+        else:
+            assert row[3] == 0
+    assert set(final) <= set(batch)
+    # depth is monotone: no user's mid-stream depth exceeds their final
+    assert all(mid[u] <= final[u][3] for u in mid)
+    assert any(v[3] == 3 for v in final.values())  # someone converts
