@@ -49,6 +49,11 @@ HEADLINE = [
     "doc_chunk",
     "contamination_check",
     "token_pack",
+    # round 4: event-analytics tier + dedup survivorship
+    "funnel_steps",
+    "retention_cohorts",
+    "dau_wau",
+    "dedup_survivors",
 ]
 
 

@@ -365,3 +365,60 @@ def test_token_pack_single_exchange(spark):
     assert plan.count("hashpartitioning(") == 1, plan
     assert "hashpartitioning(shard" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_funnel_single_user_exchange_three_windows(spark):
+    # the three chained stage minima share ONE user_id exchange; the
+    # final per-user dedup aggregates on the same partitioning
+    plan = plan_of(spark, "funnel_steps")
+    assert n_exchanges(plan) == 1
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.MULTILINE)) == 3
+    assert "Join" not in plan
+
+
+def test_retention_collapses_before_join(spark):
+    # distinct (user, day) must run BEFORE the cohort join: the
+    # aggregate directly over the events scan is the collapse
+    plan = plan_of(spark, "retention_cohorts")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # distinct + cohort + final, partial/final pairs
+
+
+def test_dau_wau_no_per_day_self_join(spark):
+    # the 7-day fan-out is a per-row explode (Generate), never a
+    # 7-way union/self-join of the activity table
+    plan = plan_of(spark, "dau_wau")
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_survivors_shuffles_ids_not_text(spark):
+    # the bucket shuffle carries (band_sig, doc_id, diversity) only —
+    # document text never appears past the scan projection
+    plan = plan_of(spark, "dedup_survivors")
+    exchanges = [
+        line for line in plan.splitlines() if "Arguments: hashpartitioning" in line
+    ]
+    assert exchanges and all("text" not in e for e in exchanges)
+
+
+def test_below_avg_qty_joins_on_agg_key(spark):
+    # decorrelated Q17: an aggregate + join on l_partkey, no cartesian,
+    # no correlated re-scan per row
+    plan = plan_of(spark, "below_avg_qty_revenue")
+    assert "CartesianProduct" not in plan
+    assert "l_partkey" in plan and plan.count("HashAggregate") >= 2
+
+
+def test_mixture_weights_window_after_aggregate(spark):
+    # the unpartitioned window must consume the per-source AGGREGATE
+    # (bounded rows), not raw documents: the single-partition exchange
+    # feeds from a HashAggregate, and the scan-side exchange is the
+    # aggregate's hash partitioning
+    plan = plan_of(spark, "mixture_weights")
+    assert "SinglePartition" in plan
+    # node ids grow toward the root: the Window must sit ABOVE the
+    # final source aggregate (consume its bounded output)
+    win_id = int(re.search(r"\+- Window \((\d+)\)", plan).group(1))
+    agg_ids = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", plan)]
+    assert agg_ids and win_id > max(agg_ids)
