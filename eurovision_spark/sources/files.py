@@ -1,0 +1,93 @@
+"""Delimited / JSON-lines file sources with explicit schemas and a
+malformed-row policy.
+
+The reference's only structured intake is its own scraped text format
+(scan.py:330-337); a general engine also ingests the two interchange
+formats every warehouse meets. Design rules, all aimed at 100 TB:
+
+- **Schemas are explicit, never inferred.** Inference is a full extra
+  pass over the data before the real job starts (and samples its way
+  to wrong answers on late-file schema drift). Callers pass a
+  ``StructType``, so the scan plans straight off the text with no
+  discovery job.
+- **Malformed rows are data, not exceptions.** Every line parses into
+  (typed columns..., ``_corrupt``): clean rows carry NULL there,
+  unparseable rows carry the raw line (the batch rebuild of the
+  reference's per-line screen-and-skip, scan.py:336, with the skipped
+  lines KEPT). Callers split with :func:`split_corrupt` and sink the
+  quarantine for replay — silently dropping bad rows is the one policy
+  we never default to.
+- **Parse via ``from_csv``/``from_json`` over a text scan**, not the
+  DataFrameReader csv/json paths: the text source is trivially
+  splittable, the parser runs inside whole-stage codegen, the raw line
+  stays available for the quarantine column, and no planner
+  special-case applies (the native readers refuse plans that touch
+  only the corrupt column — QUERY_ONLY_CORRUPT_RECORD_COLUMN — which
+  is exactly what a quarantine count does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+CORRUPT_COL = "_corrupt"
+
+
+def _with_corrupt_field(schema: StructType) -> StructType:
+    """The user schema + the PERMISSIVE-mode corrupt-record column."""
+    if CORRUPT_COL in schema.fieldNames():
+        return schema
+    return StructType(list(schema.fields) + [StructField(CORRUPT_COL, StringType(), True)])
+
+
+def _project(parsed: DataFrame, schema: StructType) -> DataFrame:
+    return parsed.select(*[F.col(f"_rec.{f.name}") for f in schema.fields], F.col(f"_rec.{CORRUPT_COL}"))
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV scan with an explicit schema; unparseable lines survive in
+    ``_corrupt`` instead of failing the stage. With ``header=True``,
+    per-file header lines (which an explicit-schema reader never needs
+    for structure) are dropped by exact match."""
+    lines = spark.read.text(path)
+    if header:
+        hdr = sep.join(f.name for f in schema.fields)
+        lines = lines.filter(F.col("value") != hdr)
+    full = _with_corrupt_field(schema)
+    opts = {
+        "sep": sep,
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": CORRUPT_COL,
+    }
+    parsed = lines.select(
+        F.from_csv(F.col("value"), full.simpleString(), opts).alias("_rec")
+    )
+    return _project(parsed, schema)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """JSON-lines scan with an explicit schema; malformed lines survive
+    in ``_corrupt``."""
+    full = _with_corrupt_field(schema)
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL}
+    parsed = spark.read.text(path).select(
+        F.from_json(F.col("value"), full, opts).alias("_rec")
+    )
+    return _project(parsed, schema)
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean_rows_without_corrupt_col, quarantine_rows) — the policy
+    split: clean rows flow on; quarantine keeps the raw line for
+    replay/debugging. Both sides are lazy projections of ONE scan."""
+    clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    quarantine = df.filter(F.col(CORRUPT_COL).isNotNull())
+    return clean, quarantine

@@ -1,0 +1,100 @@
+"""CSV / JSON-lines source tests (sources/files.py): explicit-schema
+scans, PERMISSIVE corrupt-record quarantine, and round-trip fidelity
+against the parquet-native path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from eurovision_spark.sources import load_table, read_csv, read_jsonl, split_corrupt
+
+SF = "/root/testdata/sf0.001"
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def test_csv_roundtrip_matches_parquet(spark, tmp_path):
+    src = load_table(spark, SF, "documents").select("doc_id", "lang", "n_chars")
+    csv_dir = str(tmp_path / "docs_csv")
+    src.write.option("header", True).csv(csv_dir)
+
+    back = read_csv(spark, csv_dir, DOC_SCHEMA)
+    clean, quarantine = split_corrupt(back)
+    assert quarantine.count() == 0
+    assert sorted(map(tuple, clean.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_jsonl_corrupt_rows_are_quarantined_not_dropped(spark, tmp_path):
+    p = tmp_path / "rows.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "lang": "en", "n_chars": 10}\n'
+        "this line is not json\n"
+        '{"doc_id": 2, "lang": "fr", "n_chars": 20}\n'
+        '{"doc_id": "NOT_A_NUMBER", "lang": "de", "n_chars": 5}\n'
+    )
+    df = read_jsonl(spark, str(p), DOC_SCHEMA)
+    clean, quarantine = split_corrupt(df)
+    assert {r.doc_id for r in clean.collect()} == {1, 2}
+    # both failure modes land in quarantine with the raw line preserved
+    bad = [r._corrupt for r in quarantine.collect()]
+    assert len(bad) == 2
+    assert any("not json" in b for b in bad)
+    assert any("NOT_A_NUMBER" in b for b in bad)
+
+
+def test_csv_malformed_numeric_quarantined(spark, tmp_path):
+    p = tmp_path / "rows.csv"
+    p.write_text("doc_id,lang,n_chars\n1,en,10\nbad,fr,notanint\n2,de,30\n")
+    clean, quarantine = split_corrupt(read_csv(spark, str(p), DOC_SCHEMA))
+    assert {r.doc_id for r in clean.collect()} == {1, 2}
+    assert quarantine.count() == 1
+
+
+def test_explicit_schema_means_no_inference_pass(spark, tmp_path):
+    # the reader must not need header/inference jobs: a schema'd scan of
+    # a headerless file parses by position
+    p = tmp_path / "nohdr.csv"
+    p.write_text("7,en,42\n")
+    clean, _ = split_corrupt(read_csv(spark, str(p), DOC_SCHEMA, header=False))
+    row = clean.collect()[0]
+    assert (row.doc_id, row.lang, row.n_chars) == (7, "en", 42)
+
+
+def test_events_jsonl_flows_into_engine_ops(spark, tmp_path):
+    # interchange intake composes with the catalog's tables: write a
+    # JSONL slice of events, read it back, aggregate
+    ev = load_table(spark, SF, "events").select("event_id", "user_id", "event_type", "value")
+    jl = str(tmp_path / "events_jsonl")
+    ev.write.json(jl)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    clean, quarantine = split_corrupt(read_jsonl(spark, jl, schema))
+    assert quarantine.count() == 0
+    got = {
+        r.event_type: r.n
+        for r in clean.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
