@@ -81,7 +81,7 @@ FUNNEL_STAGES = ("view", "click", "purchase")
     "this shape is linear and skew-tolerant (a user's events fit one "
     "partition's memory iff they fit the window operator's buffer, "
     "same bound sessionize already carries).",
-    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+    # driver-facing: hash-certified in CORRECTNESS (swapped in for a rows-only sketch)
 )
 def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir).select("user_id", "ts_us", "event_type")
@@ -206,7 +206,7 @@ HOUR_US = 3_600_000_000
     "(operators/filldown.py lineage) partitioned per series — at 100 TB "
     "series-count carries the parallelism, exactly like sessionize's "
     "user_id.",
-    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+    # driver-facing: hash-certified in CORRECTNESS (swapped in for a rows-only sketch)
 )
 def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)

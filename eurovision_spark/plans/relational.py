@@ -1115,6 +1115,7 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "default error. No DuckDB oracle on purpose (sketch estimates are "
     "engine-specific); the exact twin distinct_users carries the hash "
     "gate, and the test below bounds this one against it.",
+    driver=False,  # rows-only by design: registry-gated, bounded vs exact twin in pytest
 )
 def distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -1131,6 +1132,7 @@ def distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "form of percentile_prices for 100 TB; accuracy parameter 10000. "
     "Exact twin percentile_prices carries the hash gate; the test "
     "bounds the relative error.",
+    driver=False,  # rows-only by design: registry-gated, bounded vs exact twin in pytest
 )
 def percentile_prices_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
