@@ -272,3 +272,61 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+@register(
+    "user_value_trend",
+    f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS tu, value FROM events),
+    x AS (
+        SELECT user_id, value,
+               (tu - min(tu) OVER (PARTITION BY user_id)) / 3600000000.0 AS xh
+        FROM e),
+    g AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(xh) AS sx, sum(value) AS sy,
+               sum(xh * value) AS sxy, sum(xh * xh) AS sxx
+        FROM x GROUP BY user_id)
+    SELECT user_id, n,
+           round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 4) AS slope,
+           round((sy - ((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0)) * sx) / n, 4)
+               AS intercept
+    FROM g
+    """,
+    "per-user engagement trend: least-squares slope/intercept of event "
+    "value over hours-since-first-event, computed in CLOSED FORM from "
+    "five aggregate sums — regression without MLlib, a UDF, or a "
+    "second pass. The min-over-user window and the groupBy share one "
+    "user_id exchange (same pattern as funnel_steps); both engines "
+    "evaluate the identical formula from their own sums, so the only "
+    "cross-engine drift is summation order, absorbed by round(4). "
+    "Zero-variance users (all events in one instant) yield NULL via "
+    "nullif, never a divide-by-zero.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select("user_id", "ts_us", "value")
+    wu = W.partitionBy("user_id")
+    x = ev.select(
+        "user_id",
+        "value",
+        ((F.col("ts_us") - F.min("ts_us").over(wu)) / 3_600_000_000.0).alias("xh"),
+    )
+    g = x.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("xh").alias("sx"),
+        F.sum("value").alias("sy"),
+        F.sum(F.col("xh") * F.col("value")).alias("sxy"),
+        F.sum(F.col("xh") * F.col("xh")).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    denom = F.nullif(n * sxx - sx * sx, F.lit(0))
+    slope = (n * sxy - sx * sy) / denom
+    return g.select(
+        "user_id",
+        "n",
+        F.round(slope, 4).alias("slope"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+    )
