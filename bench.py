@@ -54,6 +54,8 @@ HEADLINE = [
     "retention_cohorts",
     "dau_wau",
     "dedup_survivors",
+    "gapfill_locf",
+    "user_value_trend",
 ]
 
 

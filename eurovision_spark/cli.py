@@ -78,6 +78,47 @@ def _cmd_fetch(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_query(args: argparse.Namespace) -> int:
+    from eurovision_spark import get_spark
+    from eurovision_spark.catalog import registry
+    from eurovision_spark.sinks import write_csv, write_parquet
+
+    specs = registry()
+    if args.name not in specs:
+        print(f"unknown query {args.name!r}; available: {', '.join(sorted(specs))}")
+        return 2
+    spark = get_spark("eurovision-query")
+    df = specs[args.name].fn(spark, args.sf_dir)
+    if args.out:
+        (write_csv if args.out.endswith(".csv") else write_parquet)(df, args.out)
+        print(f"wrote {args.out}")
+    else:
+        df.show(args.limit, truncate=False)
+        print(f"{df.count()} rows")
+    return 0
+
+
+def _cmd_sql(args: argparse.Namespace) -> int:
+    """Ad-hoc SQL over the registered star schema — the engine-native
+    replacement for the reference's raw interpolated WHERE loop
+    (toexcel.py:29): the statement is parsed/analyzed by Spark SQL
+    against named temp views, never string-spliced into another query."""
+    from eurovision_spark import get_spark
+    from eurovision_spark.sinks import write_csv, write_parquet
+    from eurovision_spark.sources import register_views
+
+    spark = get_spark("eurovision-sql")
+    register_views(spark, args.sf_dir)
+    df = spark.sql(args.statement)
+    if args.out:
+        (write_csv if args.out.endswith(".csv") else write_parquet)(df, args.out)
+        print(f"wrote {args.out}")
+    else:
+        df.show(args.limit, truncate=False)
+        print(f"{df.count()} rows")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="eurovision_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -105,6 +146,21 @@ def main(argv: list[str] | None = None) -> int:
     pf.add_argument("landing_dir")
     pf.add_argument("--url-template", required=True, help="page-parametrized URL (magicString.txt)")
     pf.set_defaults(fn=_cmd_fetch)
+
+    default_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    pq_ = sub.add_parser("query", help="run a named catalog query")
+    pq_.add_argument("name", help="catalog query name (see COVERAGE.md)")
+    pq_.add_argument("--sf-dir", default=default_sf, help="tables dir (parquet star schema)")
+    pq_.add_argument("--out", default=None, help="write result (.csv => CSV, else parquet)")
+    pq_.add_argument("--limit", type=int, default=20, help="rows to show when not writing")
+    pq_.set_defaults(fn=_cmd_query)
+
+    ps = sub.add_parser("sql", help="ad-hoc Spark SQL over the registered tables")
+    ps.add_argument("statement", help="SQL; tables region..embeddings are views")
+    ps.add_argument("--sf-dir", default=default_sf, help="tables dir (parquet star schema)")
+    ps.add_argument("--out", default=None, help="write result (.csv => CSV, else parquet)")
+    ps.add_argument("--limit", type=int, default=20, help="rows to show when not writing")
+    ps.set_defaults(fn=_cmd_sql)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -60,3 +60,43 @@ def test_cli_ingest_then_export(spark, tmp_path):
     # captured values casefold (scan.py:322-325; official_title exempt)
     assert rows[0]["imp"] == "trade:wonderdrug"
     assert rows[0]["location"] == "Austria"
+
+
+def test_cli_query_runs_catalog_entry(spark, tmp_path, capsys):
+    out = tmp_path / "trend.csv"
+    rc = main(
+        [
+            "query",
+            "user_value_trend",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--out",
+            str(out),
+        ]
+    )
+    assert rc == 0
+    files = glob.glob(str(out / "*.csv")) or [str(out)]
+    rows = sum(len(list(csv.reader(open(f)))) for f in files)
+    assert rows > 1  # header + data
+
+
+def test_cli_query_unknown_name_lists_catalog(capsys):
+    rc = main(["query", "no_such_query", "--sf-dir", "/root/testdata/sf0.001"])
+    assert rc == 2
+    assert "flagship_denorm" in capsys.readouterr().out
+
+
+def test_cli_sql_over_registered_views(spark, capsys):
+    rc = main(
+        [
+            "sql",
+            "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--limit",
+            "10",
+        ]
+    )
+    assert rc == 0
+    got = capsys.readouterr().out
+    assert "click" in got and "rows" in got
