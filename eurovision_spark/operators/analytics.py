@@ -84,7 +84,13 @@ FUNNEL_STAGES = ("view", "click", "purchase")
     # driver-facing: hash-certified in CORRECTNESS (swapped in for a rows-only sketch)
 )
 def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_events(spark, sf_dir).select("user_id", "ts_us", "event_type")
+    return funnel_core(load_events(spark, sf_dir).select("user_id", "ts_us", "event_type"))
+
+
+def funnel_core(ev: DataFrame) -> DataFrame:
+    """The staged-minima funnel over any (user_id, ts_us, event_type)
+    DataFrame — split out so property tests (tests/test_properties.py)
+    and callers with non-catalog event sources drive the same plan."""
     wu = W.partitionBy("user_id")
     s1 = ev.withColumn(
         "t_view", F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(wu)
@@ -259,7 +265,12 @@ def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
 )
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_events(spark, sf_dir)
+    return retention_core(load_events(spark, sf_dir))
+
+
+def retention_core(ev: DataFrame) -> DataFrame:
+    """The cohort triangle over any (user_id, ts_us, ...) DataFrame —
+    split out so property tests drive the same plan as the catalog."""
     ud = ev.select("user_id", F.expr(f"ts_us div {DAY_US}").alias("day")).distinct()
     cohort = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (

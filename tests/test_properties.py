@@ -188,3 +188,99 @@ def test_fill_down_equals_naive_global_window(spark, rows, bucket):
         ).collect()
     }
     assert got == want
+
+
+# --- funnel staged minima vs a direct model ---------------------------------
+
+EVENT_KINDS = ["view", "click", "purchase", "signup", "error"]
+FUNNEL_EVENTS = st.lists(
+    st.tuples(st.integers(0, 30), st.sampled_from(EVENT_KINDS)),  # (ts, kind)
+    min_size=1,
+    max_size=14,
+)
+
+
+def _funnel_model(evs):
+    """Pure-Python staged minima: first view, first click strictly
+    after it, first purchase strictly after that."""
+    t1 = min((t for t, k in evs if k == "view"), default=None)
+    t2 = (
+        min((t for t, k in evs if k == "click" and t > t1), default=None)
+        if t1 is not None
+        else None
+    )
+    t3 = (
+        min((t for t, k in evs if k == "purchase" and t > t2), default=None)
+        if t2 is not None
+        else None
+    )
+    depth = 0 if t1 is None else 1 if t2 is None else 2 if t3 is None else 3
+    return (t1, t2, t3, depth)
+
+
+@PROP_SETTINGS
+@given(evs=FUNNEL_EVENTS, seed=st.integers(0, 2**16))
+def test_funnel_matches_model_and_ignores_order_and_noise(spark, evs, seed):
+    from eurovision_spark.operators.analytics import funnel_core
+
+    def run(rows):
+        df = spark.createDataFrame(
+            [(1, int(t), k) for t, k in rows], "user_id long, ts_us long, event_type string"
+        )
+        r = funnel_core(df).collect()[0]
+        return (r.t_view_us, r.t_click_us, r.t_purchase_us, r.funnel_depth)
+
+    expected = _funnel_model(evs)
+    assert run(evs) == expected
+
+    # row order is irrelevant (ties included), and non-funnel events
+    # never affect the stages
+    rng = random.Random(seed)
+    shuffled = list(evs)
+    rng.shuffle(shuffled)
+    noisy = shuffled + [(rng.randint(0, 30), rng.choice(["signup", "error"]))]
+    assert run(noisy) == expected
+
+
+# --- retention triangle vs a direct model -----------------------------------
+
+USER_DAYS = st.lists(
+    st.tuples(st.integers(1, 4), st.integers(0, 9)),  # (user, day)
+    min_size=1,
+    max_size=20,
+)
+
+
+@PROP_SETTINGS
+@given(ud=USER_DAYS, shift=st.integers(0, 5))
+def test_retention_matches_model_and_is_shift_equivariant(spark, ud, shift):
+    from collections import Counter
+
+    from eurovision_spark.operators.analytics import DAY_US, retention_core
+
+    def run(pairs):
+        # one event per (user, day) at noon; duplicates collapse in-op
+        df = spark.createDataFrame(
+            [(u, d * DAY_US + DAY_US // 2) for u, d in pairs],
+            "user_id long, ts_us long",
+        )
+        return {
+            (r.cohort_day, r.day_offset): r.n_users for r in retention_core(df).collect()
+        }
+
+    def model(pairs):
+        days = {}
+        for u, d in pairs:
+            days.setdefault(u, set()).add(d)
+        c = Counter()
+        for u, ds in days.items():
+            first = min(ds)
+            for d in ds:
+                c[(first, d - first)] += 1
+        return dict(c)
+
+    got = run(ud)
+    assert got == model(ud)
+    # shifting every timestamp by whole days shifts cohorts, not offsets
+    shifted = run([(u, d + shift) for u, d in ud])
+    assert shifted == {(cd + shift, off): n for (cd, off), n in got.items()}
