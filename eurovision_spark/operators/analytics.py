@@ -341,3 +341,51 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 4).alias("slope"),
         F.round((sy - slope * sx) / n, 4).alias("intercept"),
     )
+
+
+TOP_TRIGRAMS = 20
+
+
+@register(
+    "event_trigrams",
+    f"""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS tu, event_id FROM events),
+    t AS (
+        SELECT event_type,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+    tri AS (
+        SELECT event_type || '>' || t1 || '>' || t2 AS trigram
+        FROM t WHERE t2 IS NOT NULL)
+    SELECT trigram, CAST(count(*) AS BIGINT) AS n
+    FROM tri GROUP BY trigram
+    ORDER BY n DESC, trigram LIMIT {TOP_TRIGRAMS}
+    """,
+    "behavioral path mining: the most common 3-step event sequences "
+    "across users (per-user order, event_id tiebreak on simultaneous "
+    "events). Two lead() windows share ONE user_id exchange; trigram "
+    "counting is a partial+final aggregate; the top-k is "
+    "TakeOrderedAndProject (never a global sort). The per-user ordered "
+    "buffer is the same bound sessionize carries — no collect_list of "
+    "whole user histories into one row.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts_us", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    t = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    )
+    tri = t.filter(F.col("t2").isNotNull()).select(
+        F.concat_ws(">", "event_type", "t1", "t2").alias("trigram")
+    )
+    return (
+        tri.groupBy("trigram")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "trigram")
+        .limit(TOP_TRIGRAMS)
+    )
