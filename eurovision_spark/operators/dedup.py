@@ -81,10 +81,23 @@ def docs_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# dedup_exact plants IDENTICAL copies (same bytes, doc_id + 2000000) so
+# the collapse path is genuinely exercised: every group must reach
+# n_copies >= 2 with the ORIGINAL doc_id as canonical. (The perturbed
+# copies in DOCS_WITH_COPIES_SQL deliberately do NOT collapse under an
+# exact digest — they exist for the near-dup operators.)
+DOCS_WITH_EXACT_COPIES_SQL = """
+    SELECT doc_id, text FROM documents WHERE n_chars > 0
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text
+    FROM documents WHERE n_chars > 0
+"""
+
+
 @register(
     "dedup_exact",
     f"""
-    WITH docs AS ({DOCS_WITH_COPIES_SQL}),
+    WITH docs AS ({DOCS_WITH_EXACT_COPIES_SQL}),
     canon AS (
         SELECT md5(text) AS content_md5,
                CAST(min(doc_id) AS BIGINT) AS canonical_id,
@@ -94,13 +107,16 @@ def docs_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "exact dedup at scale: group on a 128-bit content digest (never "
     "shuffle full documents), keep min doc_id as canonical — the Spark "
-    "rebuild of scan.py:243-248 set-dedup for corpus-size data. Exact "
-    "copies planted by construction must all collapse (n_copies check "
-    "in tests).",
+    "rebuild of scan.py:243-248 set-dedup for corpus-size data. Every "
+    "planted byte-identical copy must collapse onto its original "
+    "(n_copies >= 2, canonical = original id — pinned in "
+    "tests/test_pipeline_ops.py).",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = docs_with_copies(spark, sf_dir)
-    # exact copies: re-plant doc+copy with identical text so groups form
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    docs = d.select("doc_id", "text").unionByName(
+        d.select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    )
     return (
         docs.select("doc_id", F.md5("text").alias("content_md5"))
         .groupBy("content_md5")

@@ -132,3 +132,21 @@ def test_token_pack_conserves_tokens_and_bounds_overflow(spark):
             )
         )
         assert abs(p["fill"] - expected) < 1e-9
+
+
+def test_dedup_exact_collapses_identical_copies(spark):
+    """Every planted byte-identical copy must collapse onto its
+    original: n_copies >= 2 everywhere, canonical_id always the
+    original (sub-2000000) id, and the group count equals the number
+    of distinct texts."""
+    from pyspark.sql import functions as F
+
+    from eurovision_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = registry()["dedup_exact"].fn(spark, sf).collect()
+    assert rows and all(r.n_copies >= 2 for r in rows)
+    assert all(r.canonical_id < 2000000 for r in rows)
+    d = load_table(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    n_distinct_texts = d.select("text").distinct().count()
+    assert len(rows) == n_distinct_texts
