@@ -150,3 +150,27 @@ def test_dedup_exact_collapses_identical_copies(spark):
     d = load_table(spark, sf, "documents").filter(F.col("n_chars") > 0)
     n_distinct_texts = d.select("text").distinct().count()
     assert len(rows) == n_distinct_texts
+
+
+def test_minhash_lsh_recovers_planted_near_dups(spark):
+    """The banded LSH candidates must actually SURFACE the planted
+    perturbed copies (doc, doc+1000000), not merely hash-match the
+    oracle: >= 95% of eligible originals pair with their copy (4x4
+    banding loses only the shortest docs, where one appended token
+    rewrites a large share of the shingle set)."""
+    from pyspark.sql import functions as F
+
+    from eurovision_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pairs = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in registry()["minhash_lsh_pairs"].fn(spark, sf).collect()
+    }
+    planted = {p for p in pairs if p[1] == p[0] + 1000000}
+    d = load_table(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    n_eligible = d.filter(
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= 3
+    ).count()
+    assert n_eligible > 0
+    assert len(planted) / n_eligible >= 0.95
