@@ -17,9 +17,11 @@ family a training-data pipeline needs (BASELINE.json north star):
 
 Every hash derives from md5 so the DuckDB oracles compute bit-identical
 values. The testdata has no natural duplicates (TESTDATA.md seed data),
-so the exact/minhash queries synthesize a perturbed copy of each
-document inside the query (doc_id + 1_000_000) — the operator must then
-find exactly those planted pairs; the oracle proves it.
+so the queries plant their own: the near-dup operators synthesize a
+PERTURBED copy of each document (doc_id + 1_000_000, one appended
+token) and must surface those pairs (recall pinned in
+tests/test_pipeline_ops.py); dedup_exact plants byte-IDENTICAL copies
+(doc_id + 2_000_000) that must collapse under the content digest.
 """
 
 from __future__ import annotations
