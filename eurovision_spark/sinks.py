@@ -67,6 +67,42 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def upsert_parquet(
+    df: DataFrame, path: str, keys: list[str], keep: str = "existing"
+) -> None:
+    """Keyed merge into a parquet directory — the engine's MERGE edge.
+
+    ``keep="existing"``: first writer wins per key; only rows whose key
+    is absent are appended (the reference's swallowed duplicate-PK
+    INSERT, scan.py:129-132, made explicit). ``keep="updates"``:
+    last writer wins; incoming rows replace same-key rows. Keys must be
+    unique within ``df`` (pre-aggregate upstream; this op does not pick
+    among duplicate incoming rows).
+
+    Mechanics: the survivor set is existing ∪/⊖ updates via ONE
+    anti-join on the key columns, materialized to ``path + "_next"``
+    and swapped in (parquet can't be read and overwritten in the same
+    job). Honest scale note: plain parquet has no transactional MERGE,
+    so this rewrites the table; at 100 TB you partition the store and
+    rewrite only affected partitions, or use a table format with a real
+    MERGE (Delta/Iceberg) — the anti-join shape carries over unchanged.
+    """
+    spark = df.sparkSession
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:
+        df.write.mode("overwrite").parquet(path)
+        return
+    if keep == "existing":
+        merged = existing.unionByName(df.join(existing.select(*keys), keys, "left_anti"))
+    elif keep == "updates":
+        merged = df.unionByName(existing.join(df.select(*keys), keys, "left_anti"))
+    else:  # pragma: no cover - guarded API
+        raise ValueError(f"keep must be 'existing' or 'updates', got {keep!r}")
+    merged.write.mode("overwrite").parquet(path + "_next")
+    spark.read.parquet(path + "_next").write.mode("overwrite").parquet(path)
+
+
 def write_sqlite(tables: dict[str, DataFrame], db_path: str) -> None:
     """Reference-format SQLite sink — full S5 parity (scan.py:46-132).
 

@@ -46,26 +46,20 @@ def stream_registry_ingest(
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        from eurovision_spark.sinks import upsert_parquet
+
         lines = number_lines(batch_df)
         tables = parse_registry_lines(lines)
         for name, df in tables.items():
             path = f"{out_dir}/{name}"
-            try:
-                existing = batch_df.sparkSession.read.parquet(path)
-                if name == "trial":
-                    # first batch wins per trial id (scan.py:129-132:
-                    # later duplicate inserts are dropped)
-                    merged = existing.unionByName(
-                        df.join(existing.select("eudract_id"), "eudract_id", "left_anti")
-                    )
-                else:
-                    keys = df.columns
-                    merged = existing.unionByName(df).dropDuplicates(keys)
-                merged.write.mode("overwrite").parquet(path + "_next")
-                next_df = batch_df.sparkSession.read.parquet(path + "_next")
-                next_df.write.mode("overwrite").parquet(path)
-            except Exception:
-                df.write.mode("overwrite").parquet(path)
+            if name == "trial":
+                # first batch wins per trial id (scan.py:129-132: later
+                # duplicate inserts are dropped) — the keyed MERGE edge
+                upsert_parquet(df, path, ["eudract_id"], keep="existing")
+            else:
+                # child tables are sets of whole rows: the "key" is the
+                # full row, so the same first-wins upsert is a set union
+                upsert_parquet(df.dropDuplicates(), path, df.columns, keep="existing")
 
     stream = spark.readStream.format("text").load(landing_dir)
     return (

@@ -98,3 +98,27 @@ def test_events_jsonl_flows_into_engine_ops(spark, tmp_path):
         for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_upsert_parquet_policies_and_replay_idempotence(spark, tmp_path):
+    """The keyed MERGE edge (sinks.upsert_parquet): first-wins keeps
+    existing rows, last-wins replaces them, and replaying the same
+    update batch changes nothing (the exactly-once property the
+    streaming ingest leans on)."""
+    from eurovision_spark.sinks import upsert_parquet
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    upsert_parquet(base, path, ["k"])  # empty target: plain write
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+
+    upsert_parquet(upd, path, ["k"], keep="existing")
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}  # existing k=2 survives
+
+    upsert_parquet(upd, path, ["k"], keep="existing")  # replay: no-op
+    assert {r.k: r.v for r in spark.read.parquet(path).collect()} == got
+
+    upsert_parquet(upd, path, ["k"], keep="updates")
+    got2 = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got2 == {1: "a", 2: "B", 3: "c"}  # incoming k=2 replaces
