@@ -314,3 +314,121 @@ def token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_tokens",
         "fill",
     )
+
+
+# quality-binned curation: decile documents by lexical diversity, then
+# report each bin's doc/token mass — the shape a curriculum or
+# quality-weighted sampling pass consumes ("how much of the corpus sits
+# in each quality band, and how many tokens does keeping bins >= k buy")
+N_QUALITY_BINS = 10
+
+
+@register(
+    "quality_bins",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents WHERE n_chars > 0),
+    q AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS diversity
+        FROM t),
+    b AS (
+        SELECT n_tokens, diversity,
+               ntile({N_QUALITY_BINS}) OVER (ORDER BY diversity, doc_id) AS bin
+        FROM q)
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           round(min(diversity), 4) AS div_lo,
+           round(max(diversity), 4) AS div_hi
+    FROM b GROUP BY bin
+    """,
+    "quality-binned curation: decile the corpus by lexical diversity "
+    "(deterministic doc_id tiebreak) and report each bin's doc count, "
+    "token mass, and diversity range — what a curriculum schedule or "
+    "quality-threshold decision consumes. The ntile runs over (score, "
+    "id) pairs only — documents collapse to two numbers before the "
+    "single ordered pass, and that pass is the ONE global-order step "
+    "(rank-based binning is inherently global; at 100 TB swap ntile "
+    "for approx-quantile cutpoints computed map-side, same output "
+    "contract).",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    t = d.select("doc_id", tokens(F.lower(F.col("text"))).alias("toks"))
+    q = t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct(F.col("toks"))).cast("double") / F.size("toks")).alias(
+            "diversity"
+        ),
+    )
+    wq = W.orderBy("diversity", "doc_id")
+    b = q.select(
+        "n_tokens", "diversity", F.ntile(N_QUALITY_BINS).over(wq).alias("bin")
+    )
+    return b.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        F.round(F.min("diversity"), 4).alias("div_lo"),
+        F.round(F.max("diversity"), 4).alias("div_hi"),
+    ).select(F.col("bin").cast("int").alias("bin"), "n_docs", "bin_tokens", "div_lo", "div_hi")
+
+
+# deterministic text featurizer: the embed step of an embed+search
+# pipeline with the MODEL stubbed (as with the multimodal codecs, the
+# container has no inference stack): dimension j of a doc's vector is
+# an md5-derived value in [-1, 1], L2-normalized per doc. The Spark
+# plumbing — per-row array generation, in-array normalization, explode
+# to (doc, dim, val) — is exactly what a real encoder UDF would feed.
+EMBED_DIM = 16
+
+
+@register(
+    "text_embed",
+    f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE n_chars > 0),
+    r AS (
+        SELECT doc_id,
+               dim,
+               ({md5_long_sql("concat(text, ':', CAST(dim AS VARCHAR))")} % 2001 - 1000)
+                   / 1000.0 AS v
+        FROM d CROSS JOIN (SELECT unnest(generate_series(0, {EMBED_DIM - 1})) AS dim)),
+    n AS (
+        SELECT doc_id, dim, v,
+               sqrt(sum(v * v) OVER (PARTITION BY doc_id)) AS nrm
+        FROM r)
+    SELECT doc_id, CAST(dim AS INT) AS dim, round(v / nrm, 6) AS val
+    FROM n
+    """,
+    f"text featurization (embed step, model stubbed): {EMBED_DIM} "
+    "md5-derived dimensions in [-1, 1], L2-normalized per document, "
+    "emitted as (doc_id, dim, val) rows. The Spark side builds the "
+    "vector per-row with a higher-order transform and normalizes "
+    "inside the array — zero shuffles, no UDF; a real encoder swaps "
+    "the hash formula for an Arrow-batched model call with the same "
+    "schema. The oracle mirrors the formula row-wise with a window "
+    "norm (same doubles, rounded).",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def text_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    dims = F.sequence(F.lit(0), F.lit(EMBED_DIM - 1))
+    raw = F.transform(
+        dims,
+        lambda j: (
+            md5_long(F.concat(F.col("text"), F.lit(":"), j.cast("string"))) % 2001 - 1000
+        )
+        / 1000.0,
+    )
+    withv = d.select("doc_id", raw.alias("vraw"))
+    nrm = F.sqrt(F.aggregate(F.col("vraw"), F.lit(0.0), lambda a, x: a + x * x))
+    return (
+        withv.select("doc_id", "vraw", nrm.alias("nrm"))
+        .select("doc_id", F.posexplode("vraw").alias("dim", "v"), "nrm")
+        .select("doc_id", F.col("dim").cast("int").alias("dim"), F.round(F.col("v") / F.col("nrm"), 6).alias("val"))
+    )
