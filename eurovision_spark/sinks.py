@@ -21,6 +21,13 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     w.parquet(path)
 
 
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC interchange sink — the other splittable columnar format a
+    warehouse exchange meets; same pushdown/pruning properties as the
+    parquet native store (Spark's ORC reader is vectorized too)."""
+    df.write.mode("overwrite").orc(path)
+
+
 def write_csv(df: DataFrame, path: str) -> None:
     """CSV export edge: header row + empty-string-for-missing, matching
     the reference's worksheet shape (toexcel.py:129-131)."""

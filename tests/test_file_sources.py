@@ -122,3 +122,41 @@ def test_upsert_parquet_policies_and_replay_idempotence(spark, tmp_path):
     upsert_parquet(upd, path, ["k"], keep="updates")
     got2 = {r.k: r.v for r in spark.read.parquet(path).collect()}
     assert got2 == {1: "a", 2: "B", 3: "c"}  # incoming k=2 replaces
+
+
+def test_orc_roundtrip_matches_parquet(spark, tmp_path):
+    """ORC interchange: write the documents projection as ORC, read it
+    back, rows identical — and the ORC scan still takes pushed filters
+    (same vectorized-columnar contract as the parquet store)."""
+    import contextlib
+    import io
+
+    from eurovision_spark.sinks import write_orc
+
+    src = load_table(spark, SF, "documents").select("doc_id", "lang", "n_chars")
+    orc_dir = str(tmp_path / "docs_orc")
+    write_orc(src, orc_dir)
+    back = spark.read.orc(orc_dir)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.filter(F.col("n_chars") > 100).explain("formatted")
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)]" in buf.getvalue()
+
+
+def test_parquet_schema_evolution_on_read(spark, tmp_path):
+    """The native store tolerates additive schema drift: files written
+    before a column existed read as NULL for it under mergeSchema —
+    the append-only evolution story a long-lived 100 TB table needs
+    (and the read-side twin of union_evolution's unionByName)."""
+    p = str(tmp_path / "tbl")
+    old = spark.createDataFrame([(1, "a")], "k long, v string")
+    old.write.parquet(p + "/batch=1")
+    new = spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double")
+    new.write.parquet(p + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", True).parquet(p)
+    assert set(merged.columns) == {"k", "v", "score", "batch"}
+    rows = {r.k: (r.v, r.score) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
