@@ -422,3 +422,35 @@ def test_mixture_weights_window_after_aggregate(spark):
     win_id = int(re.search(r"\+- Window \((\d+)\)", plan).group(1))
     agg_ids = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", plan)]
     assert agg_ids and win_id > max(agg_ids)
+
+
+def test_text_embed_is_shuffle_free(spark):
+    # vector build + in-array L2 norm + posexplode: pure per-row map
+    plan = plan_of(spark, "text_embed")
+    assert "Exchange" not in plan
+
+
+def test_quality_bins_collapses_before_global_ntile(spark):
+    # the single-partition ntile pass must consume collapsed
+    # (n_tokens, diversity) pairs, never document text
+    plan = plan_of(spark, "quality_bins")
+    assert "SinglePartition" in plan
+    # everything at/above the single-partition exchange sees collapsed
+    # pairs only — the text column stays below, in the scan stage
+    above_exchange = plan[plan.index("SinglePartition"):].split("(1) Scan parquet")[0]
+    assert "text#" not in above_exchange
+
+
+def test_dq_profile_is_one_scan(spark):
+    # all six columns' null/distinct aggregates ride ONE events scan
+    plan = plan_of(spark, "dq_profile")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)) == 1
+    assert "Expand" in plan  # multi-column count_distinct via expand, not rescans
+
+
+def test_ri_check_no_cartesian_keys_only(spark):
+    plan = plan_of(spark, "ri_check")
+    assert "CartesianProduct" not in plan
+    # anti-joins move keys only: no wide columns in any exchange
+    exchanges = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
+    assert all("l_comment" not in e and "o_orderpriority" not in e for e in exchanges)
