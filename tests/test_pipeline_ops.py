@@ -174,3 +174,31 @@ def test_minhash_lsh_recovers_planted_near_dups(spark):
     ).count()
     assert n_eligible > 0
     assert len(planted) / n_eligible >= 0.95
+
+
+def test_pii_redact_masks_every_planted_match(spark):
+    """The redacted text must contain zero residual PII-pattern matches
+    and exactly the planted masks: every doc_id % 7 == 0 doc carries
+    one <EMAIL>, % 5 == 0 one <PHONE>, % 3 == 0 one <IP> (the base
+    corpus is digit-free word soup, so the planted instances are the
+    only possible matches)."""
+    import re
+
+    from eurovision_spark.operators.pipeline import (
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+        pii_redact,
+    )
+
+    rows = pii_redact(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        for pat in (PII_EMAIL, PII_PHONE, PII_IPV4):
+            assert not re.search(pat, r.redacted), (r.doc_id, pat)
+        assert r.n_emails == (1 if r.doc_id % 7 == 0 else 0)
+        assert r.n_phones == (1 if r.doc_id % 5 == 0 else 0)
+        assert r.n_ips == (1 if r.doc_id % 3 == 0 else 0)
+        assert r.redacted.count("<EMAIL>") == r.n_emails
+        assert r.redacted.count("<PHONE>") == r.n_phones
+        assert r.redacted.count("<IP>") == r.n_ips
