@@ -454,3 +454,11 @@ def test_ri_check_no_cartesian_keys_only(spark):
     # anti-joins move keys only: no wide columns in any exchange
     exchanges = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
     assert all("l_comment" not in e and "o_orderpriority" not in e for e in exchanges)
+
+
+def test_pii_redact_is_shuffle_free(spark):
+    # plant + count + chained regexp_replace: pure per-row regex map
+    # inside whole-stage codegen — linear scan at any corpus size
+    plan = plan_of(spark, "pii_redact")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # never a row-at-a-time UDF
