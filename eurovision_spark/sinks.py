@@ -151,3 +151,61 @@ def write_sqlite(tables: dict[str, DataFrame], db_path: str) -> None:
         con.commit()
     finally:
         con.close()
+
+
+def write_clustered(
+    df: DataFrame, path: str, cols: list[str], files: int | None = None
+) -> None:
+    """Range-clustered parquet: repartitionByRange + sortWithinPartitions
+    on ``cols`` before writing, so each output file (and each row group
+    inside it) covers a narrow, near-disjoint key range. Later reads
+    with a pushed predicate on ``cols`` then skip whole row groups via
+    parquet min/max stats — the poor-man's clustered index / Z-order
+    for the single-dimension case, and the layout step that makes a
+    100 TB table selectively readable without a table format.
+    ``files`` bounds the output file count (range partitioner sampling
+    picks balanced split points; skew lands in adjacent files, never
+    one hot file)."""
+    n = files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def compact_parquet(
+    spark, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files and return the new file count.
+
+    Streaming/incremental writers (micro-batches, per-task outputs)
+    leave thousands of KB-sized files; at scale every later scan pays
+    one task + one footer read per file, and the namenode pays the
+    metadata. Compaction is the periodic maintenance pass that
+    restores ~128 MB scan units. Round-robin repartition (not
+    coalesce: coalesce merges by locality and can leave skewed
+    outputs), staged to ``_next`` then swapped in with a directory
+    rename — parquet can't be read and overwritten in one job, and a
+    Spark rewrite of the staged copy would re-split it by input
+    splits, losing the file-count contract. The rename swap is the
+    local-FS stand-in for an object-store manifest flip (table
+    formats make this step transactional)."""
+    import math
+    import os
+    import shutil
+
+    total = 0
+    for root, _dirs, names in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in names
+            if f.endswith(".parquet")
+        )
+    n = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(path + "_next")
+    shutil.rmtree(path)
+    os.rename(path + "_next", path)
+    return n

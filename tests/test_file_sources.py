@@ -160,3 +160,50 @@ def test_parquet_schema_evolution_on_read(spark, tmp_path):
     assert set(merged.columns) == {"k", "v", "score", "batch"}
     rows = {r.k: (r.v, r.score) for r in merged.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_write_clustered_yields_near_disjoint_file_ranges(spark, tmp_path):
+    """Range clustering is only worth its shuffle if the layout it buys
+    is real: each output file's (min, max) on the cluster key — read
+    straight from the parquet footers, the same stats the row-group
+    skip uses — must be disjoint from every other file's, so a pushed
+    point/range predicate touches ~1 file instead of all of them."""
+    import pyarrow.parquet as pq
+
+    from eurovision_spark.sinks import write_clustered
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    out = str(tmp_path / "clustered")
+    write_clustered(li, out, ["l_orderkey"], files=8)
+    ranges = []
+    for f in sorted((tmp_path / "clustered").glob("*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        stats = [md.row_group(i).column(0).statistics for i in range(md.num_row_groups)]
+        assert md.schema.column(0).name == "l_orderkey"
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    assert len(ranges) == 8
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        # range partitioner: files cover consecutive key ranges; the
+        # same orderkey may straddle a boundary but never interleave
+        assert hi1 <= lo2
+    # round-trip intact
+    assert spark.read.parquet(out).count() == li.count()
+
+
+def test_compact_parquet_restores_target_file_count(spark, tmp_path):
+    from eurovision_spark.sinks import compact_parquet
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    frag = str(tmp_path / "frag")
+    li.repartition(64).write.parquet(frag)  # the streaming-writer mess
+    n_small = len(list((tmp_path / "frag").glob("*.parquet")))
+    assert n_small == 64
+    before = spark.read.parquet(frag).count()
+    total = sum(f.stat().st_size for f in (tmp_path / "frag").glob("*.parquet"))
+    n = compact_parquet(spark, frag, target_file_bytes=(total // 4) + 1)
+    assert n == 4
+    assert len(list((tmp_path / "frag").glob("*.parquet"))) == 4
+    assert spark.read.parquet(frag).count() == before
