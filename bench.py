@@ -56,6 +56,8 @@ HEADLINE = [
     "dedup_survivors",
     "gapfill_locf",
     "user_value_trend",
+    # round 4: compliance pass
+    "pii_redact",
 ]
 
 

@@ -487,6 +487,14 @@ PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 )
 def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return redact_documents(d)
+
+
+def redact_documents(d: DataFrame) -> DataFrame:
+    """The plant+scrub core over any (doc_id, text) DataFrame — batch
+    or streaming (pure per-row regex expressions, so the same plan
+    runs unchanged under readStream; tests/test_streaming.py proves
+    stream/batch parity)."""
     did = F.col("doc_id")
     planted = d.select(
         "doc_id",

@@ -374,3 +374,17 @@ def stream_chunk_documents(spark: SparkSession, docs_dir: str) -> DataFrame:
     schema = spark.read.parquet(docs_dir).schema
     stream = spark.readStream.schema(schema).parquet(docs_dir)
     return chunk_documents(stream.filter(F.col("n_chars") > 0))
+
+
+def stream_redact_documents(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """Streaming twin of the PII scrub: documents arriving as a parquet
+    file stream go through the SAME plant+redact expressions as the
+    batch path (operators/pipeline.redact_documents). Stateless like
+    the chunker — per-row regex only, so compliance scrubbing composes
+    with ``readStream`` at ingest time instead of as a later batch
+    sweep over landed (still-unscrubbed) data."""
+    from eurovision_spark.operators.pipeline import redact_documents
+
+    schema = spark.read.parquet(docs_dir).schema
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    return redact_documents(stream.filter(F.col("n_chars") > 0))

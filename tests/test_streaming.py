@@ -375,3 +375,40 @@ def test_stream_funnel_equals_batch_across_batches(spark, sf_dir, tmp_path):
     # depth is monotone: no user's mid-stream depth exceeds their final
     assert all(mid[u] <= final[u][3] for u in mid)
     assert any(v[3] == 3 for v in final.values())  # someone converts
+
+
+def test_stream_redaction_equals_batch(spark, sf_dir, tmp_path):
+    """The stateless PII scrub runs UNCHANGED under Structured
+    Streaming: same plant+redact expressions, same output as batch
+    over the same documents."""
+    import shutil
+
+    from eurovision_spark.streaming.ingest import stream_redact_documents
+
+    docs_dir = str(tmp_path / "docs_pii_stream")
+    (tmp_path / "docs_pii_stream").mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", docs_dir)
+
+    q = (
+        stream_redact_documents(spark, docs_dir)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pii_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            r["doc_id"]: (r["n_emails"], r["n_phones"], r["n_ips"], r["redacted"])
+            for r in spark.sql("SELECT * FROM pii_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    from eurovision_spark.catalog import registry
+
+    batch = {
+        r["doc_id"]: (r["n_emails"], r["n_phones"], r["n_ips"], r["redacted"])
+        for r in registry()["pii_redact"].fn(spark, sf_dir).collect()
+    }
+    assert streamed == batch and len(batch) > 0
