@@ -236,3 +236,53 @@ def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("above_cust_avg"),
         F.ntile(4).over(wq).cast("int").alias("price_quartile"),
     )
+
+
+# Fixed-width histogram bounds for l_extendedprice (TPC-H's generator
+# keeps prices in [900, 105000]); out-of-range values clamp into the
+# edge bins, so a drifted producer widens a bin instead of dropping
+# rows. Bin arithmetic is plain double ops (sub/div/floor), which both
+# engines evaluate IEEE-identically — no width_bucket dialect needed.
+HIST_LO = 0.0
+HIST_W = 10_000.0
+HIST_NBINS = 11
+
+
+@register(
+    "price_histogram",
+    f"""
+    SELECT CAST(least(greatest(floor((l_extendedprice - {HIST_LO}) / {HIST_W}), 0),
+                      {HIST_NBINS - 1}) AS BIGINT) AS bin,
+           round({HIST_LO} + least(greatest(floor((l_extendedprice - {HIST_LO}) / {HIST_W}), 0),
+                      {HIST_NBINS - 1}) * {HIST_W}, 2) AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice), 2) AS price_sum
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+    f"fixed-width histogram of line-item prices ({HIST_NBINS} bins of "
+    f"width {HIST_W:.0f}, edges clamped): the profiling primitive behind "
+    "every distribution dashboard and skew diagnosis. Per-row bin "
+    "arithmetic + one partial/final aggregate over ≤nbins groups — the "
+    "shuffle moves nbins rows per map task regardless of input size, so "
+    "the plan is identical at 100 TB. Data-derived bounds would add a "
+    "min/max pre-pass; fixed bounds keep it one scan (and the approx "
+    "twin of that pre-pass already exists: percentile_prices_approx).",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bin_ = (
+        F.least(
+            F.greatest(F.floor((F.col("l_extendedprice") - HIST_LO) / HIST_W), F.lit(0)),
+            F.lit(HIST_NBINS - 1),
+        )
+    ).cast("bigint")
+    return (
+        li.select(bin_.alias("bin"), "l_extendedprice")
+        .groupBy("bin", F.round(HIST_LO + F.col("bin") * HIST_W, 2).alias("bin_lo"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("price_sum"),
+        )
+    )
