@@ -98,6 +98,21 @@ def _cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_list(args: argparse.Namespace) -> int:
+    """Catalog discovery: every runnable query with its first doc
+    sentence — no SparkSession needed (the registry is plain Python
+    until a query's builder runs)."""
+    from eurovision_spark.catalog import registry
+
+    for name, spec in sorted(registry().items()):
+        if args.filter and args.filter not in name:
+            continue
+        first = (spec.doc or "").split(". ")[0].split(" — ")[0].strip()
+        tags = "" if spec.oracle is not None else "  [rows-only]"
+        print(f"{name:28s} {first[:90]}{tags}")
+    return 0
+
+
 def _cmd_sql(args: argparse.Namespace) -> int:
     """Ad-hoc SQL over the registered star schema — the engine-native
     replacement for the reference's raw interpolated WHERE loop
@@ -154,6 +169,10 @@ def main(argv: list[str] | None = None) -> int:
     pq_.add_argument("--out", default=None, help="write result (.csv => CSV, else parquet)")
     pq_.add_argument("--limit", type=int, default=20, help="rows to show when not writing")
     pq_.set_defaults(fn=_cmd_query)
+
+    pl = sub.add_parser("list", help="list catalog queries (name + one-liner)")
+    pl.add_argument("--filter", default=None, help="substring filter on the name")
+    pl.set_defaults(fn=_cmd_list)
 
     ps = sub.add_parser("sql", help="ad-hoc Spark SQL over the registered tables")
     ps.add_argument("statement", help="SQL; tables region..embeddings are views")

@@ -100,3 +100,18 @@ def test_cli_sql_over_registered_views(spark, capsys):
     assert rc == 0
     got = capsys.readouterr().out
     assert "click" in got and "rows" in got
+
+
+def test_cli_list_enumerates_catalog(capsys):
+    from eurovision_spark.catalog import registry
+    from eurovision_spark.cli import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    for name in registry():
+        assert name in out
+    assert "[rows-only]" in out  # the sketch queries are flagged
+
+    assert main(["list", "--filter", "pii"]) == 0
+    out = capsys.readouterr().out
+    assert "pii_redact" in out and "dedup_exact" not in out
