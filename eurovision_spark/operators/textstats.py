@@ -699,3 +699,54 @@ def corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_tokens",
     )
     return quality.unionByName(mixture).unionByName(budget)
+
+
+# Exact-k weighted sampling (Efraimidis–Spirakis): keep the top-k docs
+# by ln(u)/w where u is a deterministic md5-derived uniform in (0, 1]
+# and w the sampling weight — equivalent to u^(1/w) order, so each doc
+# wins with probability proportional to its weight, WITHOUT
+# replacement and with exactly k survivors (the guarantee the
+# Bernoulli-rate sampler mixture_sample cannot give).
+WSAMPLE_K = 200
+WSAMPLE_RES = 1_000_000  # u grid: (md5 % RES + 1) / RES in (0, 1]
+
+
+@register(
+    "weighted_sample",
+    f"""
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+           round(ln(({md5_long_sql("concat('wsamp-', CAST(doc_id AS VARCHAR))")}
+                     % {WSAMPLE_RES} + 1) / {WSAMPLE_RES}.0) / n_chars, 9)
+               AS priority
+    FROM documents WHERE n_chars > 0
+    ORDER BY ln(({md5_long_sql("concat('wsamp-', CAST(doc_id AS VARCHAR))")}
+                 % {WSAMPLE_RES} + 1) / {WSAMPLE_RES}.0) / n_chars DESC, doc_id
+    LIMIT {WSAMPLE_K}
+    """,
+    f"exact-{WSAMPLE_K} weighted sampling without replacement "
+    "(Efraimidis–Spirakis top-k by ln(u)/w, weight = n_chars, u "
+    "md5-derived): the reproducible 'pick k docs proportional to "
+    "quality/length' selector an eval-set or mixture builder needs when "
+    "a rate-based sample's size variance is unacceptable. Per-row key "
+    "computation + TakeOrderedAndProject — each partition keeps only "
+    "its local top-k and ships k rows to the driver-side merge, never a "
+    "global sort; rerun-stable like every md5-keyed sampler here.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        md5_long(F.concat(F.lit("wsamp-"), F.col("doc_id").cast("string"))) % WSAMPLE_RES + 1
+    ) / float(WSAMPLE_RES)
+    prio = F.log(u) / F.col("n_chars")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            prio.alias("_p"),
+        )
+        .orderBy(F.col("_p").desc(), "doc_id")
+        .limit(WSAMPLE_K)
+        .select("doc_id", "lang", "weight", F.round("_p", 9).alias("priority"))
+    )

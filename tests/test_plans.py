@@ -462,3 +462,11 @@ def test_pii_redact_is_shuffle_free(spark):
     plan = plan_of(spark, "pii_redact")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan  # never a row-at-a-time UDF
+
+
+def test_weighted_sample_is_takeordered_not_global_sort(spark):
+    # exact-k selection must be per-partition top-k + k-row merge,
+    # never a materialized global sort
+    plan = plan_of(spark, "weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert not re.search(r"^\(\d+\) Sort", plan, re.MULTILINE)
