@@ -470,3 +470,48 @@ def test_weighted_sample_is_takeordered_not_global_sort(spark):
     plan = plan_of(spark, "weighted_sample")
     assert "TakeOrderedAndProject" in plan
     assert not re.search(r"^\(\d+\) Sort", plan, re.MULTILINE)
+
+
+def test_aqe_splits_planted_skew_join(spark):
+    """The 100 TB skew story is two-layer: salting for known-degenerate
+    keys (salted_agg) and AQE skew-join splitting for everything else.
+    session.py turns the latter on; this proves it FIRES — a planted
+    90%-one-key join must show skew=true partitions in the final
+    adaptive plan instead of one straggler task owning the hot key."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        # shrink the skew thresholds to unit-test scale (defaults are
+        # 256 MB — the MECHANISM is what's under test, not the default)
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        # force a sort-merge join: broadcast would hide the skew path
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 - unset conf
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(300_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.lpad(F.col("id").cast("string"), 64, "x").alias("pad"),
+        )
+        right = spark.range(2_000).select(F.col("id").alias("k"))
+        joined = left.join(right, "k").select(F.count("*").alias("n"))
+        [row] = joined.collect()
+        assert row.n > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
