@@ -56,8 +56,9 @@ HEADLINE = [
     "dedup_survivors",
     "gapfill_locf",
     "user_value_trend",
-    # round 4: compliance pass
+    # round 4: compliance pass + composed end-to-end prep
     "pii_redact",
+    "prep_pipeline",
 ]
 
 

@@ -533,3 +533,76 @@ def redact_documents(d: DataFrame) -> DataFrame:
             "<PHONE>",
         ).alias("redacted"),
     )
+
+
+_SPLIT_BUCKET_SQL = md5_long_sql(f"concat(CAST(doc_id AS VARCHAR), '{SPLIT_SEED}')") + " % 100"
+
+
+@register(
+    "prep_pipeline",
+    f"""
+    WITH planted AS (
+        SELECT doc_id,
+               concat(text,
+                      CASE WHEN doc_id % 7 = 0
+                           THEN concat(' contact user', CAST(doc_id AS VARCHAR),
+                                       '@example.com')
+                           ELSE '' END,
+                      CASE WHEN doc_id % 5 = 0
+                           THEN concat(' call 555-',
+                                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+                           ELSE '' END,
+                      CASE WHEN doc_id % 3 = 0
+                           THEN concat(' from 10.', CAST(doc_id % 256 AS VARCHAR),
+                                       '.0.', CAST(doc_id % 100 AS VARCHAR))
+                           ELSE '' END) AS text
+        FROM documents WHERE n_chars > 0),
+    redacted AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{PII_IPV4}', '<IP>', 'g'),
+                   '{PII_PHONE}', '<PHONE>', 'g') AS text
+        FROM planted),
+    t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM redacted),
+    c AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(
+                   0, CAST(ceil(greatest(len(toks) - {CHUNK}, 0) / {STRIDE}.0)
+                           AS BIGINT))) AS chunk_idx
+        FROM t)
+    SELECT doc_id, chunk_idx,
+           CASE WHEN {_SPLIT_BUCKET_SQL} < 90 THEN 'train'
+                WHEN {_SPLIT_BUCKET_SQL} < 95 THEN 'valid'
+                ELSE 'test' END AS split,
+           CAST(len(toks[1 + {STRIDE} * chunk_idx : {STRIDE} * chunk_idx + {CHUNK}])
+                AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(
+               toks[1 + {STRIDE} * chunk_idx : {STRIDE} * chunk_idx + {CHUNK}],
+               ' ')) AS chunk_md5
+    FROM c
+    """,
+    "the training-prep pipeline END-TO-END as one composed query: "
+    "filter -> PII scrub (redact_documents) -> sliding-window chunking "
+    "(chunk_documents) -> train/valid/test assignment (hash_split's "
+    "bucket expression) -> per-chunk content digest. Every stage is a "
+    "per-row map, so the WHOLE pipeline is a single shuffle-free scan "
+    "(plan-asserted): at 100 TB this runs as one embarrassingly-"
+    "parallel pass writing straight to partitioned parquet — the "
+    "composition story the individual operator gates can't show.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    red = redact_documents(d).select("doc_id", F.col("redacted").alias("text"))
+    chunks = chunk_documents(red)
+    bucket = md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(SPLIT_SEED))) % 100
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test").alias("split"),
+        "n_chunk_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )

@@ -515,3 +515,11 @@ def test_aqe_splits_planted_skew_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_prep_pipeline_is_one_shuffle_free_pass(spark):
+    # filter -> redact -> chunk -> split -> digest composes into a
+    # single per-row scan: no Exchange anywhere, one parquet scan
+    plan = plan_of(spark, "prep_pipeline")
+    assert "Exchange" not in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)) == 1
