@@ -412,3 +412,40 @@ def test_stream_redaction_equals_batch(spark, sf_dir, tmp_path):
         for r in registry()["pii_redact"].fn(spark, sf_dir).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_stream_prep_pipeline_equals_batch(spark, sf_dir, tmp_path):
+    """The composed prep pass (scrub -> chunk -> split -> digest) runs
+    UNCHANGED under Structured Streaming — documents become
+    split-labeled training chunks within the arriving micro-batch."""
+    import shutil
+
+    from eurovision_spark.streaming.ingest import stream_prep_pipeline
+
+    docs_dir = str(tmp_path / "docs_prep_stream")
+    (tmp_path / "docs_prep_stream").mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", docs_dir)
+
+    q = (
+        stream_prep_pipeline(spark, docs_dir)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("prep_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r["doc_id"], r["chunk_idx"]): (r["split"], r["n_chunk_tokens"], r["chunk_md5"])
+            for r in spark.sql("SELECT * FROM prep_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    from eurovision_spark.catalog import registry
+
+    batch = {
+        (r["doc_id"], r["chunk_idx"]): (r["split"], r["n_chunk_tokens"], r["chunk_md5"])
+        for r in registry()["prep_pipeline"].fn(spark, sf_dir).collect()
+    }
+    assert streamed == batch and len(batch) > 0
