@@ -483,8 +483,8 @@ def test_aqe_splits_planted_skew_join(spark):
     confs = {
         # shrink the skew thresholds to unit-test scale (defaults are
         # 256 MB — the MECHANISM is what's under test, not the default)
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
         # force a sort-merge join: broadcast would hide the skew path
         "spark.sql.autoBroadcastJoinThreshold": "-1",
@@ -501,7 +501,10 @@ def test_aqe_splits_planted_skew_join(spark):
             spark.conf.set(k, v)
         left = spark.range(300_000).select(
             F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
-            F.lpad(F.col("id").cast("string"), 64, "x").alias("pad"),
+            # high-entropy payload: a constant pad compresses the hot
+            # shuffle partition down toward the detection threshold
+            F.concat(F.md5(F.col("id").cast("string")),
+                     F.md5((F.col("id") + 1).cast("string"))).alias("pad"),
         )
         right = spark.range(2_000).select(F.col("id").alias("k"))
         joined = left.join(right, "k").select(F.count("*").alias("n"))
