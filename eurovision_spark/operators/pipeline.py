@@ -592,7 +592,6 @@ _SPLIT_BUCKET_SQL = md5_long_sql(f"concat(CAST(doc_id AS VARCHAR), '{SPLIT_SEED}
     "(plan-asserted): at 100 TB this runs as one embarrassingly-"
     "parallel pass writing straight to partitioned parquet — the "
     "composition story the individual operator gates can't show.",
-    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
 )
 def prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)

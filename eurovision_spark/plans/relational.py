@@ -346,6 +346,11 @@ def first_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "toexcel.py:31/118 search hit counting; adds count-distinct (free in "
     "Spark, absent in the reference — SURVEY §2.4).",
+    # driver slot ceded to prep_pipeline: a bare COUNT(*) is implicitly
+    # certified by every other driver row's row-count match, while the
+    # composed prep pass value-certifies four ops in one row. Still
+    # oracle-gated at sf0.001 (pytest) + sf0.01/sf0.1 (verify).
+    driver=False,
 )
 def hit_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
