@@ -503,3 +503,53 @@ def ri_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(orphans(o, "o_custkey", c, "c_custkey", "orders->customer"))
         .unionByName(orphans(li, "l_partkey", p, "p_partkey", "lineitem->part"))
     )
+
+
+@register(
+    "event_health",
+    """
+    WITH e AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS tu FROM events),
+    flagged AS (
+        SELECT event_type, event_id, tu,
+               CASE WHEN tu < max(tu) OVER (
+                        PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS ooo
+        FROM e)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS n_dup_ids,
+           CAST(sum(ooo) AS BIGINT) AS n_out_of_order,
+           CAST(max(tu) - min(tu) AS BIGINT) AS span_us
+    FROM flagged GROUP BY event_type
+    """,
+    "event-stream hygiene audit (the events-side twin of dq_profile): "
+    "per event_type, duplicate-id count, out-of-order arrivals (event "
+    "time regressing vs the running max in event_id arrival order, per "
+    "user — the signal that sizes a streaming watermark), and time "
+    "span. One user_id exchange feeds the arrival-order window; the "
+    "per-type rollup then moves only per-type partials. This is the "
+    "report you run BEFORE picking withWatermark bounds at 100 TB.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def event_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ooo = (
+        F.when(F.col("ts_us") < F.max("ts_us").over(w), 1).otherwise(0)
+    )
+    return (
+        ev.select("event_id", "event_type", "ts_us", ooo.alias("ooo"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.count("*") - F.countDistinct("event_id")).cast("bigint").alias("n_dup_ids"),
+            F.sum("ooo").cast("bigint").alias("n_out_of_order"),
+            (F.max("ts_us") - F.min("ts_us")).cast("bigint").alias("span_us"),
+        )
+    )
