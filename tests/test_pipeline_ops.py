@@ -202,3 +202,34 @@ def test_pii_redact_masks_every_planted_match(spark):
         assert r.redacted.count("<EMAIL>") == r.n_emails
         assert r.redacted.count("<PHONE>") == r.n_phones
         assert r.redacted.count("<IP>") == r.n_ips
+
+
+def test_price_histogram_conserves_rows_and_bins(spark):
+    from eurovision_spark.catalog import registry
+    from eurovision_spark.plans.olap import HIST_NBINS, HIST_W
+    from eurovision_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = registry()["price_histogram"].fn(spark, sf).collect()
+    li = load_table(spark, sf, "lineitem")
+    assert sum(r.n for r in rows) == li.count()  # every row lands in a bin
+    for r in rows:
+        assert 0 <= r.bin < HIST_NBINS
+        assert r.bin_lo == r.bin * HIST_W
+
+
+def test_weighted_sample_is_deterministic_and_weight_biased(spark):
+    from eurovision_spark.catalog import registry
+    from eurovision_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    fn = registry()["weighted_sample"].fn
+    a = sorted(r.doc_id for r in fn(spark, sf).collect())
+    b = sorted(r.doc_id for r in fn(spark, sf).collect())
+    assert a == b and len(a) == len(set(a))  # rerun-stable, no replacement
+    sel = fn(spark, sf).agg({"weight": "avg"}).first()[0]
+    docs = load_table(spark, sf, "documents").filter("n_chars > 0")
+    corpus = docs.agg({"n_chars": "avg"}).first()[0]
+    # selection probability rises with weight: the selected mean weight
+    # must exceed the corpus mean (k=200 of ~500, gap is large)
+    assert sel > corpus
