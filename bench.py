@@ -59,6 +59,10 @@ HEADLINE = [
     # round 4: compliance pass + composed end-to-end prep
     "pii_redact",
     "prep_pipeline",
+    # round 4: profiling + weighted selection + stream hygiene
+    "price_histogram",
+    "weighted_sample",
+    "event_health",
 ]
 
 
