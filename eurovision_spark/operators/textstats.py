@@ -750,3 +750,45 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(WSAMPLE_K)
         .select("doc_id", "lang", "weight", F.round("_p", 9).alias("priority"))
     )
+
+
+@register(
+    "unigram_logprob",
+    """
+    WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+               FROM documents WHERE n_chars > 0),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    freq AS (SELECT term, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY term),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok)
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(freq.c / tot.n)), 4) AS avg_logprob
+    FROM tok JOIN freq USING (term) CROSS JOIN tot
+    GROUP BY tok.doc_id
+    """,
+    "unigram language-model scoring (the CCNet/perplexity-filter "
+    "primitive): per-doc mean log-probability of its tokens under the "
+    "corpus's own unigram distribution — low scorers are gibberish or "
+    "vocabulary outliers, the classic cheap quality gate before an "
+    "expensive model-based filter. Two bounded shuffles at any scale: "
+    "the term-count aggregate (map-side combined, vocabulary-sized "
+    "output) BROADCASTs back to the token stream, and the per-doc mean "
+    "pre-aggregates in-partition (a doc's exploded tokens stay "
+    "co-located through narrow ops), so the final exchange moves one "
+    "row per document, never per token.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    tok = d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+    freq = tok.groupBy("term").agg(F.count("*").cast("double").alias("c"))
+    tot = tok.agg(F.count("*").cast("double").alias("n"))
+    return (
+        tok.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4).alias("avg_logprob"),
+        )
+    )

@@ -526,3 +526,24 @@ def test_prep_pipeline_is_one_shuffle_free_pass(spark):
     plan = plan_of(spark, "prep_pipeline")
     assert "Exchange" not in plan
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)) == 1
+
+
+def test_unigram_logprob_aggregates_before_the_doc_exchange(spark):
+    """The vocabulary count broadcasts back to the token stream, and
+    the per-doc mean is partially aggregated in-partition — so the
+    doc-keyed exchange moves one row per document, never per token."""
+    plan = plan_of(spark, "unigram_logprob")
+    assert "BroadcastExchange" in plan  # freq + total ride broadcasts
+    # the only hash exchanges are the two BOUNDED keys: term (vocab-
+    # sized count, below its broadcast) and doc_id (one row per doc
+    # after the in-partition partial mean) — the raw token stream never
+    # shuffles as tokens
+    keys = [
+        line
+        for line in plan.splitlines()
+        if "Arguments: hashpartitioning" in line
+    ]
+    assert any("doc_id" in line for line in keys), keys
+    assert all(("doc_id" in line) or ("term" in line) for line in keys), keys
+    # partial+final pairs for BOTH aggregates (freq and per-doc mean)
+    assert plan.count("HashAggregate") >= 4
