@@ -63,6 +63,7 @@ HEADLINE = [
     "price_histogram",
     "weighted_sample",
     "event_health",
+    "unigram_logprob",
 ]
 
 
@@ -126,12 +127,18 @@ def main() -> None:
             with open(fixture, "rb") as fh:
                 n_lines = sum(1 for _ in fh)
         # drop anything the query section left cached so the parse runs
-        # against a clean heap (its own lines cache is the one that matters)
-        spark.catalog.clearCache()
-        t0 = time.time()
-        for df in parse_registry(spark, fixture).values():
-            df.write.format("noop").mode("overwrite").save()
-        parse_sec = round(time.time() - t0, 3)
+        # against a clean heap (its own lines cache is the one that matters);
+        # min of 2 full passes — the single-run number swung ~2x with JVM
+        # heap/GC state, which read as round-over-round regressions that
+        # weren't real
+        parse_runs = []
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            for df in parse_registry(spark, fixture).values():
+                df.write.format("noop").mode("overwrite").save()
+            parse_runs.append(time.time() - t0)
+        parse_sec = round(min(parse_runs), 3)
     except Exception as exc:  # noqa: BLE001
         errors["_parse_registry"] = f"{type(exc).__name__}: {exc}"[:500]
 
