@@ -513,7 +513,7 @@ def ri_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged AS (
         SELECT event_type, event_id, tu,
                CASE WHEN tu < max(tu) OVER (
-                        PARTITION BY user_id ORDER BY event_id
+                        PARTITION BY user_id ORDER BY event_id, tu
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                     THEN 1 ELSE 0 END AS ooo
         FROM e)
@@ -535,9 +535,12 @@ def ri_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def event_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
+    # ts_us tie-break: duplicate event_ids (the dirty-stream case this
+    # audit exists to count) would otherwise make the ROWS frame — and
+    # so the ooo flag — ordering-nondeterministic across engines/reruns
     w = (
         W.partitionBy("user_id")
-        .orderBy("event_id")
+        .orderBy("event_id", "ts_us")
         .rowsBetween(W.unboundedPreceding, -1)
     )
     ooo = (

@@ -445,11 +445,16 @@ PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_PHONE = r"\b[0-9]{3}-[0-9]{4}\b"
 PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 
-
-@register(
-    "pii_redact",
-    f"""
-    WITH planted AS (
+# The planted-text CTE and the staged-mask CTEs, shared verbatim by the
+# pii_redact and prep_pipeline oracles (one definition of what
+# "planted" and "redacted" mean — editing one query can't silently
+# un-sync the other). Masking is STAGED (email -> ip -> phone) and each
+# class's count is taken on the text AS THAT STAGE SEES IT, so counts
+# always equal the masks actually emitted — a class swallowed by an
+# earlier mask (an IPv4-looking fragment inside an email) is not
+# phantom-counted.
+_PLANT_SQL = """
+    planted AS (
         SELECT doc_id,
                concat(text,
                       CASE WHEN doc_id % 7 = 0
@@ -464,25 +469,40 @@ PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
                            THEN concat(' from 10.', CAST(doc_id % 256 AS VARCHAR),
                                        '.0.', CAST(doc_id % 100 AS VARCHAR))
                            ELSE '' END) AS text
-        FROM documents WHERE n_chars > 0)
+        FROM documents WHERE n_chars > 0)"""
+
+_MASK_SQL = f"""
+    m1 AS (SELECT doc_id, text,
+                  regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS t1
+           FROM planted),
+    m2 AS (SELECT doc_id, text, t1,
+                  regexp_replace(t1, '{PII_IPV4}', '<IP>', 'g') AS t2
+           FROM m1)"""
+
+_REDACTED_SQL = f"regexp_replace(t2, '{PII_PHONE}', '<PHONE>', 'g')"
+
+
+@register(
+    "pii_redact",
+    f"""
+    WITH {_PLANT_SQL},
+    {_MASK_SQL}
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
-           CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_phones,
-           CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS BIGINT) AS n_ips,
-           regexp_replace(regexp_replace(regexp_replace(text,
-               '{PII_EMAIL}', '<EMAIL>', 'g'),
-               '{PII_IPV4}', '<IP>', 'g'),
-               '{PII_PHONE}', '<PHONE>', 'g') AS redacted
-    FROM planted
+           CAST(len(regexp_extract_all(t2, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(t1, '{PII_IPV4}')) AS BIGINT) AS n_ips,
+           {_REDACTED_SQL} AS redacted
+    FROM m2
     """,
     "PII scrub (email / phone / IPv4): per-class match counts + masked "
-    "text via chained regexp_replace — the standard pre-training "
+    "text via staged regexp_replace — the standard pre-training "
     "compliance pass. Pure per-row JVM regex inside whole-stage codegen "
     "(no UDF, no shuffle); cost is linear in bytes scanned, identical "
     "at 100 TB. Email masks before IPv4/phone so dotted/hyphenated "
-    "fragments inside an address can't double-match. Match counts are "
-    "emitted per class so the downstream audit can aggregate redaction "
-    "rates without re-scanning.",
+    "fragments inside an address can't double-match, and each class is "
+    "COUNTED on the text its masking stage sees, so counts equal the "
+    "masks actually emitted — the downstream audit can reconcile "
+    "redaction rates against the masked text exactly.",
     driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
 )
 def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -519,19 +539,24 @@ def redact_documents(d: DataFrame) -> DataFrame:
             ).otherwise(""),
         ).alias("text"),
     )
-    t = F.col("text")
-    return planted.select(
+    # staged masking, each class counted on the text its stage sees
+    # (mirrors _MASK_SQL): counts == emitted masks by construction
+    staged = planted.select(
         "doc_id",
-        F.regexp_count(t, F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
-        F.regexp_count(t, F.lit(PII_PHONE)).cast("bigint").alias("n_phones"),
-        F.regexp_count(t, F.lit(PII_IPV4)).cast("bigint").alias("n_ips"),
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
-            ),
-            PII_PHONE,
-            "<PHONE>",
-        ).alias("redacted"),
+        "text",
+        F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>").alias("t1"),
+    ).select(
+        "doc_id",
+        "text",
+        "t1",
+        F.regexp_replace(F.col("t1"), PII_IPV4, "<IP>").alias("t2"),
+    )
+    return staged.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(F.col("t2"), F.lit(PII_PHONE)).cast("bigint").alias("n_phones"),
+        F.regexp_count(F.col("t1"), F.lit(PII_IPV4)).cast("bigint").alias("n_ips"),
+        F.regexp_replace(F.col("t2"), PII_PHONE, "<PHONE>").alias("redacted"),
     )
 
 
@@ -541,29 +566,11 @@ _SPLIT_BUCKET_SQL = md5_long_sql(f"concat(CAST(doc_id AS VARCHAR), '{SPLIT_SEED}
 @register(
     "prep_pipeline",
     f"""
-    WITH planted AS (
-        SELECT doc_id,
-               concat(text,
-                      CASE WHEN doc_id % 7 = 0
-                           THEN concat(' contact user', CAST(doc_id AS VARCHAR),
-                                       '@example.com')
-                           ELSE '' END,
-                      CASE WHEN doc_id % 5 = 0
-                           THEN concat(' call 555-',
-                                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
-                           ELSE '' END,
-                      CASE WHEN doc_id % 3 = 0
-                           THEN concat(' from 10.', CAST(doc_id % 256 AS VARCHAR),
-                                       '.0.', CAST(doc_id % 100 AS VARCHAR))
-                           ELSE '' END) AS text
-        FROM documents WHERE n_chars > 0),
+    WITH {_PLANT_SQL},
+    {_MASK_SQL},
     redacted AS (
-        SELECT doc_id,
-               regexp_replace(regexp_replace(regexp_replace(text,
-                   '{PII_EMAIL}', '<EMAIL>', 'g'),
-                   '{PII_IPV4}', '<IP>', 'g'),
-                   '{PII_PHONE}', '<PHONE>', 'g') AS text
-        FROM planted),
+        SELECT doc_id, {_REDACTED_SQL} AS text
+        FROM m2),
     t AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
         FROM redacted),
@@ -595,6 +602,15 @@ _SPLIT_BUCKET_SQL = md5_long_sql(f"concat(CAST(doc_id AS VARCHAR), '{SPLIT_SEED}
 )
 def prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return prep_documents(d)
+
+
+def prep_documents(d: DataFrame) -> DataFrame:
+    """The composed prep core over any (doc_id, text) DataFrame — batch
+    or streaming (every stage is a stateless per-row map, so the one
+    definition serves prep_pipeline AND streaming/ingest.py's
+    stream_prep_pipeline; the parity test certifies one body, not two
+    copies that could drift)."""
     red = redact_documents(d).select("doc_id", F.col("redacted").alias("text"))
     chunks = chunk_documents(red)
     bucket = md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(SPLIT_SEED))) % 100

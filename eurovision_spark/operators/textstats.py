@@ -759,7 +759,7 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM documents WHERE n_chars > 0),
     tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
     freq AS (SELECT term, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY term),
-    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok)
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq)
     SELECT tok.doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
            round(avg(ln(freq.c / tot.n)), 4) AS avg_logprob
@@ -782,7 +782,9 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     tok = d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term"))
     freq = tok.groupBy("term").agg(F.count("*").cast("double").alias("c"))
-    tot = tok.agg(F.count("*").cast("double").alias("n"))
+    # corpus total = sum of the vocab counts: derived from the tiny freq
+    # aggregate, never a third full scan+tokenize of the corpus
+    tot = freq.agg(F.sum("c").alias("n"))
     return (
         tok.join(F.broadcast(freq), "term")
         .crossJoin(F.broadcast(tot))

@@ -206,6 +206,10 @@ def compact_parquet(
         )
     n = max(1, math.ceil(total / target_file_bytes))
     spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(path + "_next")
-    shutil.rmtree(path)
+    # swap order matters: rename the live copy ASIDE, rename the new one
+    # in, THEN delete — at no instant is there zero live copies (rm-first
+    # would destroy the dataset if the process died before the rename)
+    os.rename(path, path + "_old")
     os.rename(path + "_next", path)
+    shutil.rmtree(path + "_old")
     return n

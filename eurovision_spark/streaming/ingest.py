@@ -395,25 +395,12 @@ def stream_prep_pipeline(spark: SparkSession, docs_dir: str) -> DataFrame:
     prep_pipeline (scrub -> chunk -> split -> digest) is a stateless
     per-row map, so the WHOLE pipeline composes with ``readStream``
     unchanged — arriving documents leave as split-labeled training
-    chunks in the same micro-batch, no state store, no watermark."""
-    from eurovision_spark.operators.pipeline import (
-        SPLIT_SEED,
-        chunk_documents,
-        redact_documents,
-    )
-    from eurovision_spark.operators.textstats import md5_long
+    chunks in the same micro-batch, no state store, no watermark.
+    The body IS the batch core (operators/pipeline.prep_documents) —
+    one definition, so the stream/batch parity test certifies a shared
+    plan rather than two copies that could drift."""
+    from eurovision_spark.operators.pipeline import prep_documents
 
     schema = spark.read.parquet(docs_dir).schema
     stream = spark.readStream.schema(schema).parquet(docs_dir)
-    red = redact_documents(stream.filter(F.col("n_chars") > 0)).select(
-        "doc_id", F.col("redacted").alias("text")
-    )
-    chunks = chunk_documents(red)
-    bucket = md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(SPLIT_SEED))) % 100
-    return chunks.select(
-        "doc_id",
-        "chunk_idx",
-        F.when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test").alias("split"),
-        "n_chunk_tokens",
-        F.md5(F.col("chunk_text")).alias("chunk_md5"),
-    )
+    return prep_documents(stream.filter(F.col("n_chars") > 0))

@@ -233,3 +233,24 @@ def test_weighted_sample_is_deterministic_and_weight_biased(spark):
     # selection probability rises with weight: the selected mean weight
     # must exceed the corpus mean (k=200 of ~500, gap is large)
     assert sel > corpus
+
+
+def test_pii_counts_equal_emitted_masks_under_class_overlap(spark):
+    """An IPv4-looking fragment inside an email ('john@1.2.3.4.com')
+    is swallowed by the email mask; the staged counting must NOT
+    phantom-count it as an unredacted IP — every class count equals
+    the masks actually present in the redacted text."""
+    from eurovision_spark.operators.pipeline import redact_documents
+
+    # doc_id=1: no plants (not divisible by 3/5/7) — the overlap case
+    # is the only PII present
+    d = spark.createDataFrame(
+        [(1, "reach john@1.2.3.4.com or 10.0.0.1 or 555-1234 now")],
+        "doc_id bigint, text string",
+    )
+    [r] = redact_documents(d).collect()
+    assert r.n_emails == 1 and r.n_ips == 1 and r.n_phones == 1
+    assert r.redacted.count("<EMAIL>") == r.n_emails
+    assert r.redacted.count("<IP>") == r.n_ips
+    assert r.redacted.count("<PHONE>") == r.n_phones
+    assert "1.2.3.4" not in r.redacted
