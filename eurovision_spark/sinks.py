@@ -94,12 +94,19 @@ def upsert_parquet(
     rewrite only affected partitions, or use a table format with a real
     MERGE (Delta/Iceberg) — the anti-join shape carries over unchanged.
     """
+    import os
+
     spark = df.sparkSession
-    try:
-        existing = spark.read.parquet(path)
-    except Exception:
+    # fresh-target detection is an EXPLICIT existence check, never a
+    # swallowed read error: treating a corrupt/transient-IO read as
+    # "target absent" would overwrite the accumulated store with one
+    # incoming batch. A real read failure on an existing path must
+    # surface to the operator, who still has path_next from the last
+    # completed merge to recover from.
+    if not os.path.exists(path):
         df.write.mode("overwrite").parquet(path)
         return
+    existing = spark.read.parquet(path)
     if keep == "existing":
         merged = existing.unionByName(df.join(existing.select(*keys), keys, "left_anti"))
     elif keep == "updates":

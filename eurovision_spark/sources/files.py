@@ -56,11 +56,24 @@ def read_csv(
     """CSV scan with an explicit schema; unparseable lines survive in
     ``_corrupt`` instead of failing the stage. With ``header=True``,
     per-file header lines (which an explicit-schema reader never needs
-    for structure) are dropped by exact match."""
+    for structure) are recognized by their FIELD LIST — each cell
+    trimmed and unquoted, then compared to the schema's column names —
+    so ``"doc_id","text"`` and ``doc_id, text`` headers are dropped,
+    not quarantined as bogus corrupt rows. Residual edge (documented,
+    not silent policy): an ALL-STRING schema whose data row's cells
+    exactly equal the column names is indistinguishable from a header
+    by content; typed schemas are immune (such a row would not be a
+    header candidate's only parse)."""
+    import re
+
     lines = spark.read.text(path)
     if header:
-        hdr = sep.join(f.name for f in schema.fields)
-        lines = lines.filter(F.col("value") != hdr)
+        names = F.array(*[F.lit(f.name) for f in schema.fields])
+        cells = F.transform(
+            F.split(F.col("value"), re.escape(sep)),
+            lambda c: F.trim(F.regexp_replace(F.trim(c), '^"|"$', "")),
+        )
+        lines = lines.filter(~cells.eqNullSafe(names))
     full = _with_corrupt_field(schema)
     opts = {
         "sep": sep,

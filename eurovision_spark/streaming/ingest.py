@@ -135,12 +135,17 @@ def stream_sessionize(
         last_ts, n_sessions, n_events = (
             state.get if state.exists else (None, 0, 0)
         )
-        for pdf in pdfs:
-            for ts in sorted(int(t) for t in pdf["ts_us"]):
-                if last_ts is None or ts - last_ts > gap_us:
-                    n_sessions += 1
-                last_ts = ts
-            n_events += len(pdf)
+        # materialize ALL chunks before sorting: applyInPandasWithState
+        # delivers a group's micro-batch rows as multiple pandas chunks
+        # in arbitrary order (boundary = arrow.maxRecordsPerBatch), and
+        # a per-chunk sort over-counts sessions whenever one user's
+        # events straddle a chunk boundary out of time order
+        all_ts = [int(t) for pdf in pdfs for t in pdf["ts_us"]]
+        for ts in sorted(all_ts):
+            if last_ts is None or ts - last_ts > gap_us:
+                n_sessions += 1
+            last_ts = ts
+        n_events += len(all_ts)
         state.update((last_ts, n_sessions, n_events))
         yield pd.DataFrame(
             [(user_id, n_events, n_sessions)],

@@ -20,10 +20,13 @@ unchanged) and it survives round-trips through
 ``timestamp_micros``/``unix_micros`` losslessly.
 
 Timezone: converting a ``timestamp_ntz`` through ``unix_micros``
-implicitly casts via the session timezone. DuckDB's ``epoch_us`` reads
-the naive value as-is (i.e. as UTC), so the session timezone is pinned
-to UTC before building the conversion expression — otherwise a non-UTC
-driver session would silently shift every microsecond value.
+implicitly casts via the session timezone, and DuckDB's ``epoch_us``
+reads the naive value as-is (i.e. as UTC). NTZ values are therefore
+converted with session-timezone-FREE arithmetic —
+``timestampdiff(MICROSECOND, epoch_ntz, ts)`` is pure wall-clock math —
+so a non-UTC user session gets correct values WITHOUT the engine
+mutating ``spark.sql.session.timeZone`` behind the user's back
+(verified under America/New_York in tests/test_timeaxis_contract.py).
 
 Scale note: the footer probe reads ONE parquet footer on the driver
 (~KBs) — not a data scan — and is cached per path. At 100 TB the
@@ -57,25 +60,33 @@ def _one_parquet_file(path: str) -> str | None:
     return None
 
 
-@lru_cache(maxsize=256)
 def parquet_ts_unit(path: str, col: str = "ts") -> str | None:
     """Physical timestamp unit ('ns'/'us'/'ms'/'s') of ``col`` from the
     parquet footer, or None if absent / not a timestamp. Driver-side
-    footer read only — no data scan."""
+    footer read only — no data scan. Cached per (file, mtime, size), so
+    a file REGENERATED in place with a different physical type — the
+    exact producer flip this module absorbs — invalidates naturally
+    instead of serving the stale unit for the life of the process."""
     try:
-        import pyarrow.parquet as pq
-        import pyarrow.types as pat
-
         f = _one_parquet_file(path)
         if f is None:
             return None
-        schema = pq.read_schema(f)
-        if col not in schema.names:
-            return None
-        typ = schema.field(col).type
-        return typ.unit if pat.is_timestamp(typ) else None
+        st = os.stat(f)
+        return _ts_unit_cached(f, st.st_mtime_ns, st.st_size, col)
     except Exception:
         return None
+
+
+@lru_cache(maxsize=256)
+def _ts_unit_cached(f: str, mtime_ns: int, size: int, col: str) -> str | None:
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    schema = pq.read_schema(f)
+    if col not in schema.names:
+        return None
+    typ = schema.field(col).type
+    return typ.unit if pat.is_timestamp(typ) else None
 
 
 def ensure_readable(spark: SparkSession, path: str, col: str = "ts") -> None:
@@ -91,25 +102,36 @@ def ts_us_col(dtype: DataType, spark: SparkSession, col: str = "ts") -> Column:
     """Canonical epoch-µs bigint expression for a loaded ``ts`` column.
 
     bigint = epoch ns (the nanosAsLong read, or a producer-written ns
-    column) -> integer-divide; timestamps -> unix_micros under a pinned
-    UTC session timezone (see module docstring).
+    column) -> integer-divide; ltz timestamps -> unix_micros (already a
+    UTC instant, session-tz-independent); ntz -> wall-clock µs since the
+    ntz epoch via timestampdiff — tz-free, no session conf touched
+    (see module docstring).
     """
     if isinstance(dtype, LongType):
         return F.expr(f"{col} div 1000")
-    if isinstance(dtype, (TimestampType, TimestampNTZType)):
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        return F.unix_micros(F.col(col).cast("timestamp"))
+    if isinstance(dtype, TimestampNTZType):
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+        )
+    if isinstance(dtype, TimestampType):
+        return F.unix_micros(F.col(col))
     raise TypeError(f"unsupported time-axis dtype for {col!r}: {dtype}")
 
 
 def event_ts_col(dtype: DataType, spark: SparkSession, col: str = "ts") -> Column:
     """TIMESTAMP-typed expression (for watermarks / window() /
-    session_window()), same µs values as ``ts_us_col``."""
+    session_window()), same µs values as ``ts_us_col``. The ntz branch
+    re-renders the naive-as-UTC instant through current_timezone()
+    before the ltz cast, so the two tz applications cancel and the
+    instant is session-tz-independent."""
     if isinstance(dtype, LongType):
         return F.timestamp_micros(F.expr(f"{col} div 1000"))
-    if isinstance(dtype, (TimestampType, TimestampNTZType)):
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        return F.col(col).cast("timestamp")
+    if isinstance(dtype, TimestampNTZType):
+        return F.expr(
+            f"cast(convert_timezone('UTC', current_timezone(), {col}) as timestamp)"
+        )
+    if isinstance(dtype, TimestampType):
+        return F.col(col)
     raise TypeError(f"unsupported time-axis dtype for {col!r}: {dtype}")
 
 

@@ -207,3 +207,22 @@ def test_compact_parquet_restores_target_file_count(spark, tmp_path):
     assert n == 4
     assert len(list((tmp_path / "frag").glob("*.parquet"))) == 4
     assert spark.read.parquet(frag).count() == before
+
+
+def test_csv_header_recognized_with_quotes_and_spacing(spark, tmp_path):
+    """Headers that differ from the synthesized spelling — quoted cells,
+    spacing after separators — must still be dropped as headers, not
+    leak into the quarantine as bogus corrupt rows."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    p = tmp_path / "quoted.csv"
+    p.write_text('"doc_id","text"\n1,hello\ndoc_id, text\n2,world\n')
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    clean, quarantine = split_corrupt(read_csv(spark, str(p), schema))
+    assert quarantine.count() == 0
+    assert sorted((r.doc_id, r.text) for r in clean.collect()) == [
+        (1, "hello"),
+        (2, "world"),
+    ]

@@ -493,3 +493,52 @@ def test_stream_restart_from_checkpoint_is_exactly_once(spark, sf_dir, tmp_path)
     got = spark.read.parquet(out)
     assert got.count() == docs.count()  # B ingested, A not re-emitted
     assert got.select("doc_id").distinct().count() == docs.count()
+
+
+def test_stream_sessionize_correct_across_pandas_chunks(spark, tmp_path):
+    """applyInPandasWithState hands a group's rows over as MULTIPLE
+    pandas chunks (boundary = arrow.maxRecordsPerBatch) in arbitrary
+    order; the fold must sort across ALL chunks, not per chunk. One
+    user with file-order [0h, 2h, 1h] at batch size 2 chunks as
+    [[0h, 2h], [1h]]: a per-chunk sort counts 2 sessions, the correct
+    global sort counts 1 (all gaps exactly 1h, never > the 1h gap)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eurovision_spark.streaming.ingest import stream_sessionize
+
+    base = datetime.datetime(2024, 1, 1)
+    hours = [0, 2, 1]
+    tbl = pa.table(
+        {
+            "ts": pa.array(
+                [base + datetime.timedelta(hours=h) for h in hours],
+                type=pa.timestamp("us"),
+            ),
+            "user_id": pa.array([7, 7, 7], type=pa.int64()),
+        }
+    )
+    events_dir = tmp_path / "chunk_events"
+    events_dir.mkdir()
+    pq.write_table(tbl, str(events_dir / "events.parquet"))
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        q = stream_sessionize(
+            spark,
+            str(events_dir),
+            str(tmp_path / "ckpt_chunks"),
+            query_name="chunk_sessions",
+        )
+        try:
+            q.processAllAvailable()
+            [r] = spark.sql("SELECT * FROM chunk_sessions").collect()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    assert r.n_events == 3
+    assert r.n_sessions == 1, f"per-chunk fold over-counted: {r.n_sessions}"
