@@ -26,9 +26,13 @@ def empty_if_null(col: Column | str) -> Column:
 
 
 def norm_ws(col: Column | str) -> Column:
-    """Collapse whitespace runs + trim (reference scan.py:320)."""
+    """Collapse whitespace runs + trim — the exact twin of the
+    reference's ``' '.join(line.split())`` (scan.py:320): collapse
+    FIRST (so edge tabs don't survive trim, which strips only spaces),
+    with ``(?U)`` so the class covers unicode whitespace (NBSP in
+    scraped text) like Python's ``str.split`` does."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.trim(c), r"\s+", " ")
+    return F.trim(F.regexp_replace(c, r"(?U)\s+", " "))
 
 
 def yes_no_to_int(col: Column | str) -> Column:

@@ -53,6 +53,7 @@ def connected_components_any_key(
     # until fixpoint — an O(1)-row aggregate replaces a diff self-join;
     # each round reuses the previous round's sum (one agg per round)
     prev_sum = df.agg(F.sum("comp")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         new_df = df
         for k in key_cols:
@@ -69,8 +70,18 @@ def connected_components_any_key(
         df.unpersist()
         df = new_df
         if prev_sum == new_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # silent non-convergence would split one real component into
+        # several labels — wrong output with no symptom. A chain's label
+        # needs diameter-in-key-hops rounds to propagate; surface it.
+        df.unpersist()
+        raise RuntimeError(
+            f"connected components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
     return df
 
 

@@ -49,7 +49,9 @@ from eurovision_spark.operators.filldown import fill_down
 from eurovision_spark.operators.imp_dedup import dedup_imps
 
 
-def number_lines(text_df: DataFrame, value_col: str = "value") -> DataFrame:
+def number_lines(
+    text_df: DataFrame, value_col: str = "value", caches: list | None = None
+) -> DataFrame:
     """Attach a stable, dense global line number to a text DataFrame —
     JVM-only.
 
@@ -66,6 +68,8 @@ def number_lines(text_df: DataFrame, value_col: str = "value") -> DataFrame:
         F.spark_partition_id().alias("_pid"),
         F.monotonically_increasing_id().alias("_mid"),
     ).persist()
+    if caches is not None:
+        caches.append(raw)
     # the count job doubles as cache materialization: without it the
     # source file is re-read by every downstream consumer (fill-down
     # reads lines twice: anchors + keyed side) — 3 scans become 1.
@@ -152,18 +156,28 @@ def _first_match(fields: list[fieldspec.Field], norm_col: Column) -> Column:
 
 
 def parse_registry(
-    spark: SparkSession, path: str, yes_trumps_no: bool = False
+    spark: SparkSession,
+    path: str,
+    yes_trumps_no: bool = False,
+    caches: list | None = None,
 ) -> dict[str, DataFrame]:
     """Parse a registry dump into the 4-table model.
 
     Returns {"trial", "imp", "sponsor", "location"} DataFrames matching
     FIXTURES.md §2 ('' = missing, bool01 as int 0/1).
+
+    ``caches``: pass a list to receive the pipeline's persisted
+    intermediates (raw lines, segment annotations, melted fields) for
+    explicit ``unpersist()`` once the tables are materialized — a
+    repeat caller (streaming micro-batches, bench loops) that never
+    releases them accumulates pinned storage for the session lifetime.
     """
-    return parse_registry_lines(read_lines(spark, path), yes_trumps_no)
+    lines = number_lines(spark.read.text(path), caches=caches)
+    return parse_registry_lines(lines, yes_trumps_no, caches=caches)
 
 
 def parse_registry_lines(
-    lines: DataFrame, yes_trumps_no: bool = False
+    lines: DataFrame, yes_trumps_no: bool = False, caches: list | None = None
 ) -> dict[str, DataFrame]:
     """Parse pre-numbered registry lines (line_no bigint, raw string).
 
@@ -200,11 +214,11 @@ def parse_registry_lines(
             "sponsor_name",
             F.when(
                 F.col("norm").startswith("B.1.1 Name of Sponsor:"),
-                F.lower(
-                    F.nullif(
-                        F.regexp_extract("norm", fieldspec.SPONSOR_FIELDS[0].regex, 1),
-                        F.lit(""),
-                    )
+                # the spec's own extractor (casefold=True on this field),
+                # looked up by name — never a positional index
+                _extract(
+                    next(f for f in fieldspec.SPONSOR_FIELDS if f.name == "name"),
+                    F.col("norm"),
                 ),
             ),
         )
@@ -237,15 +251,40 @@ def parse_registry_lines(
 
     # per-trial ordered windows (records are tiny: fine to partition by trial)
     wt = W.partitionBy("trial_id").orderBy("line_no").rowsBetween(W.unboundedPreceding, 0)
+    # member-state record counter: the location-block state machine must
+    # reset at every 'EudraCT Number:' boundary (reference scan.py:341-351)
+    # so one record's unbalanced markers can't corrupt its siblings
+    wrec = (
+        W.partitionBy("trial_id", "record_seg")
+        .orderBy("line_no")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
     seg = (
-        with_trial.withColumn("imp_seg", F.sum(F.col("is_imp_marker").cast("int")).over(wt))
+        with_trial.withColumn(
+            "record_seg", F.sum(F.col("eudract").isNotNull().cast("int")).over(wt)
+        )
+        .withColumn("imp_seg", F.sum(F.col("is_imp_marker").cast("int")).over(wt))
         .withColumn(
             "sponsor_seg", F.sum(F.col("sponsor_name").isNotNull().cast("int")).over(wt)
         )
-        .withColumn("loc_depth", F.sum(F.col("is_loc_start").cast("int")).over(wt) - F.sum(F.col("is_loc_end").cast("int")).over(wt))
+        # boolean last-marker-wins state (the reference's in_block flag,
+        # scan.py:378-397), per record: a stray end before a genuine
+        # start — or a start whose end is missing/case-varied — affects
+        # at most the current record, and never drives a counter
+        # negative the way a depth formulation does
+        .withColumn(
+            "_loc_marker",
+            F.when(F.col("is_loc_start"), F.lit(1)).when(F.col("is_loc_end"), F.lit(0)),
+        )
         .withColumn(
             "in_loc_block",
-            (F.col("loc_depth") > 0) & ~F.col("is_loc_start"),
+            # coalesce: before any marker the state is NULL, and a null
+            # would poison every ~in_loc_block filter downstream
+            F.coalesce(
+                F.last(F.col("_loc_marker"), ignorenulls=True).over(wrec) == 1,
+                F.lit(False),
+            )
+            & ~F.col("is_loc_start"),
         )
         # whole-partition flag reuses the trial_id exchange the running
         # windows already created — no extra shuffle (vs the previous
@@ -256,6 +295,8 @@ def parse_registry_lines(
         )
     )
     seg = seg.persist()
+    if caches is not None:
+        caches.append(seg)
 
     # ---- location table (A9): two capture forms, set-dedup ---------------
     loc_rows = seg.filter(
@@ -263,7 +304,12 @@ def parse_registry_lines(
         | (F.col("in_loc_block") & (F.col("norm") != "") & ~F.col("is_loc_end"))
     ).select(
         F.col("trial_id").alias("eudract_id"),
-        F.coalesce(F.col("loc_header"), F.col("norm")).alias("location"),
+        # branch on WHICH capture form fired, never coalesce: an in-block
+        # line that happens to look like a header must be captured as the
+        # raw line (reference scan.py:378-397), not its extracted country
+        F.when(~F.col("in_loc_block"), F.col("loc_header"))
+        .otherwise(F.col("norm"))
+        .alias("location"),
     )
     location = loc_rows.distinct()
 
@@ -298,6 +344,8 @@ def parse_registry_lines(
             F.col("m.value").alias("value"),
         )
     ).persist()
+    if caches is not None:
+        caches.append(melted)
 
     trial = _build_trial(melted, seg, yes_trumps_no)
     imp = _build_imp(melted)

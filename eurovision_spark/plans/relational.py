@@ -100,11 +100,23 @@ def flagship_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("code", F.col("p_partkey").cast("string")),
         ]
     )
+    # LEFT dimension joins: every raw lineitem row survives to the
+    # aggregate, so _max_qty is the oracle's EXISTS over RAW lineitem —
+    # a row whose partkey/suppkey has no dimension match (dirty or
+    # pre-filtered input) still qualifies its order, it just contributes
+    # no entry string (null names drop out of collect_set). Inner joins
+    # here would silently change the EXISTS semantics on any data
+    # without strict FK integrity. Same single l_orderkey shuffle.
     child_agg = (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
-        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
-        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
-        .select("l_orderkey", "l_quantity", imp_name.alias("imp_name"), "n_name")
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey, "left")
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey, "left")
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey, "left")
+        .select(
+            "l_orderkey",
+            "l_quantity",
+            F.when(part.p_partkey.isNotNull(), imp_name).alias("imp_name"),
+            "n_name",
+        )
         .groupBy("l_orderkey")
         .agg(
             # collect_set dedups inside the aggregation exchange; sorted

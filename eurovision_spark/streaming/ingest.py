@@ -48,18 +48,25 @@ def stream_registry_ingest(
             return
         from eurovision_spark.sinks import upsert_parquet
 
-        lines = number_lines(batch_df)
-        tables = parse_registry_lines(lines)
-        for name, df in tables.items():
-            path = f"{out_dir}/{name}"
-            if name == "trial":
-                # first batch wins per trial id (scan.py:129-132: later
-                # duplicate inserts are dropped) — the keyed MERGE edge
-                upsert_parquet(df, path, ["eudract_id"], keep="existing")
-            else:
-                # child tables are sets of whole rows: the "key" is the
-                # full row, so the same first-wins upsert is a set union
-                upsert_parquet(df.dropDuplicates(), path, df.columns, keep="existing")
+        caches: list = []
+        lines = number_lines(batch_df, caches=caches)
+        tables = parse_registry_lines(lines, caches=caches)
+        try:
+            for name, df in tables.items():
+                path = f"{out_dir}/{name}"
+                if name == "trial":
+                    # first batch wins per trial id (scan.py:129-132: later
+                    # duplicate inserts are dropped) — the keyed MERGE edge
+                    upsert_parquet(df, path, ["eudract_id"], keep="existing")
+                else:
+                    # child tables are sets of whole rows: the "key" is the
+                    # full row, so the same first-wins upsert is a set union
+                    upsert_parquet(df.dropDuplicates(), path, df.columns, keep="existing")
+        finally:
+            # release the batch's persisted intermediates: a long-running
+            # stream otherwise pins three cached datasets PER micro-batch
+            for c in caches:
+                c.unpersist()
 
     stream = spark.readStream.format("text").load(landing_dir)
     return (
