@@ -18,10 +18,14 @@ family a training-data pipeline needs (BASELINE.json north star):
 Every hash derives from md5 so the DuckDB oracles compute bit-identical
 values. The testdata has no natural duplicates (TESTDATA.md seed data),
 so the queries plant their own: the near-dup operators synthesize a
-PERTURBED copy of each document (doc_id + 1_000_000, one appended
-token) and must surface those pairs (recall pinned in
+PERTURBED copy of each document (doc_id + NEAR_COPY_OFFSET, one
+appended token) and must surface those pairs (recall pinned in
 tests/test_pipeline_ops.py); dedup_exact plants byte-IDENTICAL copies
-(doc_id + 2_000_000) that must collapse under the content digest.
+(doc_id + EXACT_COPY_OFFSET) that must collapse under the content
+digest. Offsets live at 10^15 — far above any realistic doc count; the
+old +1e6/+2e6 offsets collided with REAL ids past a million rows,
+corrupting pair generation identically in both engines, invisibly to
+the hash gate.
 """
 
 from __future__ import annotations
@@ -34,6 +38,8 @@ from eurovision_spark.operators.textstats import md5_long, md5_long_sql, tokens
 from eurovision_spark.sources import load_table
 
 P31 = 2147483647  # 2^31 - 1, Mersenne prime for the minhash universe
+NEAR_COPY_OFFSET = 10**15  # planted perturbed copies (see module docstring)
+EXACT_COPY_OFFSET = 2 * 10**15  # planted byte-identical copies
 N_PERM = 16
 N_BANDS = 4  # 4 bands x 4 rows
 
@@ -60,10 +66,10 @@ TOKS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
 SH_SQL = SHINGLES_SQL.format(t=TOKS_SQL)
 
 # planted near-duplicates: every doc gets a copy with one appended token
-DOCS_WITH_COPIES_SQL = """
+DOCS_WITH_COPIES_SQL = f"""
     SELECT doc_id, text FROM documents WHERE n_chars > 0
     UNION ALL
-    SELECT doc_id + 1000000 AS doc_id, text || ' perturbed' AS text
+    SELECT doc_id + {NEAR_COPY_OFFSET} AS doc_id, text || ' perturbed' AS text
     FROM documents WHERE n_chars > 0
 """
 
@@ -72,7 +78,7 @@ def docs_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     orig = d.select("doc_id", "text")
     copy = d.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
+        (F.col("doc_id") + NEAR_COPY_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" perturbed")).alias("text"),
     )
     return orig.unionByName(copy)
@@ -83,15 +89,15 @@ def docs_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-# dedup_exact plants IDENTICAL copies (same bytes, doc_id + 2000000) so
+# dedup_exact plants IDENTICAL copies (same bytes, + EXACT_COPY_OFFSET) so
 # the collapse path is genuinely exercised: every group must reach
 # n_copies >= 2 with the ORIGINAL doc_id as canonical. (The perturbed
 # copies in DOCS_WITH_COPIES_SQL deliberately do NOT collapse under an
 # exact digest — they exist for the near-dup operators.)
-DOCS_WITH_EXACT_COPIES_SQL = """
+DOCS_WITH_EXACT_COPIES_SQL = f"""
     SELECT doc_id, text FROM documents WHERE n_chars > 0
     UNION ALL
-    SELECT doc_id + 2000000 AS doc_id, text
+    SELECT doc_id + {EXACT_COPY_OFFSET} AS doc_id, text
     FROM documents WHERE n_chars > 0
 """
 
@@ -117,7 +123,7 @@ DOCS_WITH_EXACT_COPIES_SQL = """
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     docs = d.select("doc_id", "text").unionByName(
-        d.select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+        d.select((F.col("doc_id") + EXACT_COPY_OFFSET).alias("doc_id"), "text")
     )
     return (
         docs.select("doc_id", F.md5("text").alias("content_md5"))
@@ -258,7 +264,7 @@ MINHASH_SIG_SQL = f"""
     "MinHash+LSH near-dup candidates: shingle -> 16-perm minhash "
     "signature -> 4 bands of 4 -> equi-join on (band, band_sig). The "
     "planted perturbed copies (jaccard ~ (n-3)/n) must surface as "
-    "(d, d+1000000) pairs. At 100 TB this is the only formulation whose "
+    "(d, d+NEAR_COPY_OFFSET) pairs. At 100 TB this is the only formulation whose "
     "join cost tracks true-duplicate density instead of n².",
     driver=False,  # driver gate: certified via minhash_lsh_jaccard
 )
@@ -267,15 +273,47 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_candidate_pairs(_minhash_signatures(docs))
 
 
+def pairs_in_buckets(
+    banded: DataFrame, id_col: str, dedup_pairs: bool = True
+) -> DataFrame:
+    """({id}_1 < {id}_2) candidate pairs from (id, band_id, band_sig)
+    rows — THE shared pair generator for every banded-LSH family
+    (minhash here, sign-hyperplane bands in similarity.py).
+
+    ONE shuffle groups ids into LSH buckets; pairs are generated inside
+    each sorted bucket array with a 1-indexed slice (bucket sizes track
+    true-duplicate density, so the generated-pair count is linear in
+    real dups, never n²; a skewed mega-bucket would mean a degenerate
+    band — widen the signature, don't add shuffles). ``dedup_pairs``:
+    with >1 band a pair can collide in several bands and needs the
+    distinct; with one band the buckets partition the corpus and the
+    distinct shuffle is pure cost.
+    """
+    buckets = (
+        banded.groupBy("band_id", "band_sig")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias(f"{id_col}_1"), y.alias(f"{id_col}_2")),
+            ),
+        )
+    )
+    out = buckets.select(F.explode(pairs).alias("p")).select(
+        f"p.{id_col}_1", f"p.{id_col}_2"
+    )
+    return out.distinct() if dedup_pairs else out
+
+
 def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
-    """(doc_id_1 < doc_id_2) candidate pairs from banded signatures."""
+    """(doc_id_1 < doc_id_2) candidate pairs from banded minhash
+    signatures: 4 (band_id, band_sig) rows per doc, banded from the
+    per-row signature array, then the shared bucket pair generator."""
     rows_per_band = N_PERM // N_BANDS
-    # 4 (band_id, band_sig) rows per doc, banded from the per-row
-    # signature array; then ONE shuffle groups docs into LSH buckets and
-    # pairs are generated inside each bucket array (bucket sizes track
-    # true-duplicate density, so the generated-pair count is linear in
-    # real dups, never n²; a skewed mega-bucket would mean a degenerate
-    # band — widen N_PERM, don't add shuffles).
     band_structs = F.array(
         *[
             F.struct(
@@ -296,25 +334,7 @@ def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", "b.band_id", "b.band_sig"
     )
-    buckets = (
-        bands.groupBy("band_id", "band_sig")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc_id_1"), y.alias("doc_id_2")),
-            ),
-        )
-    )
-    return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.doc_id_1", "p.doc_id_2")
-        .distinct()
-    )
+    return pairs_in_buckets(bands, "doc_id", dedup_pairs=True)
 
 
 # ---------------------------------------------------------------------------
@@ -423,33 +443,42 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "SimHash: per-bit majority vote over token hashes -> 16-bit document "
     "signature; near-dups share signatures (hamming-ball lookups become "
-    "equi-joins on signature rotations). Linear scan + one small shuffle.",
+    "equi-joins on signature rotations). Pure per-row fold over the "
+    "hashed-token array (the _minhash_signatures shape) — ZERO shuffles, "
+    "so the scan is linear at any corpus size; the oracle states the "
+    "same votes relationally.",
 )
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    toks = d.select("doc_id", F.explode(F.array_distinct(tokens(F.lower(F.col("text"))))).alias("tok"))
-    th = toks.select("doc_id", md5_long(F.col("tok")).alias("h"))
-    bits = d.sparkSession.range(16).select(F.col("id").cast("int").alias("bit"))
-    votes = (
-        th.join(F.broadcast(bits))
-        .select(
-            "doc_id",
-            "bit",
-            F.when(F.expr("shiftright(h, bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)).alias("v"),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("v").alias("vote"))
+    # materialize the hashed-token array behind a projection boundary:
+    # the 16 per-bit folds below each reference it, and an inline md5
+    # transform would be re-evaluated once PER BIT by projection
+    # collapse (the _minhash_signatures lesson)
+    hashed = d.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(tokens(F.lower(F.col("text")))), lambda t: md5_long(t)
+        ).alias("_hs"),
     )
-    return (
-        votes.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("vote") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(F.lit(0))
-            )
-            .cast("bigint")
-            .alias("simhash16")
+    # one vote counter per bit: sum of +/-1 over the array — shiftright
+    # needs a literal bit index, so 16 fold expressions over the SAME
+    # materialized array (cheap: 16 x tokens integer adds, in codegen)
+    def vote(bit: int):
+        # closure, not a default-arg lambda: F.aggregate inspects the
+        # merge lambda's arity and a third parameter breaks it
+        return F.aggregate(
+            F.col("_hs"),
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         )
+
+    votes = [vote(bit) for bit in range(16)]
+    sig = sum(
+        [F.when(votes[bit] >= 0, F.lit(1 << bit)).otherwise(F.lit(0)) for bit in range(16)],
+        F.lit(0),
     )
+    return hashed.select("doc_id", sig.cast("bigint").alias("simhash16"))
 
 
 # ---------------------------------------------------------------------------

@@ -48,9 +48,12 @@ def _looks_like_image(payload: bytes) -> bool:
 
 def _fake_decode(payload: bytes) -> tuple[int, int]:
     """Deterministic stand-in for a real image decode: pseudo-dimensions
-    derived from the content digest (same formula as the SQL oracle)."""
+    derived from the content digest (same formula as the SQL oracle),
+    clamped to >= 1 like any real decoded image — so EVERY media op
+    (features / resize / profile) emits the same width/height columns
+    and the profile twin genuinely certifies the others."""
     h = int(hashlib.md5(payload).hexdigest()[:15], 16)
-    return h % 1920, h % 1080
+    return max(h % 1920, 1), max(h % 1080, 1)
 
 
 def _decode_dims(payload: bytes, media_type: str, have_pil: bool) -> tuple[int, int]:
@@ -81,11 +84,25 @@ def _resize_geometry(w: int, h: int) -> tuple[int, int, int, int, float]:
 
 
 def _frame_slices(payload: bytes) -> list[tuple[int, int, str]]:
-    """N evenly-spaced frame fingerprints: (idx, offset, md5)."""
+    """N evenly-spaced frame fingerprints: (idx, byte_offset, md5).
+
+    Slicing is BYTE-based (frames of a binary payload), and the
+    fingerprint is md5 of the slice's UPPERCASE-HEX encoding — the one
+    representation DuckDB can reproduce for arbitrary bytes (its md5 /
+    substr only accept VARCHAR, and a mid-codepoint byte slice of
+    non-ASCII text is not valid VARCHAR; hex chars = 2 x bytes, so the
+    oracle's substr(hex(encode(text)), 2*off+1, 2*len) slices the
+    identical bytes)."""
     n = max(len(payload), 1)
     step = n // N_FRAMES
     return [
-        (i, i * step, hashlib.md5(payload[i * step : i * step + max(step, 1)]).hexdigest())
+        (
+            i,
+            i * step,
+            hashlib.md5(
+                payload[i * step : i * step + max(step, 1)].hex().upper().encode()
+            ).hexdigest(),
+        )
         for i in range(N_FRAMES)
     ]
 
@@ -138,8 +155,8 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, 'image' AS media_type,
            CAST(strlen(text) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5,
-           CAST({md5_long_sql('text')} % 1920 AS INT) AS width,
-           CAST({md5_long_sql('text')} % 1080 AS INT) AS height
+           greatest(CAST({md5_long_sql('text')} % 1920 AS INT), 1) AS width,
+           greatest(CAST({md5_long_sql('text')} % 1080 AS INT), 1) AS height
     FROM documents WHERE n_chars > 0
     """,
     "multimodal decode/feature-extract plumbing: binary payload column "
@@ -251,7 +268,8 @@ def sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     SELECT doc_id,
            CAST(i AS INT) AS frame_idx,
            CAST(i * step AS BIGINT) AS frame_offset,
-           md5(substr(text, i * step + 1, greatest(step, 1))) AS frame_md5
+           md5(substr(hex(encode(text)), i * step * 2 + 1, greatest(step, 1) * 2))
+               AS frame_md5
     FROM base CROSS JOIN (SELECT unnest(generate_series(0, {N_FRAMES - 1})) AS i)
     """,
     "video/audio frame sampling: N evenly-spaced frames per payload, "
@@ -333,8 +351,8 @@ def media_profile_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     f"""
     WITH dims AS (
         SELECT doc_id, text,
-               CAST({md5_long_sql('text')} % 1920 AS INT) AS width,
-               CAST({md5_long_sql('text')} % 1080 AS INT) AS height,
+               greatest(CAST({md5_long_sql('text')} % 1920 AS INT), 1) AS width,
+               greatest(CAST({md5_long_sql('text')} % 1080 AS INT), 1) AS height,
                CAST(strlen(text) AS BIGINT) AS n_bytes,
                strlen(text) // {N_FRAMES} AS step
         FROM documents WHERE n_chars > 0),
@@ -352,7 +370,8 @@ def media_profile_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
            array_to_string(list_transform(generate_series(0, {N_FRAMES - 1}),
                            i -> CAST(i * step AS VARCHAR)), ',') AS frame_offsets,
            array_to_string(list_transform(generate_series(0, {N_FRAMES - 1}),
-                           i -> md5(substr(text, i * step + 1, greatest(step, 1)))), ',')
+                           i -> md5(substr(hex(encode(text)), i * step * 2 + 1,
+                                           greatest(step, 1) * 2))), ',')
                AS frame_md5s
     FROM scaled
     """,

@@ -71,7 +71,8 @@ COSINE_SQL = (
 @register(
     "cosine_topk",
     f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
     probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id % {PROBE_MOD} = 0),
     scored AS (
         SELECT p.probe_id, e.vec_id AS neighbor_id,
@@ -100,6 +101,11 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", as_double(F.col("embedding")).alias("v"))
         .withColumn("nv", l2norm(F.col("v")))
+        # zero-norm exclusion (mirrored in every oracle): a zero vector
+        # has no direction; its cosine is 0/0 = NaN, and both engines
+        # rank NaN ABOVE every number, so one padding/failed-encode row
+        # would silently become the rank-1 "neighbor" of every probe
+        .filter(F.col("nv") > 0)
     )
     probes = e.filter(F.col("vec_id") % PROBE_MOD == 0).select(
         F.col("vec_id").alias("probe_id"),
@@ -175,7 +181,8 @@ def _sign_bucket(vcol: Column, planes: range, dim: int = 64) -> Column:
 @register(
     "cosine_lsh_bucketed",
     f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
     planes AS ({PLANE_SQL}),
     sigs AS (
         SELECT e.vec_id, e.v,
@@ -218,7 +225,7 @@ def cosine_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         _sign_bucket(F.col("v"), range(N_PLANES)).alias("bucket"),
         l2norm(F.col("v")).alias("nv"),
-    )
+    ).filter(F.col("nv") > 0)  # zero-norm exclusion: see cosine_topk
     # Multi-probe: the probe side (2% of rows) fans out to its bucket +
     # the 8 Hamming-1 buckets, so the corpus side joins on plain bucket
     # equality — candidates grow 9x on a 2%-side explode, the corpus is
@@ -268,12 +275,21 @@ TARGET_BUCKET_SIZE = 64  # expected vectors per band-bucket at any corpus size
 # sets — and hence the verified output — still match exactly.
 NEAR_DUP_SMALL_N = 100_000
 
-VECS_WITH_COPIES_SQL = """
+# Planted-copy ids live at +10^15 — far above any realistic doc/vec
+# count (the +1e6 offset collided with REAL ids past a million rows,
+# corrupting pair generation identically in both engines, invisibly to
+# the hash gate). Zero vectors are excluded before planting: a zero's
+# scaled copy is still zero and 0/0 cosine is NaN (see cosine_topk).
+PLANT_OFFSET = 10**15
+
+VECS_WITH_COPIES_SQL = f"""
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
     UNION ALL
-    SELECT vec_id + 1000000 AS vec_id,
+    SELECT vec_id + {PLANT_OFFSET} AS vec_id,
            list_transform(embedding::DOUBLE[], x -> x * 2.0) AS v
     FROM embeddings
+    WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 """
 
 
@@ -327,9 +343,10 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
+    e = e.filter(l2norm(as_double(F.col("embedding"))) > 0)
     orig = e.select("vec_id", as_double(F.col("embedding")).alias("v"))
     copy = e.select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
         F.transform(as_double(F.col("embedding")), lambda x: x * 2.0).alias("v"),
     )
     vecs = orig.unionByName(copy)
@@ -355,27 +372,12 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = vecs.select("vec_id", F.explode(band_structs).alias("bs")).select(
         "vec_id", "bs.band_id", "bs.band_sig"
     )
-    buckets = (
-        bands.groupBy("band_id", "band_sig")
-        .agg(F.array_sort(F.collect_set("vec_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda a, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(a.alias("vec_id_1"), y.alias("vec_id_2")),
-            ),
-        )
-    )
-    pairs = buckets.select(F.explode(pair_structs).alias("p")).select(
-        "p.vec_id_1", "p.vec_id_2"
-    )
-    if nbands > 1:
-        # a pair can collide in BOTH bands; with one band the buckets
-        # partition the corpus, so the distinct shuffle is pure cost
-        pairs = pairs.distinct()
+    # shared banded-LSH pair generator (dedup.pairs_in_buckets): one
+    # bucket shuffle, in-array pair slice; distinct only when >1 band
+    # can make the same pair collide twice
+    from eurovision_spark.operators.dedup import pairs_in_buckets
+
+    pairs = pairs_in_buckets(bands, "vec_id", dedup_pairs=nbands > 1)
     withnorm = vecs.withColumn("nv", l2norm(F.col("v")))
     a = withnorm.select(
         F.col("vec_id").alias("vec_id_1"), F.col("v").alias("v1"), F.col("nv").alias("n1")
@@ -464,6 +466,7 @@ def ivf_codebook(sf_dir: str) -> list[list[float]]:
         f"""
         SELECT embedding::DOUBLE[] AS v
         FROM read_parquet('{sf_dir}/embeddings.parquet')
+        WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
         ORDER BY {_SAMPLE_ORDER_SQL}
         LIMIT {IVF_SAMPLE}
         """
@@ -483,7 +486,8 @@ def _ivf_oracle(sf_dir: str) -> str:
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nv
-               FROM embeddings),
+               FROM embeddings
+               WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
     cent_vals(cent_id, cv) AS (
         VALUES {values}),
     cents AS (SELECT cent_id, cv, sqrt(list_dot_product(cv, cv)) AS ncv
@@ -533,8 +537,11 @@ def _ivf_oracle(sf_dir: str) -> str:
     "time with the same codebook inlined as literals.",
 )
 def cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
+    raw = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+        # zero-norm exclusion before sampling AND search: see cosine_topk
+        .filter(l2norm(F.col("v")) > 0)
     )
     # k-means training sample: TakeOrderedAndProject by the md5 key
     # (bounded ≤4096-row driver transfer at ANY corpus size), Lloyd on

@@ -116,3 +116,38 @@ def test_corrupt_image_payload_degrades_to_fake_never_raises():
     row = _decode_one(corrupt)
     assert (row["width"], row["height"]) == _fake_decode(corrupt)
     assert row["n_bytes"] == len(corrupt)
+
+
+def test_frame_fingerprints_match_oracle_on_non_ascii(spark, tmp_path):
+    """Byte-based frame slicing must agree with the oracle on MULTI-BYTE
+    text: the old char-based oracle substr diverged from the worker's
+    byte slices the moment a non-ASCII doc appeared (zh/ja corpora are
+    first-class in a training pipeline)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eurovision_spark.catalog import registry, resolve_oracle
+
+    texts = ["数据 query join 数据 spark row", "ascii only words here", "données été à"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["zh", "en", "fr"]),
+            "source": pa.array(["t"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    sf = tmp_path / "sfx"
+    sf.mkdir()
+    pq.write_table(tbl, str(sf / "documents.parquet"))
+
+    spec = registry()["media_frame_sample"]
+    srows = sorted(tuple(r) for r in spec.fn(spark, str(sf)).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    orows = sorted(tuple(r) for r in con.execute(resolve_oracle(spec, str(sf))).fetchall())
+    assert srows == orows and len(srows) == 3 * 4

@@ -137,7 +137,7 @@ def test_token_pack_conserves_tokens_and_bounds_overflow(spark):
 def test_dedup_exact_collapses_identical_copies(spark):
     """Every planted byte-identical copy must collapse onto its
     original: n_copies >= 2 everywhere, canonical_id always the
-    original (sub-2000000) id, and the group count equals the number
+    original (sub-offset) id, and the group count equals the number
     of distinct texts."""
     from pyspark.sql import functions as F
 
@@ -146,7 +146,9 @@ def test_dedup_exact_collapses_identical_copies(spark):
     sf = "/root/testdata/sf0.001"
     rows = registry()["dedup_exact"].fn(spark, sf).collect()
     assert rows and all(r.n_copies >= 2 for r in rows)
-    assert all(r.canonical_id < 2000000 for r in rows)
+    from eurovision_spark.operators.dedup import EXACT_COPY_OFFSET
+
+    assert all(r.canonical_id < EXACT_COPY_OFFSET for r in rows)
     d = load_table(spark, sf, "documents").filter(F.col("n_chars") > 0)
     n_distinct_texts = d.select("text").distinct().count()
     assert len(rows) == n_distinct_texts
@@ -154,7 +156,7 @@ def test_dedup_exact_collapses_identical_copies(spark):
 
 def test_minhash_lsh_recovers_planted_near_dups(spark):
     """The banded LSH candidates must actually SURFACE the planted
-    perturbed copies (doc, doc+1000000), not merely hash-match the
+    perturbed copies (doc, doc+NEAR_COPY_OFFSET), not merely hash-match the
     oracle: >= 95% of eligible originals pair with their copy (4x4
     banding loses only the shortest docs, where one appended token
     rewrites a large share of the shingle set)."""
@@ -167,7 +169,9 @@ def test_minhash_lsh_recovers_planted_near_dups(spark):
         (r.doc_id_1, r.doc_id_2)
         for r in registry()["minhash_lsh_pairs"].fn(spark, sf).collect()
     }
-    planted = {p for p in pairs if p[1] == p[0] + 1000000}
+    from eurovision_spark.operators.dedup import NEAR_COPY_OFFSET
+
+    planted = {p for p in pairs if p[1] == p[0] + NEAR_COPY_OFFSET}
     d = load_table(spark, sf, "documents").filter(F.col("n_chars") > 0)
     n_eligible = d.filter(
         F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= 3

@@ -547,3 +547,10 @@ def test_unigram_logprob_aggregates_before_the_doc_exchange(spark):
     assert all(("doc_id" in line) or ("term" in line) for line in keys), keys
     # partial+final pairs for BOTH aggregates (freq and per-doc mean)
     assert plan.count("HashAggregate") >= 4
+
+
+def test_simhash_is_shuffle_free(spark):
+    # per-row fold over the hashed-token array: no explode, no
+    # join-with-bits, no groupBy — linear scan at any corpus size
+    plan = plan_of(spark, "simhash")
+    assert "Exchange" not in plan

@@ -100,3 +100,26 @@ def test_ivf_beats_its_sampling_rate(spark):
     r = _recall(exact, ivf)
     assert r >= 0.5, f"ivf recall {r:.3f}"
     assert r >= 2 * S.N_PROBE / S.K_CENTROIDS  # beats its sampling rate 2x
+
+
+def test_near_dup_two_band_path_finds_planted_pairs(spark, monkeypatch):
+    """The nbands=2 branch only engages above 100k vectors, so no
+    fixture reaches it — force it and pin its invariants: every planted
+    (v, v+PLANT_OFFSET) pair surfaces, pairs are unique (the multi-band
+    distinct works), and the two-band candidate set subsumes the
+    single-band output (OR semantics can only ADD candidates)."""
+    from eurovision_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    single = {
+        (r.vec_id_1, r.vec_id_2)
+        for r in sim.embedding_near_dup(spark, sf).collect()
+    }
+    monkeypatch.setattr(sim, "NEAR_DUP_SMALL_N", 0)
+    rows = sim.embedding_near_dup(spark, sf).collect()
+    two = [(r.vec_id_1, r.vec_id_2) for r in rows]
+    assert len(two) == len(set(two)), "multi-band distinct failed"
+    n_vecs = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    planted = {p for p in two if p[1] == p[0] + sim.PLANT_OFFSET}
+    assert len(planted) == n_vecs  # every planted copy found
+    assert set(two) >= single  # OR semantics only add

@@ -158,5 +158,7 @@ def test_minhash_lsh_jaccard_pairs_match_minhash_lsh_pairs(spark):
     assert set(twin) == pairs
     # planted copies (d, d+1e6) must score the expected (n-3)/n-ish
     # high jaccard, never 0 — pins that the join-back wiring is right
-    planted = [v for (a, b), v in twin.items() if b == a + 1000000]
+    from eurovision_spark.operators.dedup import NEAR_COPY_OFFSET
+
+    planted = [v for (a, b), v in twin.items() if b == a + NEAR_COPY_OFFSET]
     assert planted and min(planted) > 0.5
