@@ -10,6 +10,7 @@ its PK-duplicate swallow becomes an explicit dropDuplicates.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
@@ -107,10 +108,25 @@ def upsert_parquet(
         df.write.mode("overwrite").parquet(path)
         return
     existing = spark.read.parquet(path)
+
+    def anti(left: DataFrame, right: DataFrame) -> DataFrame:
+        # NULL-SAFE key match: the plain `left_anti` on column names
+        # compares with `=`, under which NULL never equals NULL — a row
+        # with any null key (child tables key on the WHOLE row, and
+        # never-captured fields are null) would re-append on every
+        # replay, breaking the exactly-once idempotency the streaming
+        # ingest's at-least-once retries rely on.
+        l, r = left.alias("l"), right.select(*keys).alias("r")
+        cond = None
+        for k in keys:
+            c = F.col(f"l.{k}").eqNullSafe(F.col(f"r.{k}"))
+            cond = c if cond is None else cond & c
+        return l.join(r, cond, "left_anti")
+
     if keep == "existing":
-        merged = existing.unionByName(df.join(existing.select(*keys), keys, "left_anti"))
+        merged = existing.unionByName(anti(df, existing))
     elif keep == "updates":
-        merged = df.unionByName(existing.join(df.select(*keys), keys, "left_anti"))
+        merged = df.unionByName(anti(existing, df))
     else:  # pragma: no cover - guarded API
         raise ValueError(f"keep must be 'existing' or 'updates', got {keep!r}")
     merged.write.mode("overwrite").parquet(path + "_next")

@@ -10,9 +10,9 @@ record boundaries (scan.py:341-351). Two streaming surfaces:
    (parse_registry_lines) inside ``foreachBatch``, then upserts into
    parquet with first-wins dedup — the exactly-once rebuild of the
    reference's "database wraps" duplicate-PK tolerance
-   (scan.py:129-132). Records spanning a micro-batch boundary resolve
-   on the next batch's merge (same first-non-empty rule, since the
-   sink merge is keyed on eudract_id).
+   (scan.py:129-132). Records spanning a micro-batch boundary are
+   carried as an epoch-keyed tail and parsed only when complete
+   (see stream_registry_ingest / flush_registry_tail).
 
 2. ``stream_events_rollup`` — watermarked tumbling-window aggregation
    over the events table shape: the standard late-data-tolerant rollup
@@ -37,34 +37,103 @@ from eurovision_spark.timeaxis import (
 )
 
 
+def _latest_tail(tails_root: str, before: int | None = None) -> str | None:
+    """Path of the newest carried-tail file (optionally with epoch <
+    ``before`` — replay-stable: re-running epoch N reads the same
+    predecessor tail it read the first time)."""
+    import os
+
+    if not os.path.isdir(tails_root):
+        return None
+    epochs = sorted(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(tails_root)
+        if e.startswith("epoch=")
+    )
+    if before is not None:
+        epochs = [e for e in epochs if e < before]
+    return os.path.join(tails_root, f"epoch={epochs[-1]}", "tail.txt") if epochs else None
+
+
+def _upsert_tables(tables: dict[str, DataFrame], out_dir: str) -> None:
+    from eurovision_spark.sinks import upsert_parquet
+
+    for name, df in tables.items():
+        path = f"{out_dir}/{name}"
+        if name == "trial":
+            # first batch wins per trial id (scan.py:129-132: later
+            # duplicate inserts are dropped) — the keyed MERGE edge
+            upsert_parquet(df, path, ["eudract_id"], keep="existing")
+        else:
+            # child tables are sets of whole rows: the "key" is the
+            # full row, so the same first-wins upsert is a set union
+            upsert_parquet(df.dropDuplicates(), path, df.columns, keep="existing")
+
+
 def stream_registry_ingest(
     spark: SparkSession, landing_dir: str, out_dir: str
 ) -> StreamingQuery:
     """Incremental registry ingest: landing dir of page files -> 4-table
-    parquet, merging per micro-batch with first-wins semantics."""
+    parquet, merging per micro-batch with first-wins semantics.
+
+    Records SPANNING a micro-batch boundary are handled with a carried
+    tail: each batch parses only up to the LAST 'EudraCT Number:'
+    record boundary it contains; the final (possibly incomplete) record
+    is buffered under ``out_dir/_tails/epoch=N`` and prepended to the
+    next batch — so no record is ever parsed from half its lines.
+    ``flush_registry_tail`` finalizes the buffered record at
+    end-of-ingest. Tails are epoch-keyed and reads are replay-stable
+    (a re-run epoch reads the same predecessor tail), so foreachBatch's
+    at-least-once retries recompute identical merges. Within one batch,
+    files contribute lines in name order (the fetcher's zero-padded
+    page naming sorts correctly — that ordering is this source's
+    contract, as file order is the parser's only implicit input)."""
+    from eurovision_spark.functions import norm_ws
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        from eurovision_spark.sinks import upsert_parquet
+        import os
 
         caches: list = []
-        lines = number_lines(batch_df, caches=caches)
-        tables = parse_registry_lines(lines, caches=caches)
         try:
-            for name, df in tables.items():
-                path = f"{out_dir}/{name}"
-                if name == "trial":
-                    # first batch wins per trial id (scan.py:129-132: later
-                    # duplicate inserts are dropped) — the keyed MERGE edge
-                    upsert_parquet(df, path, ["eudract_id"], keep="existing")
-                else:
-                    # child tables are sets of whole rows: the "key" is the
-                    # full row, so the same first-wins upsert is a set union
-                    upsert_parquet(df.dropDuplicates(), path, df.columns, keep="existing")
+            tails_root = os.path.join(out_dir, "_tails")
+            lines_df = batch_df.select("value")
+            prev = _latest_tail(tails_root, before=epoch_id)
+            if prev is not None:
+                # tail partitions precede the batch's in union order, so
+                # number_lines gives them the lower line numbers
+                lines_df = spark.read.text(prev).union(lines_df)
+            numbered = number_lines(lines_df, caches=caches)
+            is_marker = norm_ws(F.col("raw")).startswith("EudraCT Number:")
+            first_marker, last_marker = numbered.filter(is_marker).agg(
+                F.min("line_no"), F.max("line_no")
+            ).first()
+            tail_rows = (
+                numbered.filter(F.col("line_no") >= last_marker)
+                if last_marker is not None
+                else numbered
+            ).orderBy("line_no").select("raw").collect()
+            # driver-side tail write: one record's lines (bounded —
+            # records are a few hundred lines), written atomically into
+            # this epoch's slot
+            tail_dir = os.path.join(tails_root, f"epoch={epoch_id}")
+            os.makedirs(tail_dir, exist_ok=True)
+            with open(os.path.join(tail_dir, "tail.txt"), "w") as fh:
+                fh.write("\n".join(r.raw for r in tail_rows))
+                if tail_rows:
+                    fh.write("\n")
+            if last_marker is None or first_marker == last_marker:
+                # zero or one marker: no COMPLETE record in this batch
+                # (a record is complete only when the next boundary or
+                # end-of-ingest proves it) — everything stays carried
+                return
+            head = numbered.filter(F.col("line_no") < last_marker)
+            tables = parse_registry_lines(head, caches=caches)
+            _upsert_tables(tables, out_dir)
         finally:
             # release the batch's persisted intermediates: a long-running
-            # stream otherwise pins three cached datasets PER micro-batch
+            # stream otherwise pins cached datasets PER micro-batch
             for c in caches:
                 c.unpersist()
 
@@ -77,11 +146,43 @@ def stream_registry_ingest(
     )
 
 
+def flush_registry_tail(spark: SparkSession, out_dir: str) -> None:
+    """Finalize the ingest: parse the carried tail (the stream's last —
+    by definition boundary-complete — record) and merge it. Call when
+    no further pages will arrive; idempotent (re-parsing identical
+    lines merges to a no-op under first-wins), and safe to interleave
+    with a later resumed stream ONLY if the buffered record was truly
+    complete (a record still awaiting continuation lines would be
+    finalized from half its lines — exactly what the in-stream tail
+    carry exists to prevent)."""
+    import os
+    import shutil
+
+    tails_root = os.path.join(out_dir, "_tails")
+    latest = _latest_tail(tails_root)
+    if latest is None or os.path.getsize(latest) == 0:
+        return
+    caches: list = []
+    try:
+        tables = parse_registry_lines(
+            number_lines(spark.read.text(latest), caches=caches), caches=caches
+        )
+        _upsert_tables(tables, out_dir)
+    finally:
+        for c in caches:
+            c.unpersist()
+    shutil.rmtree(tails_root, ignore_errors=True)
+
+
 def stream_events_rollup(
     spark: SparkSession, events_dir: str, query_name: str = "events_rollup"
 ) -> StreamingQuery:
     """Watermarked 1-hour tumbling rollup of the events stream
-    (counts + value sums per event_type), 10-minute late-data bound."""
+    (counts + value sums per event_type), 10-minute late-data bound.
+    Update output mode: windows older than the watermark are finalized
+    and their state evicted — complete mode would silently DISABLE the
+    watermark (no eviction, no late-row dropping) and grow state and
+    the result table for the stream's lifetime."""
     stream = stream_events_source(spark, events_dir)
     # dtype-adaptive: ns-bigint or timestamp(_ntz) ts both land on the
     # same µs-resolution TIMESTAMP axis (timeaxis.event_ts_col)
@@ -99,7 +200,7 @@ def stream_events_rollup(
         )
     )
     return (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode("update")
         .format("memory")
         .queryName(query_name)
         .start()
@@ -133,9 +234,13 @@ def stream_sessionize(
     raw = stream_events_source(spark, events_dir)
     # normalize to canonical µs BEFORE the stateful operator so state
     # (a bigint) is dtype-independent
-    stream = raw.withColumn(
-        "ts_us", ts_us_col(raw.schema["ts"].dataType, spark)
-    ).select("user_id", "ts_us")
+    stream = (
+        raw.withColumn("ts_us", ts_us_col(raw.schema["ts"].dataType, spark))
+        # a null ts cannot be sessionized — and a null bigint arrives in
+        # pandas as float NaN, where int(NaN) would kill the whole query
+        .filter(F.col("ts_us").isNotNull())
+        .select("user_id", "ts_us")
+    )
 
     def update(key, pdfs, state: GroupState):  # noqa: ANN001
         (user_id,) = key
@@ -151,7 +256,11 @@ def stream_sessionize(
         for ts in sorted(all_ts):
             if last_ts is None or ts - last_ts > gap_us:
                 n_sessions += 1
-            last_ts = ts
+            # monotone: a LATE event (ts < last_ts, delivered by a later
+            # micro-batch) must not drag the frontier backwards — that
+            # would fabricate a session break for the next in-order
+            # event and permanently over-count vs the batch twin
+            last_ts = ts if last_ts is None else max(last_ts, ts)
         n_events += len(all_ts)
         state.update((last_ts, n_sessions, n_events))
         yield pd.DataFrame(
@@ -207,6 +316,8 @@ def stream_funnel(
     stream = (
         raw.withColumn("ts_us", ts_us_col(raw.schema["ts"].dataType, spark))
         .filter(F.col("event_type").isin("view", "click", "purchase"))
+        # null ts: see stream_sessionize (int(NaN) kills the worker)
+        .filter(F.col("ts_us").isNotNull())
         .select("user_id", "ts_us", "event_type")
     )
 
@@ -311,9 +422,11 @@ def stream_click_error_join(
         )
         .withWatermark("click_ts", "1 hour")
     )
+    # stream-stream SELF-join off the one source: a second
+    # stream_events_source would be a second FileStreamSource listing
+    # and scanning the same directory every trigger
     errors = (
-        stream_events_source(spark, events_dir)
-        .filter(F.col("event_type") == "error")
+        base.filter(F.col("event_type") == "error")
         .select(
             F.col("event_id").alias("err_id"),
             F.col("user_id").alias("err_user"),
@@ -345,11 +458,13 @@ def stream_session_rollup(
     """Native session windows (the built-in alternative to the custom
     applyInPandasWithState sessionizer): watermarked
     ``session_window(event_ts, gap)`` merges events into dynamic
-    per-user sessions engine-side — state bounded by the watermark,
-    sessions close when the gap passes. Complete-vs-update semantics
-    and late-event merging come for free; the custom stateful operator
-    remains for logic session_window can't express (e.g. counters that
-    never expire)."""
+    per-user sessions engine-side. APPEND output mode is what makes
+    the scale claim TRUE: a session is emitted exactly once, when the
+    watermark passes its end, and its state is evicted (complete mode
+    — session_window's only other legal mode — ignores watermarks, so
+    state and the result table would grow for the stream's lifetime).
+    The custom stateful operator remains for logic session_window
+    can't express (e.g. counters that never expire)."""
     stream = stream_events_source(spark, events_dir)
     ts = event_ts_col(stream.schema["ts"].dataType, spark)
     agg = (
@@ -365,11 +480,19 @@ def stream_session_rollup(
         )
     )
     return (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode("append")
         .format("memory")
         .queryName(query_name)
         .start()
     )
+
+
+def _stream_docs(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """The documents file-stream source shared by every stateless doc
+    twin (one definition of the schema acquisition + n_chars guard)."""
+    schema = spark.read.parquet(docs_dir).schema
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    return stream.filter(F.col("n_chars") > 0)
 
 
 def stream_chunk_documents(spark: SparkSession, docs_dir: str) -> DataFrame:
@@ -383,9 +506,7 @@ def stream_chunk_documents(spark: SparkSession, docs_dir: str) -> DataFrame:
     the sink (tests use a memory sink + processAllAvailable)."""
     from eurovision_spark.operators.pipeline import chunk_documents
 
-    schema = spark.read.parquet(docs_dir).schema
-    stream = spark.readStream.schema(schema).parquet(docs_dir)
-    return chunk_documents(stream.filter(F.col("n_chars") > 0))
+    return chunk_documents(_stream_docs(spark, docs_dir))
 
 
 def stream_redact_documents(spark: SparkSession, docs_dir: str) -> DataFrame:
@@ -397,9 +518,7 @@ def stream_redact_documents(spark: SparkSession, docs_dir: str) -> DataFrame:
     sweep over landed (still-unscrubbed) data."""
     from eurovision_spark.operators.pipeline import redact_documents
 
-    schema = spark.read.parquet(docs_dir).schema
-    stream = spark.readStream.schema(schema).parquet(docs_dir)
-    return redact_documents(stream.filter(F.col("n_chars") > 0))
+    return redact_documents(_stream_docs(spark, docs_dir))
 
 
 def stream_prep_pipeline(spark: SparkSession, docs_dir: str) -> DataFrame:
@@ -413,6 +532,4 @@ def stream_prep_pipeline(spark: SparkSession, docs_dir: str) -> DataFrame:
     plan rather than two copies that could drift."""
     from eurovision_spark.operators.pipeline import prep_documents
 
-    schema = spark.read.parquet(docs_dir).schema
-    stream = spark.readStream.schema(schema).parquet(docs_dir)
-    return prep_documents(stream.filter(F.col("n_chars") > 0))
+    return prep_documents(_stream_docs(spark, docs_dir))

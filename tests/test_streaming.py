@@ -27,7 +27,10 @@ National Competent Authority: Belgium - competent authority
 
 
 def test_stream_registry_ingest(spark, tmp_path):
-    from eurovision_spark.streaming.ingest import stream_registry_ingest
+    from eurovision_spark.streaming.ingest import (
+        flush_registry_tail,
+        stream_registry_ingest,
+    )
 
     landing = tmp_path / "landing"
     landing.mkdir()
@@ -36,6 +39,7 @@ def test_stream_registry_ingest(spark, tmp_path):
 
     q = stream_registry_ingest(spark, str(landing), str(out))
     q.awaitTermination(120)
+    flush_registry_tail(spark, str(out))  # finalize the buffered record
 
     trial = spark.read.parquet(str(out / "trial"))
     assert {r.eudract_id for r in trial.collect()} == {"2004-000001-11"}
@@ -44,12 +48,47 @@ def test_stream_registry_ingest(spark, tmp_path):
     (landing / "page2.txt").write_text(PAGE2)
     q2 = stream_registry_ingest(spark, str(landing), str(out))
     q2.awaitTermination(120)
+    flush_registry_tail(spark, str(out))
 
     trial = spark.read.parquet(str(out / "trial"))
     got = {r.eudract_id: r.official_title for r in trial.collect()}
     assert got == {"2004-000001-11": "First Trial", "2004-000002-22": "Second Trial"}
     locs = {(r.eudract_id, r.location) for r in spark.read.parquet(str(out / "location")).collect()}
     assert locs == {("2004-000001-11", "Austria"), ("2004-000002-22", "Belgium")}
+
+
+def test_stream_registry_record_spanning_batches(spark, tmp_path):
+    """A record whose lines SPAN two micro-batches must not be parsed
+    from half its lines: the first batch buffers the incomplete tail,
+    the second prepends it, and the merged trial row carries fields
+    from BOTH pages. (Before the tail carry, the continuation lines
+    fell to trial_id NULL and were silently dropped.)"""
+    from eurovision_spark.streaming.ingest import (
+        flush_registry_tail,
+        stream_registry_ingest,
+    )
+
+    head, tail = PAGE1.split("A.3 Full title", 1)
+    landing = tmp_path / "landing_span"
+    landing.mkdir()
+    out = tmp_path / "out_span"
+    (landing / "page1.txt").write_text(head)
+
+    q = stream_registry_ingest(spark, str(landing), str(out))
+    q.awaitTermination(120)
+    # nothing finalized yet: the only record is still incomplete
+    import os
+
+    assert not os.path.exists(str(out / "trial"))
+
+    (landing / "page2.txt").write_text("A.3 Full title" + tail)
+    q2 = stream_registry_ingest(spark, str(landing), str(out))
+    q2.awaitTermination(120)
+    flush_registry_tail(spark, str(out))
+
+    [t] = spark.read.parquet(str(out / "trial")).collect()
+    assert t.eudract_id == "2004-000001-11"
+    assert t.official_title == "First Trial"  # field from the SECOND page
 
 
 def test_stream_events_rollup(spark, sf_dir, tmp_path):
@@ -239,10 +278,33 @@ def test_stream_session_rollup_native_window(spark, sf_dir, tmp_path):
     q = stream_session_rollup(spark, str(events_dir), query_name="t_native_sess")
     try:
         q.processAllAvailable()
+        # append mode emits a session only once the WATERMARK passes its
+        # end: push the watermark with far-future sentinel-user events.
+        # Two advancer batches because the watermark a batch USES comes
+        # from the PREVIOUS batch's max event time; written as plain
+        # parquet FILES (a directory-write is not picked up as a new
+        # file by the running stream's listing).
+        import datetime
+        import glob as _glob
+        import shutil as _shutil
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        far = ev.agg(F.max("ts")).first()[0]
+        for i, name in enumerate(("b2", "b3")):
+            adv = spark.createDataFrame(
+                [(10**9 + i, far + datetime.timedelta(days=10 + i), -1, "view", 0.0, "{}")],
+                ev.schema,
+            )
+            staged = str(tmp_path / f"{name}_stage")
+            adv.coalesce(1).write.parquet(staged)
+            part = _glob.glob(staged + "/part-*.parquet")[0]
+            _shutil.move(part, str(events_dir / f"{name}.parquet"))
+            q.processAllAvailable()
         stream_counts = {
             r.user_id: r.n
             for r in spark.sql(
-                "SELECT user_id, count(*) AS n FROM t_native_sess GROUP BY user_id"
+                "SELECT user_id, count(*) AS n FROM t_native_sess"
+                " WHERE user_id >= 0 GROUP BY user_id"
             ).collect()
         }
     finally:
