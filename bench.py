@@ -78,8 +78,12 @@ def main() -> None:
     spark = get_spark("bench")
     specs = registry()
 
-    # warm up the JVM/codegen path outside the measured window
-    specs["hit_count"].fn(spark, sf_dir).collect()
+    # warm up the JVM/codegen path outside the measured window (guarded:
+    # a warm-up failure must not erase the whole round's bench signal)
+    try:
+        specs["hit_count"].fn(spark, sf_dir).collect()
+    except Exception:  # noqa: BLE001
+        pass
 
     # Two passes per query: the first (cold) pays Catalyst analysis +
     # whole-stage-codegen compilation — a per-plan constant that
@@ -110,6 +114,8 @@ def main() -> None:
             warm[name] = round(min(runs), 3)
         except Exception as exc:  # noqa: BLE001 — report, keep benching
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            # keep cold_total and the warm total over the SAME query set
+            cold.pop(name, None)
 
     # Ingest throughput: the reference's primary workload (scan.py over
     # the ~2 GB dump) measured on a synthetic registry at 20k trials /

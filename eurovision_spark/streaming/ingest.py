@@ -186,7 +186,7 @@ def stream_events_rollup(
     stream = stream_events_source(spark, events_dir)
     # dtype-adaptive: ns-bigint or timestamp(_ntz) ts both land on the
     # same µs-resolution TIMESTAMP axis (timeaxis.event_ts_col)
-    ts = event_ts_col(stream.schema["ts"].dataType, spark)
+    ts = event_ts_col(stream.schema["ts"].dataType)
     agg = (
         stream.withColumn("event_ts", ts)
         .withWatermark("event_ts", "10 minutes")
@@ -235,7 +235,7 @@ def stream_sessionize(
     # normalize to canonical µs BEFORE the stateful operator so state
     # (a bigint) is dtype-independent
     stream = (
-        raw.withColumn("ts_us", ts_us_col(raw.schema["ts"].dataType, spark))
+        raw.withColumn("ts_us", ts_us_col(raw.schema["ts"].dataType))
         # a null ts cannot be sessionized — and a null bigint arrives in
         # pandas as float NaN, where int(NaN) would kill the whole query
         .filter(F.col("ts_us").isNotNull())
@@ -314,7 +314,7 @@ def stream_funnel(
 
     raw = stream_events_source(spark, events_dir)
     stream = (
-        raw.withColumn("ts_us", ts_us_col(raw.schema["ts"].dataType, spark))
+        raw.withColumn("ts_us", ts_us_col(raw.schema["ts"].dataType))
         .filter(F.col("event_type").isin("view", "click", "purchase"))
         # null ts: see stream_sessionize (int(NaN) kills the worker)
         .filter(F.col("ts_us").isNotNull())
@@ -381,7 +381,7 @@ def stream_dedup_events(
     stream = stream_events_source(spark, events_dir)
     deduped = (
         stream.withColumn(
-            "event_ts", event_ts_col(stream.schema["ts"].dataType, spark)
+            "event_ts", event_ts_col(stream.schema["ts"].dataType)
         )
         .withWatermark("event_ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
@@ -412,7 +412,7 @@ def stream_click_error_join(
     hash-partitioned on user_id, the same exchange shape as the batch
     twin (an as-of/interval join, operators/temporal.py)."""
     base = stream_events_source(spark, events_dir)
-    ts_ev = event_ts_col(base.schema["ts"].dataType, spark)
+    ts_ev = event_ts_col(base.schema["ts"].dataType)
     clicks = (
         base.filter(F.col("event_type") == "click")
         .select(
@@ -466,7 +466,7 @@ def stream_session_rollup(
     The custom stateful operator remains for logic session_window
     can't express (e.g. counters that never expire)."""
     stream = stream_events_source(spark, events_dir)
-    ts = event_ts_col(stream.schema["ts"].dataType, spark)
+    ts = event_ts_col(stream.schema["ts"].dataType)
     agg = (
         stream.withColumn("event_ts", ts)
         .withWatermark("event_ts", "1 hour")

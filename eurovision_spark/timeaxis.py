@@ -50,13 +50,18 @@ US_PER_DAY = 86_400_000_000
 
 
 def _one_parquet_file(path: str) -> str | None:
-    """``path`` may be a single parquet file or a directory of parts."""
+    """``path`` may be a single parquet file, a directory of parts, or a
+    Hive-partitioned tree (key=value subdirectories) — the probe walks
+    to the first part file wherever it nests, since a NANOS producer is
+    just as likely to partition its output."""
     if os.path.isfile(path):
         return path
     if os.path.isdir(path):
-        for entry in sorted(os.listdir(path)):
-            if entry.endswith(".parquet"):
-                return os.path.join(path, entry)
+        for root, dirs, names in sorted(os.walk(path)):
+            dirs.sort()
+            for entry in sorted(names):
+                if entry.endswith(".parquet"):
+                    return os.path.join(root, entry)
     return None
 
 
@@ -98,7 +103,7 @@ def ensure_readable(spark: SparkSession, path: str, col: str = "ts") -> None:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
-def ts_us_col(dtype: DataType, spark: SparkSession, col: str = "ts") -> Column:
+def ts_us_col(dtype: DataType, col: str = "ts") -> Column:
     """Canonical epoch-µs bigint expression for a loaded ``ts`` column.
 
     bigint = epoch ns (the nanosAsLong read, or a producer-written ns
@@ -118,7 +123,7 @@ def ts_us_col(dtype: DataType, spark: SparkSession, col: str = "ts") -> Column:
     raise TypeError(f"unsupported time-axis dtype for {col!r}: {dtype}")
 
 
-def event_ts_col(dtype: DataType, spark: SparkSession, col: str = "ts") -> Column:
+def event_ts_col(dtype: DataType, col: str = "ts") -> Column:
     """TIMESTAMP-typed expression (for watermarks / window() /
     session_window()), same µs values as ``ts_us_col``. The ntz branch
     re-renders the naive-as-UTC instant through current_timezone()
@@ -138,7 +143,7 @@ def event_ts_col(dtype: DataType, spark: SparkSession, col: str = "ts") -> Colum
 def with_ts_us(df: DataFrame, col: str = "ts") -> DataFrame:
     """Append the canonical ``ts_us`` column, whatever ``ts``'s dtype."""
     return df.withColumn(
-        "ts_us", ts_us_col(df.schema[col].dataType, df.sparkSession, col)
+        "ts_us", ts_us_col(df.schema[col].dataType, col)
     )
 
 

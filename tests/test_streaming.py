@@ -114,7 +114,7 @@ def test_stream_events_rollup(spark, sf_dir, tmp_path):
 
     ev = load_events_dir(spark, str(events_dir))
     batch = (
-        ev.withColumn("event_ts", event_ts_col(ev.schema["ts"].dataType, spark))
+        ev.withColumn("event_ts", event_ts_col(ev.schema["ts"].dataType))
         .groupBy(F.window("event_ts", "1 hour"), "event_type")
         .agg(F.count("*").alias("n"))
         .count()

@@ -24,9 +24,7 @@ import duckdb
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
+from eurovision_spark.sources.tables import TABLES  # noqa: E402 — single source of truth
 
 
 def canon_value(v) -> str:
@@ -36,8 +34,9 @@ def canon_value(v) -> str:
     if v is None:
         return "NULL"
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
+        # non-finite first: int(inf) raises OverflowError
+        if not math.isfinite(v):
+            return "NaN" if math.isnan(v) else ("Inf" if v > 0 else "-Inf")
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(v)
@@ -52,7 +51,13 @@ def canon_value(v) -> str:
 
 def table_hash(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(canon_value(r[i]) for i in order) for r in rows)
+
+    def esc(v: str) -> str:
+        # escape the joiner: without it, ('a|b','c') and ('a','b|c')
+        # hash identically and a real mismatch can read as OK
+        return v.replace("\\", "\\\\").replace("|", "\\|")
+
+    lines = sorted("|".join(esc(canon_value(r[i])) for i in order) for r in rows)
     h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
     return len(rows), h
 
@@ -106,7 +111,16 @@ def main() -> int:
                   f"({time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(resolve_oracle(spec, sf_dir))
+            oracle_sql = resolve_oracle(spec, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            # mirror the driver harness: a DYNAMIC oracle failing to
+            # resolve degrades that query to rows-only (the driver's
+            # oracle_sql() swallows resolve errors), it does not fail
+            print(f"ok-   {name:24s} rows-only (oracle unresolvable: {e}) "
+                  f"{len(srows)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracle_sql)
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
         except Exception as e:
