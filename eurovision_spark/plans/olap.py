@@ -286,3 +286,41 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("price_sum"),
         )
     )
+
+
+@register(
+    "rank_suite",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           round(percent_rank() OVER w, 6) AS prnk,
+           round(cume_dist() OVER w, 6) AS cdist,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WHERE o_totalprice > 250000
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    "the ranking-window family on ONE exchange: rank / dense_rank / "
+    "percent_rank / cume_dist / ntile over the same "
+    "(priority, price-desc) window — five ranking semantics, one "
+    "hashpartitioning on o_orderpriority, one partition-local sort. "
+    "The unique o_orderkey tie-break keeps every rank deterministic "
+    "cross-engine; percent_rank/cume_dist are exact rational divisions "
+    "of row counts, rounded per the float convention.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )

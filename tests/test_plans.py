@@ -554,3 +554,10 @@ def test_simhash_is_shuffle_free(spark):
     # join-with-bits, no groupBy — linear scan at any corpus size
     plan = plan_of(spark, "simhash")
     assert "Exchange" not in plan
+
+
+def test_rank_suite_single_exchange(spark):
+    # five ranking semantics share ONE priority exchange + one sort
+    plan = plan_of(spark, "rank_suite")
+    assert n_exchanges(plan) == 1
+    assert plan.count("Window") >= 1
