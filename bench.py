@@ -64,6 +64,7 @@ HEADLINE = [
     "weighted_sample",
     "event_health",
     "unigram_logprob",
+    "rank_suite",
 ]
 
 
