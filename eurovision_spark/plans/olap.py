@@ -324,3 +324,32 @@ def rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
     )
+
+
+@register(
+    "quantiles_by_priority",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS med_price,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "EXACT grouped quantiles (median + p90 order value per priority) — "
+    "the per-group counterpart of percentile_prices, and the exact twin "
+    "the approx sketch (percentile_prices_approx) is error-bounded "
+    "against. Both engines use the same linear-interpolation "
+    "percentile_cont semantics, so the doubles agree to rounding. "
+    "Honest scale note stated by the plan itself: exact percentile "
+    "materializes each group's values (ObjectHashAggregate), so memory "
+    "is O(group size) — per-priority groups are bounded here; for "
+    "unbounded groups the t-digest sketch IS the scale path.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("med_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+        F.count("*").alias("n_orders"),
+    )
