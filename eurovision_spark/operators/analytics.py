@@ -556,3 +556,36 @@ def event_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("ts_us") - F.min("ts_us")).cast("bigint").alias("span_us"),
         )
     )
+
+
+@register(
+    "user_top_event",
+    """
+    WITH c AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, event_type),
+    r AS (
+        SELECT user_id, event_type, n,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, event_type) AS rn
+        FROM c)
+    SELECT user_id, event_type AS top_event, n AS n_events
+    FROM r WHERE rn = 1
+    """,
+    "per-group mode (each user's most frequent event type): count per "
+    "(user, type), then rank within user — integer counts with a "
+    "lexicographic tie-break, so the winner is deterministic in both "
+    "engines (SQL mode() has engine-specific ties and is avoided). The "
+    "count pre-aggregation map-side-combines, so the user_id exchange "
+    "moves at most |event_types| rows per user, never raw events.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def user_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = W.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_event"), F.col("n").alias("n_events"))
+    )
