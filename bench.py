@@ -65,6 +65,9 @@ HEADLINE = [
     "event_health",
     "unigram_logprob",
     "rank_suite",
+    # round 4 (cont.): cluster-forming dedup + semantic dedup
+    "minhash_cluster",
+    "semantic_dedup",
 ]
 
 

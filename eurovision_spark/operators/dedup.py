@@ -30,7 +30,7 @@ the hash gate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from eurovision_spark.catalog import register
@@ -541,4 +541,104 @@ def minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.size(F.array_intersect("sh1", "sh2")).cast("double") / union_size, 6
             ).alias("jaccard"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster formation: verified LSH pairs -> connected components
+# ---------------------------------------------------------------------------
+
+# exact-Jaccard acceptance threshold for an LSH candidate edge. The
+# planted perturbed copy of a doc with s shingles scores s/(s+1), so
+# every original/copy pair with >= 4 shingles (>= 6 tokens) forms an
+# edge; shorter docs fall below the bar in BOTH engines identically.
+CLUSTER_JACCARD_T = 0.8
+
+MINHASH_CLUSTER_ORACLE = MINHASH_SIG_SQL.replace(
+    "WITH docs", "WITH RECURSIVE docs", 1
+) + f"""
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id),
+    sets AS (SELECT doc_id, list_distinct({SH_SQL}) AS sh FROM docs),
+    verified AS (
+        SELECT d1, d2
+        FROM cand
+        JOIN sets s1 ON s1.doc_id = cand.d1
+        JOIN sets s2 ON s2.doc_id = cand.d2
+        WHERE len(list_distinct(list_concat(s1.sh, s2.sh))) > 0
+          AND CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(s1.sh, s2.sh)))
+              >= {CLUSTER_JACCARD_T}),
+    edges AS (SELECT d1 AS src, d2 AS dst FROM verified
+              UNION SELECT d2 AS src, d1 AS dst FROM verified),
+    lbl AS (
+        SELECT src AS node, src AS comp FROM edges
+        UNION
+        SELECT e.dst, l.comp
+        FROM lbl l JOIN edges e ON e.src = l.node
+        WHERE l.comp < e.dst),
+    comp AS (SELECT node AS doc_id, min(comp) AS cluster_id
+             FROM lbl GROUP BY node)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size
+    FROM comp
+"""
+
+
+@register(
+    "minhash_cluster",
+    MINHASH_CLUSTER_ORACLE,
+    "duplicate-CLUSTER formation — the step that turns near-dup PAIRS "
+    "into an actionable dedup decision: MinHash-LSH candidates "
+    "(minhash_lsh_pairs) -> exact word-3-gram Jaccard verification at "
+    f">= {CLUSTER_JACCARD_T} (minhash_lsh_jaccard) -> connected "
+    "components over the verified-edge graph (imp_dedup.cc_edge_list, "
+    "iterative min-label propagation shuffling ids only) -> one "
+    "(doc_id, cluster_id = min member id, cluster_size) row per "
+    "clustered doc. Keeping min-id-per-component is the canonical "
+    "'keep one representative per duplicate group' rule; transitivity "
+    "is what pairwise output cannot give (A~B, B~C => one cluster "
+    "{A,B,C} even when A and C never collide in a band). Oracle: the "
+    "full pipeline in DuckDB with a recursive-CTE label propagation — "
+    "the graph step stays hash-gated. Each planted perturbed copy "
+    "with >= 4 shingles must land in its original's 2-cluster "
+    "(pinned in tests/test_pipeline_ops.py).",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01/0.1 (verify)
+)
+def minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eurovision_spark.operators.imp_dedup import cc_edge_list
+
+    docs = docs_with_copies(spark, sf_dir)
+    pairs = _lsh_candidate_pairs(_minhash_signatures(docs))
+    # verification joins mirror minhash_lsh_jaccard: broadcast the
+    # (small) candidate set against the corpus shingle sets so the
+    # corpus never reshuffles for verification
+    sets = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", tokens(F.lower(F.col("text"))).alias("_toks"))
+        .select("doc_id", F.array_distinct(shingles(F.col("_toks"))).alias("sh"))
+    )
+    s1 = sets.select(F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1"))
+    s2 = sets.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2"))
+    union_size = F.size(F.array_distinct(F.concat("sh1", "sh2")))
+    jaccard = F.size(F.array_intersect("sh1", "sh2")).cast("double") / union_size
+    verified = (
+        s1.join(F.broadcast(pairs), "doc_id_1")
+        .join(s2.hint("shuffle_hash"), "doc_id_2")
+        .filter((union_size > 0) & (jaccard >= CLUSTER_JACCARD_T))
+        .select("doc_id_1", "doc_id_2")
+    )
+    labels = cc_edge_list(verified, "doc_id_1", "doc_id_2")
+    return labels.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("comp").cast("bigint").alias("cluster_id"),
+        F.count("*")
+        .over(W.partitionBy("comp"))
+        .cast("bigint")
+        .alias("cluster_size"),
     )

@@ -85,6 +85,88 @@ def connected_components_any_key(
     return df
 
 
+def cc_edge_list(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 15
+) -> DataFrame:
+    """Connected components over a global (src, dst) edge list: label
+    every endpoint with the min node id reachable through the graph.
+    Returns (node, comp) — one row per distinct endpoint.
+
+    Min-label propagation: each round takes, per node, the min label
+    among its neighbors (edges symmetrized once up front) and keeps the
+    lesser of that and its own. Labels only decrease, so the O(1)-row
+    label-sum aggregate detects the fixpoint exactly — the same
+    convergence contract as :func:`connected_components_any_key`, but
+    over an explicit edge list instead of shared-key groups. Rounds
+    needed = component diameter in hops; near-duplicate graphs are
+    shallow (members of a dup cluster are mutually similar), so a
+    handful of rounds suffices. Per round the cost is ONE shuffle of
+    the (node-id, label) edge list — ids only, never payloads — which
+    is the formulation that survives a 100 TB corpus; switch to
+    large-star/small-star only if long-chain components are expected.
+    """
+    # materialize the edge list ONCE before anything fans out over it:
+    # the upstream pipeline is typically the expensive part (LSH +
+    # verification), and both the symmetrizing union and every
+    # propagation round scan it — without the forced cache the two
+    # union branches would each recompute the whole pipeline inside one
+    # job (measured 2x the verify cost), and each round would again.
+    # The cached payload is ids-only, tiny at any corpus size.
+    edges = edges.persist()
+    edges.count()
+    sym = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")).unionByName(
+        edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
+    )
+    # seed with min(node, min neighbor): the first propagation round for
+    # free inside the node-dedup aggregation (star-shaped dup clusters —
+    # the common case — finish after ONE further round + confirm)
+    labels = (
+        sym.groupBy("node")
+        .agg(F.min("nbr").alias("_m"))
+        .select("node", F.least(F.col("node"), F.col("_m")).alias("comp"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    converged = prev_sum is None  # no edges -> no nodes: trivially done
+    for _ in range(max_iter):
+        if converged:
+            break
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("comp").alias("nbr_comp")
+                ),
+                "nbr",
+            )
+            .groupBy("node")
+            .agg(F.min("nbr_comp").alias("_m"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("_m"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            converged = True
+        prev_sum = new_sum
+    edges.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"cc_edge_list did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
+    return labels
+
+
 def cc_bounded_groups_array(
     entries: DataFrame,
     group_col: str,

@@ -627,3 +627,153 @@ def cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("probe_id", "neighbor_id", F.round("cos", 6).alias("cosine_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup: k-means cells + within-cell cosine pruning (SemDeDup)
+# ---------------------------------------------------------------------------
+
+# cosine threshold for "semantically identical" — the planted ×2-scaled
+# copies score exactly cos(v, 2v) = dot(v,v)/nv² ≈ 1.0 (scaling by a
+# power of two is exact in IEEE, so cell assignment and the pair cosine
+# are bit-identical across engines); random 64-dim corpus vectors never
+# approach it.
+SEM_DUP_T = 0.99
+
+
+def _sem_oracle(sf_dir: str) -> str:
+    """Dynamic oracle: same codebook literals as cosine_ivf, with the
+    planted scaled copies added before assignment."""
+    cents = ivf_codebook(sf_dir)
+    values = ",\n          ".join(
+        f"({i}, [{', '.join(repr(v) for v in row)}]::DOUBLE[])"
+        for i, row in enumerate(cents)
+    )
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                  FROM embeddings
+                  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+    planted AS (
+        SELECT vec_id, v FROM base
+        UNION ALL
+        SELECT vec_id + {PLANT_OFFSET} AS vec_id,
+               list_transform(v, x -> x * 2.0) AS v
+        FROM base),
+    e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM planted),
+    cent_vals(cent_id, cv) AS (
+        VALUES {values}),
+    cents AS (SELECT cent_id, cv, sqrt(list_dot_product(cv, cv)) AS ncv
+              FROM cent_vals),
+    assigned AS (
+        SELECT e.vec_id, e.v, e.nv, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.cv) / (e.nv * c.ncv) DESC,
+                            c.cent_id) AS rn
+        FROM e CROSS JOIN cents c),
+    cells AS (SELECT vec_id, v, nv, cent_id FROM assigned WHERE rn = 1),
+    dup AS (
+        SELECT a.vec_id AS d1, b.vec_id AS d2,
+               list_dot_product(a.v, b.v) / (a.nv * b.nv) AS cos
+        FROM cells a JOIN cells b
+          ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) / (a.nv * b.nv) >= {SEM_DUP_T})
+    SELECT CAST(d2 AS BIGINT) AS dropped_id,
+           CAST(min(d1) AS BIGINT) AS keeper_id,
+           round(arg_min(cos, d1), 6) AS cos_sim
+    FROM dup GROUP BY d2
+    """
+
+
+@register(
+    "semantic_dedup",
+    _sem_oracle,
+    "semantic deduplication (SemDeDup-shaped): vectors partition into "
+    "k-means cells (the cosine_ivf codebook — deterministic Lloyd on a "
+    "bounded md5-ordered sample, broadcast as ONE array row), candidate "
+    "pairs form ONLY within a cell (dedup.pairs_in_buckets on the cell "
+    "id — one id-only shuffle, cost tracks cell occupancy, never n²), "
+    "each pair's exact cosine is verified JVM-side, and a vector is "
+    "DROPPED when a near-identical (cos >= 0.99) cell-mate with a "
+    "smaller id exists — keeper = that smallest cell-mate, the "
+    "deterministic 'keep one representative' rule. At 100 TB, k grows "
+    "with the corpus (k ≈ n/target_cell) so per-cell work stays "
+    "bounded; cells are the IVF inverted lists, so this shares its "
+    "partitioning with the ANN index. Planted ×2-scaled copies (exact "
+    "direction match) must each drop against their original (pinned in "
+    "tests/test_pipeline_ops.py). Oracle: same codebook inlined as "
+    "literals, built at check time.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01/0.1 (verify)
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eurovision_spark.operators.dedup import pairs_in_buckets
+
+    raw = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .filter(l2norm(F.col("v")) > 0)
+    )
+    # codebook from the ORIGINAL corpus only (the oracle builder reads
+    # the parquet directly), trained exactly as in cosine_ivf
+    cent_key = md5_long(F.concat(F.lit("cent-"), F.col("vec_id").cast("string")))
+    sample = (
+        raw.orderBy(cent_key.asc(), F.col("vec_id").asc())
+        .limit(IVF_SAMPLE)
+        .select("v")
+        .collect()
+    )
+    codebook = _lloyd([r.v for r in sample])
+    cents = spark.createDataFrame(
+        [(i, row) for i, row in enumerate(codebook)],
+        "cent_id bigint, cv array<double>",
+    ).withColumn("ncv", l2norm(F.col("cv")))
+    cent_row = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "cv", "ncv"))).alias("cents")
+    )
+    planted = raw.unionByName(
+        raw.select(
+            (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
+            F.transform(F.col("v"), lambda x: x * 2.0).alias("v"),
+        )
+    )
+    e = (
+        planted.repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("nv", l2norm(F.col("v")))
+        .crossJoin(F.broadcast(cent_row))
+    )
+    # per-row argmax over the broadcast codebook (same shape as cosine_ivf)
+    sims = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (dot(F.col("v"), c.cv) / (F.col("nv") * c.ncv)).alias("sim"),
+            (-c.cent_id).alias("neg_cent"),
+        ),
+    )
+    best = F.array_max(sims)
+    cells = e.select(
+        "vec_id", "v", "nv", (-best.neg_cent).cast("bigint").alias("cent_id")
+    )
+    banded = cells.select(
+        "vec_id",
+        F.lit(0).alias("band_id"),
+        F.col("cent_id").cast("string").alias("band_sig"),
+    )
+    # one band (cells partition the corpus) -> no pair-distinct shuffle
+    pairs = pairs_in_buckets(banded, "vec_id", dedup_pairs=False)
+    a = cells.select(
+        F.col("vec_id").alias("vec_id_1"), F.col("v").alias("v1"), F.col("nv").alias("n1")
+    )
+    b = cells.select(
+        F.col("vec_id").alias("vec_id_2"), F.col("v").alias("v2"), F.col("nv").alias("n2")
+    )
+    cos = dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
+    dup = (
+        pairs.join(a, "vec_id_1")
+        .join(b, "vec_id_2")
+        .select("vec_id_1", "vec_id_2", cos.alias("cos"))
+        .filter(F.col("cos") >= SEM_DUP_T)
+    )
+    return dup.groupBy(F.col("vec_id_2").alias("dropped_id")).agg(
+        F.min("vec_id_1").cast("bigint").alias("keeper_id"),
+        F.round(F.min_by("cos", "vec_id_1"), 6).alias("cos_sim"),
+    )

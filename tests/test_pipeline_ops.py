@@ -258,3 +258,61 @@ def test_pii_counts_equal_emitted_masks_under_class_overlap(spark):
     assert r.redacted.count("<IP>") == r.n_ips
     assert r.redacted.count("<PHONE>") == r.n_phones
     assert "1.2.3.4" not in r.redacted
+
+
+def test_minhash_cluster_groups_planted_copies_transitively(spark):
+    """Cluster formation must (a) put every eligible planted copy in its
+    original's cluster with the ORIGINAL id as the label, and (b) honor
+    transitivity — every cluster's members are mutually reachable, so
+    cluster_size matches the member count per label."""
+    from eurovision_spark.operators.dedup import NEAR_COPY_OFFSET
+
+    sf = "/root/testdata/sf0.001"
+    rows = registry()["minhash_cluster"].fn(spark, sf).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    # every planted copy present in the result clusters with its original
+    planted = [r for r in rows if r.doc_id >= NEAR_COPY_OFFSET]
+    assert planted, "no planted copies clustered at all"
+    for r in planted:
+        # the copy clusters WITH its original (the corpus also contains
+        # genuine near-dups, so the shared cluster may hold more members
+        # and carry a smaller label than the original's id)
+        orig = by_doc.get(r.doc_id - NEAR_COPY_OFFSET)
+        assert orig is not None, "original missing from the copy's cluster output"
+        assert orig.cluster_id == r.cluster_id
+    # the label IS the min member id, and cluster_size matches the
+    # actual member multiplicity — transitivity made them consistent
+    from collections import Counter
+
+    sizes = Counter(r.cluster_id for r in rows)
+    min_member: dict[int, int] = {}
+    for r in rows:
+        min_member[r.cluster_id] = min(min_member.get(r.cluster_id, r.doc_id), r.doc_id)
+    for r in rows:
+        assert r.cluster_size == sizes[r.cluster_id]
+        assert min_member[r.cluster_id] == r.cluster_id
+
+
+def test_semantic_dedup_drops_each_scaled_copy_against_its_original(spark):
+    """Every planted ×2-scaled copy must be dropped with its original as
+    keeper at cosine ~1.0; no original may be dropped (copies carry the
+    +PLANT_OFFSET ids, so they are always the larger pair member)."""
+    from pyspark.sql import functions as F
+
+    from eurovision_spark.operators.similarity import PLANT_OFFSET, as_double, l2norm
+    from eurovision_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = registry()["semantic_dedup"].fn(spark, sf).collect()
+    n_vecs = (
+        load_table(spark, sf, "embeddings")
+        .filter(l2norm(as_double(F.col("embedding"))) > 0)
+        .count()
+    )
+    dropped = {r.dropped_id: r for r in rows}
+    assert all(d >= PLANT_OFFSET for d in dropped), "an original was dropped"
+    # every copy is caught (same cell as its original by construction)
+    assert len(dropped) == n_vecs
+    for d, r in dropped.items():
+        assert r.keeper_id == d - PLANT_OFFSET
+        assert abs(r.cos_sim - 1.0) < 1e-6
