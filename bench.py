@@ -65,9 +65,10 @@ HEADLINE = [
     "event_health",
     "unigram_logprob",
     "rank_suite",
-    # round 4 (cont.): cluster-forming dedup + semantic dedup
+    # round 4 (cont.): cluster-forming dedup + semantic + incremental dedup
     "minhash_cluster",
     "semantic_dedup",
+    "incremental_dedup",
 ]
 
 

@@ -533,3 +533,86 @@ def stream_prep_pipeline(spark: SparkSession, docs_dir: str) -> DataFrame:
     from eurovision_spark.operators.pipeline import prep_documents
 
     return prep_documents(_stream_docs(spark, docs_dir))
+
+
+def stream_incremental_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming twin of ``incremental_dedup``: documents arrive as a
+    parquet file stream and each micro-batch is deduped against the
+    GROWING landed store before it lands — the production intake shape
+    where dedup happens once at ingest instead of as corpus-wide
+    sweeps over already-landed duplicates.
+
+    Per micro-batch (foreachBatch, batch semantics inside):
+
+    1. collapse exact dups WITHIN the batch (content digest, min
+       doc_id survives — deterministic under replay);
+    2. decide each doc against the landed store via the SHARED batch
+       core (operators/dedup.incremental_dedup_decisions): digest
+       equi-join for exact dups, banded minhash probe + exact-Jaccard
+       verify for near dups — the store is only ever PROBED on
+       equi-keys, never rescanned;
+    3. land survivors ('new') into ``store_dir``/landed and append
+       their decisions to ``store_dir``/decisions, both through the
+       first-wins keyed upsert (sinks.upsert_parquet) so a replayed
+       micro-batch (restart, at-least-once source) re-derives the same
+       decisions and changes nothing.
+
+    Arrival-order semantics, stated honestly: a near-dup pair split
+    across batches keeps the EARLIER-ARRIVED member (the batch twin
+    keeps min landed id); two near-dup docs inside ONE batch both land
+    unless byte-identical — at scale the in-batch near-dup pass is the
+    batch LSH (minhash_cluster) over the batch alone, elided here to
+    keep the store probe the focus. The landed store at 100 TB is a
+    partitioned table keyed like the probe (band signature / digest),
+    so per-batch cost tracks batch size, not corpus size.
+    """
+    import os
+
+    from eurovision_spark.operators.dedup import incremental_dedup_decisions
+    from eurovision_spark.sinks import upsert_parquet
+
+    landed_dir = os.path.join(store_dir, "landed")
+    decisions_dir = os.path.join(store_dir, "decisions")
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(docs_dir)
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", "text")
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = batch_df.groupBy(F.md5("text").alias("_d")).agg(
+            F.min_by(F.struct("doc_id", "text"), F.col("doc_id")).alias("_r")
+        ).select("_r.doc_id", "_r.text")
+        if not os.path.exists(landed_dir):
+            ex = spark.createDataFrame([], "doc_id bigint, text string")
+        else:
+            ex = spark.read.parquet(landed_dir)
+        decisions = incremental_dedup_decisions(batch, ex)
+        # decisions FIRST, survivors second — and survivors re-read the
+        # decisions STORE rather than the in-flight plan. Order matters:
+        # the decisions plan lazily scans landed_dir, and rewriting that
+        # store first would invalidate any cache of the plan (the file
+        # listing changes), silently re-deciding the batch against a
+        # store that already contains it (every 'new' doc would then
+        # exact-dup itself).
+        upsert_parquet(decisions, decisions_dir, ["doc_id"], keep="existing")
+        survivors = batch.join(
+            spark.read.parquet(decisions_dir)
+            .filter(F.col("decision") == "new")
+            .select("doc_id"),
+            "doc_id",
+        )
+        upsert_parquet(survivors, landed_dir, ["doc_id"], keep="existing")
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

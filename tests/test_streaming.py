@@ -604,3 +604,60 @@ def test_stream_sessionize_correct_across_pandas_chunks(spark, tmp_path):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
     assert r.n_events == 3
     assert r.n_sessions == 1, f"per-chunk fold over-counted: {r.n_sessions}"
+
+
+def test_stream_incremental_dedup_probes_growing_store(spark, tmp_path):
+    """Cross-batch incremental dedup: wave 2's near-copy and exact copy
+    of wave-1 docs must be REJECTED against the landed store, the
+    genuinely new doc must land, and replaying wave 2 (at-least-once
+    delivery) must change nothing — decisions and the landed set are
+    replay-stable through the first-wins upsert."""
+    import shutil
+
+    from eurovision_spark.streaming.ingest import stream_incremental_dedup
+
+    docs_dir = tmp_path / "docs_in"
+    docs_dir.mkdir()
+    store = tmp_path / "store"
+
+    base_a = "the quick brown fox jumps over the lazy dog today"
+    base_b = "pack my box with five dozen liquor jugs right now"
+    fresh = "sphinx of black quartz judge my vow swiftly and well"
+
+    def write_wave(name, rows):
+        spark.createDataFrame(
+            [(i, t, len(t)) for i, t in rows], "doc_id bigint, text string, n_chars int"
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = next((tmp_path / name).glob("part-*.parquet"))
+        shutil.copy(part, docs_dir / f"{name}.parquet")
+
+    write_wave("wave1", [(1, base_a), (2, base_b)])
+    q = stream_incremental_dedup(
+        spark, str(docs_dir), str(store), str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        write_wave("wave2", [(100, base_a + " perturbed"), (101, base_b), (102, fresh)])
+        q.processAllAvailable()
+        # replay wave 2 under a new file name (same rows re-delivered)
+        write_wave("wave2_replay", [(100, base_a + " perturbed"), (101, base_b), (102, fresh)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    landed = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(str(store / "landed")).collect()
+    }
+    assert set(landed) == {1, 2, 102}, landed
+    decisions = {
+        r.doc_id: (r.decision, r.matched_id)
+        for r in spark.read.parquet(str(store / "decisions")).collect()
+    }
+    assert decisions[100] == ("near_dup", 1)
+    assert decisions[101] == ("exact_dup", 2)
+    assert decisions[102] == ("new", None)
+    assert decisions[1] == ("new", None) and decisions[2] == ("new", None)
+    # replay added no duplicate rows anywhere
+    assert spark.read.parquet(str(store / "landed")).count() == 3
+    assert spark.read.parquet(str(store / "decisions")).count() == 5
