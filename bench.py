@@ -69,6 +69,7 @@ HEADLINE = [
     "minhash_cluster",
     "semantic_dedup",
     "incremental_dedup",
+    "dedup_pipeline",
 ]
 
 

@@ -598,6 +598,32 @@ MINHASH_CLUSTER_ORACLE = MINHASH_SIG_SQL.replace(
 """
 
 
+def verified_near_edges(docs: DataFrame) -> DataFrame:
+    """(doc_id_1 < doc_id_2) VERIFIED near-dup edges for a
+    (doc_id, text) corpus: LSH banded candidates, then exact word-3-gram
+    Jaccard >= CLUSTER_JACCARD_T. The verification joins mirror
+    minhash_lsh_jaccard: broadcast the (small) candidate set against the
+    corpus shingle sets so the corpus never reshuffles for verification.
+    Shared by minhash_cluster and dedup_pipeline."""
+    spark = docs.sparkSession
+    pairs = _lsh_candidate_pairs(_minhash_signatures(docs))
+    sets = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", tokens(F.lower(F.col("text"))).alias("_toks"))
+        .select("doc_id", F.array_distinct(shingles(F.col("_toks"))).alias("sh"))
+    )
+    s1 = sets.select(F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1"))
+    s2 = sets.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2"))
+    union_size = F.size(F.array_distinct(F.concat("sh1", "sh2")))
+    jaccard = F.size(F.array_intersect("sh1", "sh2")).cast("double") / union_size
+    return (
+        s1.join(F.broadcast(pairs), "doc_id_1")
+        .join(s2.hint("shuffle_hash"), "doc_id_2")
+        .filter((union_size > 0) & (jaccard >= CLUSTER_JACCARD_T))
+        .select("doc_id_1", "doc_id_2")
+    )
+
+
 @register(
     "minhash_cluster",
     MINHASH_CLUSTER_ORACLE,
@@ -622,26 +648,7 @@ def minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eurovision_spark.operators.imp_dedup import cc_edge_list
 
     docs = docs_with_copies(spark, sf_dir)
-    pairs = _lsh_candidate_pairs(_minhash_signatures(docs))
-    # verification joins mirror minhash_lsh_jaccard: broadcast the
-    # (small) candidate set against the corpus shingle sets so the
-    # corpus never reshuffles for verification
-    sets = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", tokens(F.lower(F.col("text"))).alias("_toks"))
-        .select("doc_id", F.array_distinct(shingles(F.col("_toks"))).alias("sh"))
-    )
-    s1 = sets.select(F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1"))
-    s2 = sets.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2"))
-    union_size = F.size(F.array_distinct(F.concat("sh1", "sh2")))
-    jaccard = F.size(F.array_intersect("sh1", "sh2")).cast("double") / union_size
-    verified = (
-        s1.join(F.broadcast(pairs), "doc_id_1")
-        .join(s2.hint("shuffle_hash"), "doc_id_2")
-        .filter((union_size > 0) & (jaccard >= CLUSTER_JACCARD_T))
-        .select("doc_id_1", "doc_id_2")
-    )
-    labels = cc_edge_list(verified, "doc_id_1", "doc_id_2")
+    labels = cc_edge_list(verified_near_edges(docs), "doc_id_1", "doc_id_2")
     return labels.select(
         F.col("node").cast("bigint").alias("doc_id"),
         F.col("comp").cast("bigint").alias("cluster_id"),
@@ -831,5 +838,160 @@ def incremental_dedup_decisions(inc: DataFrame, ex: DataFrame) -> DataFrame:
             .otherwise(F.lit("new"))
             .alias("decision"),
             F.coalesce("exact_id", "near_id").cast("bigint").alias("matched_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composed dedup pass: exact collapse -> near-dup clustering, one decision
+# ---------------------------------------------------------------------------
+
+
+def minhash_chain_sql(src: str, p: str) -> str:
+    """The sh -> hashed -> sig -> bands CTE chain over a (doc_id, text)
+    CTE named ``src``, every CTE name prefixed ``p`` — the parameterized
+    form of MINHASH_SIG_SQL's fixed chain, for oracles that band a
+    derived document set (dedup_pipeline's exact-canonical survivors)."""
+    return f"""
+    {p}sh AS (SELECT DISTINCT doc_id, unnest({SH_SQL}) AS shingle FROM {src}),
+    {p}hashed AS (SELECT doc_id, {md5_long_sql('shingle')} % {P31} AS h
+                  FROM {p}sh),
+    {p}sig AS (
+        SELECT doc_id, perm,
+               min(((2*perm+1)*h + 17*perm+1) % {P31}) AS minhash
+        FROM {p}hashed
+        CROSS JOIN (SELECT unnest(generate_series(0, {N_PERM - 1})) AS perm)
+        GROUP BY doc_id, perm),
+    {p}bands AS (
+        SELECT doc_id, perm // {N_PERM // N_BANDS} AS band_id,
+               md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm))
+                   AS band_sig
+        FROM {p}sig GROUP BY doc_id, perm // {N_PERM // N_BANDS})"""
+
+
+DEDUP_PIPELINE_ORACLE = f"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id, text FROM documents WHERE n_chars > 0),
+    docs AS (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + {NEAR_COPY_OFFSET} AS doc_id,
+               text || ' perturbed' AS text FROM base
+        UNION ALL
+        SELECT doc_id + {EXACT_COPY_OFFSET} AS doc_id, text FROM base),
+    dig AS (SELECT doc_id, md5(text) AS d FROM docs),
+    canon AS (SELECT d, min(doc_id) AS c FROM dig GROUP BY d),
+    mapc AS (SELECT dig.doc_id, canon.c FROM dig JOIN canon USING (d)),
+    surv AS (SELECT docs.doc_id, docs.text FROM docs
+             JOIN canon ON canon.c = docs.doc_id),
+    {minhash_chain_sql('surv', 's_')},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM s_bands a JOIN s_bands b
+          ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id),
+    sets AS (SELECT doc_id, list_distinct({SH_SQL}) AS sh FROM surv),
+    verified AS (
+        SELECT d1, d2
+        FROM cand
+        JOIN sets s1 ON s1.doc_id = cand.d1
+        JOIN sets s2 ON s2.doc_id = cand.d2
+        WHERE len(list_distinct(list_concat(s1.sh, s2.sh))) > 0
+          AND CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(s1.sh, s2.sh)))
+              >= {CLUSTER_JACCARD_T}),
+    edges AS (SELECT d1 AS src, d2 AS dst FROM verified
+              UNION SELECT d2 AS src, d1 AS dst FROM verified),
+    lbl AS (
+        SELECT src AS node, src AS comp FROM edges
+        UNION
+        SELECT e.dst, l.comp
+        FROM lbl l JOIN edges e ON e.src = l.node
+        WHERE l.comp < e.dst),
+    lab AS (SELECT node AS doc_id, min(comp) AS cluster_id
+            FROM lbl GROUP BY node)
+    SELECT m.doc_id,
+           CASE WHEN m.doc_id <> m.c THEN 'exact_dup'
+                WHEN l.cluster_id IS NOT NULL AND l.cluster_id <> m.doc_id
+                     THEN 'near_dup'
+                ELSE 'kept' END AS decision,
+           CAST(CASE WHEN m.doc_id <> m.c THEN coalesce(lc.cluster_id, m.c)
+                     ELSE coalesce(l.cluster_id, m.doc_id) END AS BIGINT)
+               AS survivor_id
+    FROM mapc m
+    LEFT JOIN lab l ON l.doc_id = m.doc_id
+    LEFT JOIN lab lc ON lc.doc_id = m.c
+"""
+
+
+@register(
+    "dedup_pipeline",
+    DEDUP_PIPELINE_ORACLE,
+    "the COMPOSED corpus dedup pass — one operator, one decision per "
+    "document with full provenance: (1) exact collapse on the content "
+    "digest (byte-identical planted copies fold onto their originals; "
+    "only digests shuffle), (2) near-dup clustering of the exact-"
+    "canonical survivors (shared verified-LSH-edge generator + "
+    "min-label connected components — minhash_cluster's machinery on "
+    "the collapsed set, so near verification never re-scores exact "
+    "copies), (3) survivor remapping: an exact_dup follows its "
+    "canonical INTO that doc's near cluster, so every dropped doc "
+    "points at the one doc that actually survives the whole pass — "
+    "decision in {{kept, exact_dup, near_dup}}, survivor_id = self for "
+    "kept. This is the one-call corpus dedup a pipeline user runs; the "
+    "stages are the already-certified tier ops composed with their "
+    "costs intact (digest groupBy + banded equi-join + id-only CC "
+    "rounds; the full text never shuffles anywhere).",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01/0.1 (verify)
+)
+def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eurovision_spark.operators.imp_dedup import cc_edge_list
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", "text")
+    )
+    docs = (
+        base.unionByName(
+            base.select(
+                (F.col("doc_id") + NEAR_COPY_OFFSET).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" perturbed")).alias("text"),
+            )
+        )
+        .unionByName(
+            base.select(
+                (F.col("doc_id") + EXACT_COPY_OFFSET).alias("doc_id"), "text"
+            )
+        )
+    )
+    dig = docs.select("doc_id", "text", F.md5("text").alias("_d"))
+    canon = dig.groupBy("_d").agg(F.min("doc_id").alias("c"))
+    mapc = dig.join(canon, "_d").select("doc_id", "text", "c")
+    surv = mapc.filter(F.col("doc_id") == F.col("c")).select("doc_id", "text")
+    labels = cc_edge_list(verified_near_edges(surv), "doc_id_1", "doc_id_2")
+    lab = labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
+    lab_c = lab.select(F.col("doc_id").alias("c"), F.col("cluster_id").alias("c_cluster"))
+    return (
+        mapc.select("doc_id", "c")
+        .join(lab, "doc_id", "left")
+        .join(lab_c, "c", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") != F.col("c"), F.lit("exact_dup"))
+            .when(
+                F.col("cluster_id").isNotNull()
+                & (F.col("cluster_id") != F.col("doc_id")),
+                F.lit("near_dup"),
+            )
+            .otherwise(F.lit("kept"))
+            .alias("decision"),
+            F.when(
+                F.col("doc_id") != F.col("c"),
+                F.coalesce("c_cluster", F.col("c")),
+            )
+            .otherwise(F.coalesce("cluster_id", F.col("doc_id")))
+            .cast("bigint")
+            .alias("survivor_id"),
         )
     )

@@ -316,3 +316,27 @@ def test_semantic_dedup_drops_each_scaled_copy_against_its_original(spark):
     for d, r in dropped.items():
         assert r.keeper_id == d - PLANT_OFFSET
         assert abs(r.cos_sim - 1.0) < 1e-6
+
+
+def test_dedup_pipeline_provenance_is_transitive(spark):
+    """The composed pass must point every dropped doc at the doc that
+    actually survives the WHOLE pass: exact copies follow their
+    canonical into its near cluster, survivors are self-mapped and
+    'kept', and no survivor_id refers to a dropped doc."""
+    from eurovision_spark.operators.dedup import EXACT_COPY_OFFSET, NEAR_COPY_OFFSET
+
+    sf = "/root/testdata/sf0.001"
+    rows = registry()["dedup_pipeline"].fn(spark, sf).collect()
+    by_id = {r.doc_id: r for r in rows}
+    # every planted exact copy is dropped as exact_dup
+    exacts = [r for r in rows if r.doc_id >= EXACT_COPY_OFFSET]
+    assert exacts and all(r.decision == "exact_dup" for r in exacts)
+    # survivor chain terminates at a kept doc in ONE hop (transitivity)
+    for r in rows:
+        s = by_id[r.survivor_id]
+        assert s.decision == "kept", (r, s)
+        assert s.survivor_id == s.doc_id
+    # near copies whose original is kept must drop against that original
+    for r in rows:
+        if NEAR_COPY_OFFSET <= r.doc_id < EXACT_COPY_OFFSET and r.decision == "near_dup":
+            assert r.survivor_id < NEAR_COPY_OFFSET
