@@ -70,6 +70,7 @@ HEADLINE = [
     "semantic_dedup",
     "incremental_dedup",
     "dedup_pipeline",
+    "html_strip",
 ]
 
 

@@ -621,3 +621,108 @@ def prep_documents(d: DataFrame) -> DataFrame:
         "n_chunk_tokens",
         F.md5(F.col("chunk_text")).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML-to-text cleaning: the web-ingest stage before any text analysis
+# ---------------------------------------------------------------------------
+
+# planted markup (the corpus is markup-free word soup, so the planted
+# tags/entities are the only possible matches — same idiom as the PII
+# scrub): every doc wraps in a div carrying its id, even ids add a
+# paragraph pair, %5 == 0 ids carry two HTML entities.
+_TAG_RE = "<[^>]+>"
+_ENT_RE = "&(amp|lt|gt|quot|#39);"
+
+
+@register(
+    "html_strip",
+    f"""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE n_chars > 0),
+    markup AS (
+        SELECT doc_id,
+               '<div id="d' || CAST(doc_id AS VARCHAR) || '">'
+               || CASE WHEN doc_id % 2 = 0 THEN '<p>' || text || '</p>'
+                       ELSE text END
+               || CASE WHEN doc_id % 5 = 0 THEN ' &amp; friends &lt;3'
+                       ELSE '' END
+               || '</div>' AS html
+        FROM base),
+    stripped AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(html, '{_TAG_RE}')) AS BIGINT)
+                   AS n_tags,
+               CAST(len(regexp_extract_all(html, '{_ENT_RE}')) AS BIGINT)
+                   AS n_entities,
+               regexp_replace(html, '{_TAG_RE}', ' ', 'g') AS detagged
+        FROM markup)
+    SELECT doc_id, n_tags, n_entities,
+           trim(regexp_replace(
+               replace(replace(replace(replace(replace(detagged,
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&#39;', ''''), '&amp;', '&'),
+               '\\s+', ' ', 'g')) AS clean_text
+    FROM stripped
+    """,
+    "HTML-to-text cleaning — the web-ingest stage every crawled corpus "
+    "runs before tokenization/dedup/quality scoring: tag strip (tags "
+    "become whitespace so adjacent text never fuses), entity decode "
+    "(amp LAST, the standard order that never double-decodes "
+    "'&amp;lt;'), whitespace renormalize, plus per-doc removal counts "
+    "for pipeline monitoring. Planted-markup idiom: the corpus is "
+    "markup-free, so the deterministic planted tags and entities are "
+    "the only matches and the gate certifies real markup being "
+    "removed (clean_text round-trips to the original text — pinned in "
+    "tests/test_pipeline_ops.py). Pure per-row JVM regex/replace "
+    "expressions in the Java-regex/RE2 common subset: shuffle-free, "
+    "composes with readStream unchanged like the other prep stages.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01/0.1 (verify)
+)
+def html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", "text")
+    )
+    html = F.concat(
+        F.lit('<div id="d'),
+        F.col("doc_id").cast("string"),
+        F.lit('">'),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")),
+        ).otherwise(F.col("text")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" &amp; friends &lt;3")).otherwise(
+            F.lit("")
+        ),
+        F.lit("</div>"),
+    )
+    marked = base.select("doc_id", html.alias("html"))
+    detagged = F.regexp_replace("html", _TAG_RE, " ")
+    decoded = F.replace(
+        F.replace(
+            F.replace(
+                F.replace(
+                    F.replace(detagged, F.lit("&lt;"), F.lit("<")),
+                    F.lit("&gt;"),
+                    F.lit(">"),
+                ),
+                F.lit("&quot;"),
+                F.lit('"'),
+            ),
+            F.lit("&#39;"),
+            F.lit("'"),
+        ),
+        F.lit("&amp;"),
+        F.lit("&"),
+    )
+    return marked.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("html", F.lit(_TAG_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_tags"),
+        F.size(F.regexp_extract_all("html", F.lit(_ENT_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_entities"),
+        F.trim(F.regexp_replace(decoded, r"\s+", " ")).alias("clean_text"),
+    )

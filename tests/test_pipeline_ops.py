@@ -340,3 +340,32 @@ def test_dedup_pipeline_provenance_is_transitive(spark):
     for r in rows:
         if NEAR_COPY_OFFSET <= r.doc_id < EXACT_COPY_OFFSET and r.decision == "near_dup":
             assert r.survivor_id < NEAR_COPY_OFFSET
+
+
+def test_html_strip_roundtrips_to_original_text(spark):
+    """Stripping the planted markup must recover the original text
+    exactly (plus the decoded entity suffix on %5 docs), with tag and
+    entity counts matching the planting rule — certifying the cleaner
+    removes real markup rather than merely hash-matching."""
+    from pyspark.sql import functions as F
+
+    from eurovision_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    orig = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", "text")
+        .collect()
+    }
+    rows = {r.doc_id: r for r in registry()["html_strip"].fn(spark, sf).collect()}
+    assert set(rows) == set(orig)
+    import re
+
+    for doc_id, r in rows.items():
+        base = re.sub(r"\s+", " ", orig[doc_id]).strip()
+        expected = base + (" & friends <3" if doc_id % 5 == 0 else "")
+        assert r.clean_text == expected, doc_id
+        assert r.n_tags == (4 if doc_id % 2 == 0 else 2)
+        assert r.n_entities == (2 if doc_id % 5 == 0 else 0)
