@@ -995,3 +995,111 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("survivor_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH quality evaluation: measure banding recall/precision, don't guess
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "near_dup_eval",
+    MINHASH_SIG_SQL
+    + f"""
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id),
+    sets AS (SELECT doc_id, list_distinct({SH_SQL}) AS sh FROM docs),
+    scored AS (
+        SELECT d1, d2,
+               CASE WHEN d2 = d1 + {NEAR_COPY_OFFSET} THEN 1 ELSE 0 END
+                   AS is_planted,
+               CASE WHEN len(list_distinct(list_concat(s1.sh, s2.sh))) > 0
+                         AND CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+                             / len(list_distinct(list_concat(s1.sh, s2.sh)))
+                             >= {CLUSTER_JACCARD_T}
+                    THEN 1 ELSE 0 END AS is_verified
+        FROM cand
+        JOIN sets s1 ON s1.doc_id = cand.d1
+        JOIN sets s2 ON s2.doc_id = cand.d2),
+    pair_stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(sum(is_planted) AS BIGINT) AS n_planted_found,
+               CAST(sum(is_verified) AS BIGINT) AS n_verified
+        FROM scored),
+    eligible AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_eligible
+        FROM documents
+        WHERE n_chars > 0
+          AND len({TOKS_SQL}) >= 3)
+    SELECT n_eligible, n_candidates, n_planted_found, n_verified,
+           round(CAST(n_planted_found AS DOUBLE) / n_eligible, 6)
+               AS recall_planted,
+           round(CAST(n_verified AS DOUBLE) / n_candidates, 6)
+               AS precision_verified
+    FROM pair_stats CROSS JOIN eligible
+    """,
+    "LSH banding quality report — 'measure, don't guess' for the b x r "
+    "choice: over the planted-copy corpus, how many of the eligible "
+    "true near-dup pairs the 4x4 banding actually surfaces (recall vs "
+    "the planted ground truth) and what fraction of surfaced "
+    "candidates survive exact-Jaccard verification (precision — wasted "
+    "verification work when low). One aggregate row from one pass over "
+    "the candidate set; the per-pair scoring joins are the same "
+    "broadcast-candidates shape as verification itself. This is the "
+    "eval a production pipeline runs when tuning bands/rows per band "
+    "or the verify threshold; the pytest gate pins recall >= 0.95 "
+    "(tests/test_pipeline_ops.py, same bar the operators are held to).",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01/0.1 (verify)
+)
+def near_dup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = docs_with_copies(spark, sf_dir)
+    pairs = _lsh_candidate_pairs(_minhash_signatures(docs))
+    sets = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", tokens(F.lower(F.col("text"))).alias("_toks"))
+        .select("doc_id", F.array_distinct(shingles(F.col("_toks"))).alias("sh"))
+    )
+    s1 = sets.select(F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1"))
+    s2 = sets.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2"))
+    union_size = F.size(F.array_distinct(F.concat("sh1", "sh2")))
+    jac = F.size(F.array_intersect("sh1", "sh2")).cast("double") / union_size
+    scored = (
+        s1.join(F.broadcast(pairs), "doc_id_1")
+        .join(s2.hint("shuffle_hash"), "doc_id_2")
+        .select(
+            F.when(
+                F.col("doc_id_2") == F.col("doc_id_1") + NEAR_COPY_OFFSET, 1
+            )
+            .otherwise(0)
+            .alias("is_planted"),
+            F.when((union_size > 0) & (jac >= CLUSTER_JACCARD_T), 1)
+            .otherwise(0)
+            .alias("is_verified"),
+        )
+    )
+    pair_stats = scored.agg(
+        F.count("*").cast("bigint").alias("n_candidates"),
+        F.sum("is_planted").cast("bigint").alias("n_planted_found"),
+        F.sum("is_verified").cast("bigint").alias("n_verified"),
+    )
+    eligible = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .filter(F.size(tokens(F.lower(F.col("text")))) >= 3)
+        .agg(F.count("*").cast("bigint").alias("n_eligible"))
+    )
+    return pair_stats.crossJoin(eligible).select(
+        "n_eligible",
+        "n_candidates",
+        "n_planted_found",
+        "n_verified",
+        F.round(
+            F.col("n_planted_found").cast("double") / F.col("n_eligible"), 6
+        ).alias("recall_planted"),
+        F.round(
+            F.col("n_verified").cast("double") / F.col("n_candidates"), 6
+        ).alias("precision_verified"),
+    )

@@ -369,3 +369,16 @@ def test_html_strip_roundtrips_to_original_text(spark):
         assert r.clean_text == expected, doc_id
         assert r.n_tags == (4 if doc_id % 2 == 0 else 2)
         assert r.n_entities == (2 if doc_id % 5 == 0 else 0)
+
+
+def test_near_dup_eval_reports_high_recall(spark):
+    """The eval operator's own numbers must clear the recall bar the
+    operators are held to (>= 0.95 of eligible planted pairs surfaced)
+    and be internally consistent."""
+    sf = "/root/testdata/sf0.001"
+    [r] = registry()["near_dup_eval"].fn(spark, sf).collect()
+    assert r.n_eligible > 0 and r.n_candidates > 0
+    assert r.n_planted_found <= r.n_candidates
+    assert r.n_verified <= r.n_candidates
+    assert r.recall_planted >= 0.95
+    assert 0.0 <= r.precision_verified <= 1.0

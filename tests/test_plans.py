@@ -561,3 +561,70 @@ def test_rank_suite_single_exchange(spark):
     plan = plan_of(spark, "rank_suite")
     assert n_exchanges(plan) == 1
     assert plan.count("Window") >= 1
+
+
+def test_html_strip_is_shuffle_free(spark):
+    plan = plan_of(spark, "html_strip")
+    assert "Exchange" not in plan  # per-row regex/replace: linear scan at any scale
+
+
+@pytest.mark.parametrize(
+    "name", ["incremental_dedup", "minhash_cluster", "semantic_dedup", "dedup_pipeline"]
+)
+def test_dedup_tier_joins_stay_equi(spark, name):
+    """None of the dedup-tier plans may degrade to a cross product or a
+    nested-loop join: candidate generation is always an equi-join on a
+    signature/cell key (the property that keeps cost tracking true-dup
+    density instead of n² at 100 TB). semantic_dedup's one
+    BroadcastNestedLoopJoin is the single-ROW codebook broadcast, which
+    is size-O(k), not data-sized — a cartesian against actual data
+    never appears."""
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+    if name != "semantic_dedup":
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_signature_store_probe_is_exchange_free(spark, tmp_path):
+    """The incremental-dedup signature store, written bucketed on
+    band_sig, joins arriving band signatures with ZERO exchange on the
+    store side — the layout that makes the per-batch probe cost track
+    batch size at 100 TB (the arriving side is the only thing that
+    shuffles, and it is micro-batch sized)."""
+    from pyspark.sql import functions as F
+
+    from eurovision_spark.operators.dedup import (
+        _minhash_signatures,
+        banded_signatures,
+        docs_with_copies,
+    )
+    from eurovision_spark.sinks import write_bucketed
+
+    docs = docs_with_copies(spark, SF_DIR)
+    bands = banded_signatures(_minhash_signatures(docs))
+    write_bucketed(bands, "b_sigstore", "band_sig", 8, str(tmp_path / "store"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # the arriving micro-batch as a clean literal DF: the plan under
+        # test is the PROBE join, not the batch's own signature pipeline
+        sample = bands.limit(50).collect()
+        arriving = spark.createDataFrame(
+            [(r.doc_id, r.band_id, r.band_sig) for r in sample],
+            "inc_id bigint, i_band_id int, i_band_sig string",
+        )
+        j = spark.table("b_sigstore").join(
+            arriving, F.col("band_sig") == F.col("i_band_sig")
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # exactly the probe side exchanges; the store side scan is
+        # bucket-aligned (an all-sides-shuffle plan would show 2)
+        assert n_exchanges(plan) == 1
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_sigstore")
