@@ -71,6 +71,7 @@ HEADLINE = [
     "incremental_dedup",
     "dedup_pipeline",
     "html_strip",
+    "bpe_apply",
 ]
 
 

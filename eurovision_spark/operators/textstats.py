@@ -794,3 +794,174 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE subword tokenization: train merges on a bounded sample, apply at scale
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 24
+BPE_SAMPLE = 512  # training docs (bounded driver transfer, like the IVF codebook)
+BPE_MARK = "·"  # symbol-start marker: anchors merge patterns to boundaries
+_BPE_ORDER_SQL = md5_long_sql("concat('bpe-', CAST(doc_id AS VARCHAR))") + ", doc_id"
+
+
+def _train_bpe_merges(texts: list[str], n_merges: int = BPE_MERGES) -> list[tuple[str, str]]:
+    """Deterministic byte-pair-encoding training on a word-count sample:
+    greedy most-frequent adjacent symbol pair, ties broken by the
+    lexicographically smallest pair, merged left-to-right non-overlapping
+    — exactly the semantics of chained ``replace`` on space-separated
+    symbols, so the distributed APPLY step can be a pure expression
+    chain. Shared by the Spark query and the DuckDB oracle builder, so
+    the merge list is identical by construction."""
+    from collections import Counter
+
+    wc: Counter = Counter()
+    for t in texts:
+        for w in t.strip().lower().split():
+            wc[w] += 1
+    syms = {w: tuple(w) for w in wc}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for w, c in wc.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        a, b = best
+        merges.append((a, b))
+        new = a + b
+        for w, s in syms.items():
+            out: list[str] = []
+            i = 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(new)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = tuple(out)
+    return merges
+
+
+def _bpe_sample_texts(sf_dir: str) -> list[str]:
+    """The deterministic md5-ordered training sample, read with DuckDB
+    (driver-side, bounded) — the oracle builder's path; the Spark query
+    collects the SAME rows via TakeOrdered."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT text FROM read_parquet('{sf_dir}/documents.parquet')
+        WHERE n_chars > 0
+        ORDER BY {_BPE_ORDER_SQL}
+        LIMIT {BPE_SAMPLE}
+        """
+    ).fetchall()
+    con.close()
+    return [r[0] for r in rows]
+
+
+def _bpe_oracle(sf_dir: str) -> str:
+    merges = _train_bpe_merges(_bpe_sample_texts(sf_dir))
+    # symbol-start markers make the merge pattern boundary-exact: the
+    # pattern '·a ·b' can only match symbol "a" followed by symbol "b"
+    # (an unmarked 'a b' pattern would also match the SUFFIX of a longer
+    # first symbol, e.g. "xa b", silently merging across a symbol
+    # boundary — wrong in both engines identically, i.e. invisible to
+    # the hash gate; the marker removes the failure mode instead of
+    # hiding it)
+    chain = f"trim(regexp_replace(w, '(.)', '{BPE_MARK}\\1 ', 'g'))"
+    for a, b in merges:
+        pa = (BPE_MARK + a + " " + BPE_MARK + b).replace("'", "''")
+        pm = (BPE_MARK + a + b).replace("'", "''")
+        chain = f"replace({chain}, '{pa}', '{pm}')"
+    return f"""
+    WITH base AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents WHERE n_chars > 0),
+    b AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(toks, w -> len(w))) AS BIGINT)
+                   AS n_chars_tok,
+               CAST(list_sum(list_transform(toks,
+                   w -> len(string_split({chain}, ' ')))) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM base)
+    SELECT doc_id, n_words, n_chars_tok, n_bpe_tokens,
+           round(CAST(n_chars_tok AS DOUBLE) / n_bpe_tokens, 6) AS compression
+    FROM b
+    """
+
+
+@register(
+    "bpe_apply",
+    _bpe_oracle,
+    "REAL byte-pair encoding at corpus scale — train on a sample, apply "
+    "everywhere, no Python in the hot path: merges are learned "
+    "driver-side from a bounded md5-ordered sample (512 docs, the IVF-"
+    "codebook idiom — never a corpus collect) by deterministic greedy "
+    "BPE (ties -> lexicographically smallest pair), then APPLIED "
+    "distributed as a fixed chain of literal ``replace`` expressions "
+    "over space-separated symbols — the classic equivalence that turns "
+    "subword tokenization into whole-stage-codegen string ops (each "
+    "merge 'a b'->'ab' on the spaced form IS the left-to-right non-"
+    "overlapping BPE merge). Per doc: word count, character count, "
+    "post-BPE token count, chars-per-token compression — the fertility "
+    "numbers a tokenizer owner watches per corpus slice. The oracle "
+    "builder trains the SAME merges (shared Python helper, identical "
+    "sample order) and inlines them as a replace chain; pinned against "
+    "a pure-Python BPE reimplementation in tests/test_pipeline_ops.py.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01/0.1 (verify)
+)
+def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    sample_key = md5_long(F.concat(F.lit("bpe-"), F.col("doc_id").cast("string")))
+    sample = (
+        d.orderBy(sample_key.asc(), F.col("doc_id").asc())
+        .limit(BPE_SAMPLE)
+        .select("text")
+        .collect()
+    )
+    merges = _train_bpe_merges([r.text for r in sample])
+
+    def apply_merges(w):  # Column -> Column, plan-time fixed replace chain
+        # symbol-start markers anchor each pattern to symbol boundaries
+        # (see the oracle builder comment for the failure mode they fix)
+        expr = F.trim(F.regexp_replace(w, "(.)", f"{BPE_MARK}$1 "))
+        for a, b in merges:
+            expr = F.replace(
+                expr,
+                F.lit(f"{BPE_MARK}{a} {BPE_MARK}{b}"),
+                F.lit(f"{BPE_MARK}{a}{b}"),
+            )
+        return expr
+
+    toked = d.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("_toks")
+    )
+    n_chars_tok = F.aggregate(
+        F.transform(F.col("_toks"), lambda w: F.length(w)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    n_bpe = F.aggregate(
+        F.transform(F.col("_toks"), lambda w: F.size(F.split(apply_merges(w), " "))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return toked.select(
+        "doc_id",
+        F.size("_toks").cast("bigint").alias("n_words"),
+        n_chars_tok.cast("bigint").alias("n_chars_tok"),
+        n_bpe.cast("bigint").alias("n_bpe_tokens"),
+        F.round(
+            n_chars_tok.cast("double") / n_bpe.cast("double"), 6
+        ).alias("compression"),
+    )

@@ -382,3 +382,54 @@ def test_near_dup_eval_reports_high_recall(spark):
     assert r.n_verified <= r.n_candidates
     assert r.recall_planted >= 0.95
     assert 0.0 <= r.precision_verified <= 1.0
+
+
+def test_bpe_apply_matches_python_reimplementation(spark):
+    """The distributed replace-chain BPE must agree with an independent
+    symbol-LIST reimplementation of left-to-right non-overlapping
+    merging — this is what the boundary markers guarantee (an unmarked
+    replace chain merges across symbol boundaries and diverges here
+    while still hash-matching its equally-wrong oracle)."""
+    from eurovision_spark.operators.textstats import (
+        BPE_MERGES,
+        _bpe_sample_texts,
+        _train_bpe_merges,
+    )
+    from eurovision_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    merges = _train_bpe_merges(_bpe_sample_texts(sf))
+    assert len(merges) == BPE_MERGES
+
+    def py_word_tokens(word: str) -> int:
+        s: list[str] = list(word)
+        for a, b in merges:
+            out: list[str] = []
+            i = 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return len(s)
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf, "documents")
+        .filter("n_chars > 0")
+        .limit(40)
+        .collect()
+    }
+    rows = {r.doc_id: r for r in registry()["bpe_apply"].fn(spark, sf).collect()}
+    for doc_id, text in texts.items():
+        words = text.strip().lower().split()
+        expected = sum(py_word_tokens(w) for w in words)
+        r = rows[doc_id]
+        assert r.n_bpe_tokens == expected, doc_id
+        assert r.n_words == len(words)
+        assert r.n_chars_tok == sum(len(w) for w in words)
+        # merges actually fire: compression must exceed 1 somewhere
+    assert any(r.n_bpe_tokens < r.n_chars_tok for r in rows.values())
