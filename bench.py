@@ -72,6 +72,7 @@ HEADLINE = [
     "dedup_pipeline",
     "html_strip",
     "bpe_apply",
+    "cosine_pq",
 ]
 
 

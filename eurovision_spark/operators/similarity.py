@@ -777,3 +777,222 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_id_1").cast("bigint").alias("keeper_id"),
         F.round(F.min_by("cos", "vec_id_1"), 6).alias("cos_sim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: 8-byte codes instead of 512-byte vectors
+# ---------------------------------------------------------------------------
+
+PQ_SUBSPACES = 8  # 64 dims -> 8 subvectors of 8
+PQ_K = 16  # centroids per subspace codebook -> one code fits 4 bits
+PQ_DIM = 64
+
+
+def _lloyd_plain(mat, k: int, iters: int = 8) -> list[list[float]]:
+    """Deterministic PLAIN k-means (euclidean, no normalization — PQ
+    quantizes magnitudes too, unlike the spherical IVF codebook): fixed
+    iteration count, argmin ties to the lowest index, per-step rounding
+    for bit-stability. Returns <= k centroids rounded to 9 decimals."""
+    import numpy as np
+
+    x = np.asarray(mat, dtype=np.float64)
+    k = min(k, len(x))
+    c = x[:k].copy()
+    for _ in range(iters):
+        d2 = np.round(((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2), 9)
+        assign = np.argmin(d2, axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                c[j] = np.round(members.mean(axis=0), 12)
+    return [[float(v) for v in row] for row in np.round(c, 9)]
+
+
+def pq_codebooks(sf_dir: str) -> list[list[list[float]]]:
+    """Per-subspace PQ codebooks from the SAME deterministic md5-ordered
+    sample as the IVF codebook (bounded driver transfer): codebook[j] is
+    the PQ_K x (PQ_DIM/PQ_SUBSPACES) centroid list for subspace j."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT embedding::DOUBLE[] AS v
+        FROM read_parquet('{sf_dir}/embeddings.parquet')
+        WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+        ORDER BY {_SAMPLE_ORDER_SQL}
+        LIMIT {IVF_SAMPLE}
+        """
+    ).fetchall()
+    con.close()
+    sub = PQ_DIM // PQ_SUBSPACES
+    mats = [[r[0][j * sub : (j + 1) * sub] for r in rows] for j in range(PQ_SUBSPACES)]
+    return [_lloyd_plain(m, PQ_K) for m in mats]
+
+
+def _pq_oracle(sf_dir: str) -> str:
+    books = pq_codebooks(sf_dir)
+    sub = PQ_DIM // PQ_SUBSPACES
+    values = ",\n          ".join(
+        f"({j}, {c}, [{', '.join(repr(v) for v in row)}]::DOUBLE[])"
+        for j, book in enumerate(books)
+        for c, row in enumerate(book)
+    )
+    subv = f"v[{{lo}}:{{hi}}]"  # noqa: F541 — template, formatted below
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+    cents(sub_id, code, cv) AS (VALUES {values}),
+    subvecs AS (
+        SELECT vec_id, s.sub_id,
+               v[s.sub_id * {sub} + 1 : s.sub_id * {sub} + {sub}] AS sv
+        FROM e CROSS JOIN (SELECT unnest(generate_series(0, {PQ_SUBSPACES - 1}))
+                           AS sub_id) s),
+    assigned AS (
+        SELECT vec_id, subvecs.sub_id AS sub_id, code,
+               row_number() OVER (
+                   PARTITION BY vec_id, subvecs.sub_id
+                   ORDER BY list_sum(list_transform(
+                       list_zip(sv, cv),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
+                   code) AS rn
+        FROM subvecs JOIN cents ON cents.sub_id = subvecs.sub_id),
+    codes AS (SELECT vec_id, sub_id, code FROM assigned WHERE rn = 1),
+    probes AS (SELECT vec_id AS probe_id, v AS pv FROM e
+               WHERE vec_id % {PROBE_MOD} = 0),
+    -- ADC tables: probe-subvector . centroid, per (probe, sub, code)
+    adc AS (
+        SELECT p.probe_id, c.sub_id, c.code,
+               list_dot_product(
+                   pv[c.sub_id * {sub} + 1 : c.sub_id * {sub} + {sub}], c.cv)
+                   AS part
+        FROM probes p CROSS JOIN cents c),
+    scored AS (
+        SELECT a.probe_id, s.vec_id AS neighbor_id, sum(a.part) AS adc_dot
+        FROM codes s
+        JOIN adc a ON a.sub_id = s.sub_id AND a.code = s.code
+        WHERE s.vec_id <> a.probe_id
+        GROUP BY a.probe_id, s.vec_id),
+    ranked AS (
+        SELECT probe_id, neighbor_id, adc_dot,
+               row_number() OVER (
+                   PARTITION BY probe_id
+                   ORDER BY round(adc_dot, 6) DESC, neighbor_id) AS rn
+        FROM scored)
+    SELECT probe_id, neighbor_id, round(adc_dot, 6) AS adc_dot
+    FROM ranked WHERE rn <= {TOP_K}
+    """
+
+
+@register(
+    "cosine_pq",
+    _pq_oracle,
+    "product-quantization ANN — the MEMORY axis of vector search at "
+    "100 TB: each 64-dim float vector compresses to 8 four-bit codes "
+    "(one per 8-dim subspace, 16-centroid plain-k-means codebook "
+    "trained on the same bounded md5-ordered sample as the IVF "
+    "codebook), so the searchable index is ~64x smaller than the raw "
+    "vectors and a 'full scan' touches codes, never vectors. Encoding "
+    "is a per-row higher-order argmin over the broadcast codebook "
+    "(one array row, no shuffle); search is asymmetric distance "
+    "computation: each probe precomputes its 8x16 dot table once, "
+    "every candidate scores as 8 table lookups summed in subspace "
+    "order (deterministic float fold), top-5 per probe via "
+    "row_number. Ranking is on the ROUNDED score with a neighbor-id "
+    "tie-break so quantization-identical candidates order identically "
+    "in both engines. Recall vs exact cosine gated in "
+    "tests/test_similarity_recall.py.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01/0.1 (verify)
+)
+def cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sub = PQ_DIM // PQ_SUBSPACES
+    raw = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .filter(l2norm(F.col("v")) > 0)
+    )
+    cent_key = md5_long(F.concat(F.lit("cent-"), F.col("vec_id").cast("string")))
+    sample = (
+        raw.orderBy(cent_key.asc(), F.col("vec_id").asc())
+        .limit(IVF_SAMPLE)
+        .select("v")
+        .collect()
+    )
+    mats = [
+        [r.v[j * sub : (j + 1) * sub] for r in sample] for j in range(PQ_SUBSPACES)
+    ]
+    books = [_lloyd_plain(m, PQ_K) for m in mats]
+    # ONE broadcast row: books as array<array<array<double>>> (sub->code->dims)
+    books_df = spark.createDataFrame(
+        [(books,)], "books array<array<array<double>>>"
+    )
+    e = (
+        raw.repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(F.broadcast(books_df))
+    )
+    # encode: codes[j] = argmin_c sum((v_sub - cent)^2), ties -> lowest code
+    def sq_dist(j, c):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col("v"), j * sub + 1, sub),
+                c,
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    codes_arr = F.transform(
+        F.col("books"),
+        lambda book, j: (
+            -F.array_max(
+                F.transform(
+                    book,
+                    lambda c, ci: F.struct(
+                        (-F.round(sq_dist(j, c), 9)).alias("neg_d"),
+                        (-ci).alias("neg_code"),
+                    ),
+                )
+            ).neg_code
+        ).cast("int"),
+    )
+    encoded = e.select("vec_id", "v", codes_arr.alias("codes"))
+    # probes: per-probe ADC table as array[sub][code] of partial dots
+    table_arr = F.transform(
+        F.col("books"),
+        lambda book, j: F.transform(
+            book,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("v"), j * sub + 1, sub), c, lambda x, y: x * y
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        ),
+    )
+    probes = e.filter(F.col("vec_id") % PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"), table_arr.alias("tbl")
+    )
+    # ADC score: sum over subspaces of tbl[j][codes[j]] in subspace order
+    pair = encoded.select("vec_id", "codes").crossJoin(F.broadcast(probes))
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("tbl"),
+            F.col("codes"),
+            lambda t, c: F.element_at(t, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = pair.filter(F.col("vec_id") != F.col("probe_id")).select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(adc, 6).alias("adc_dot"),
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("adc_dot").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("probe_id", "neighbor_id", "adc_dot")
+    )

@@ -123,3 +123,21 @@ def test_near_dup_two_band_path_finds_planted_pairs(spark, monkeypatch):
     planted = {p for p in two if p[1] == p[0] + sim.PLANT_OFFSET}
     assert len(planted) == n_vecs  # every planted copy found
     assert set(two) >= single  # OR semantics only add
+
+
+def test_pq_adc_recall_beats_chance_and_compresses(spark):
+    """PQ trades exactness for a ~64x smaller index; the ADC top-5 must
+    still land well above the random-candidate rate (5/n ~ 0.01 here)
+    — quantization preserves coarse geometry even on isotropic
+    vectors. Also pins the compression arithmetic the operator claims:
+    8 subspace codes of 4 bits vs 64 float64 dims."""
+    exact = _neighbor_sets(registry()["cosine_topk"].fn(spark, SF_DIR))
+    pq = _neighbor_sets(registry()["cosine_pq"].fn(spark, SF_DIR))
+    assert set(pq) == set(exact)
+    r = _recall(exact, pq)
+    assert r >= 0.3, f"PQ ADC recall degraded to {r}"
+    from eurovision_spark.operators.similarity import PQ_DIM, PQ_K, PQ_SUBSPACES
+
+    code_bits = PQ_SUBSPACES * max(PQ_K - 1, 1).bit_length()
+    raw_bits = PQ_DIM * 64
+    assert raw_bits / code_bits >= 64
