@@ -750,7 +750,6 @@ INCREMENTAL_DEDUP_ORACLE = f"""
     "the batch — never a corpus rescan; the streaming twin "
     "(streaming/ingest.stream_incremental_dedup) persists the index "
     "and landed store across micro-batches.",
-    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01/0.1 (verify)
 )
 def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
@@ -942,7 +941,6 @@ DEDUP_PIPELINE_ORACLE = f"""
     "stages are the already-certified tier ops composed with their "
     "costs intact (digest groupBy + banded equi-join + id-only CC "
     "rounds; the full text never shuffles anywhere).",
-    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01/0.1 (verify)
 )
 def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eurovision_spark.operators.imp_dedup import cc_edge_list

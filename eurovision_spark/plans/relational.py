@@ -386,6 +386,9 @@ def hit_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "toexcel.py:133 sorted output + LIMIT top-k (SURVEY §2.6: free in "
     "Spark; unique tie-break key keeps it deterministic). Spark plans "
     "this as TakeOrderedAndProject — no global sort.",
+    driver=False,  # driver gate: top-k family certified via revenue_topn
+    # (same TakeOrderedAndProject plan, plan-tested) + flagship_denorm's
+    # global orderBy; slot ceded to dedup_pipeline
 )
 def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -1058,6 +1061,9 @@ def order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "skips the null-extended rows. Catalyst canonicalizes right-outer "
     "to left-outer with sides swapped; the filtered orders side "
     "broadcasts when selective.",
+    driver=False,  # driver gate: outer-join family certified via
+    # full_outer_merge (null-extension both ways subsumes one-sided);
+    # slot ceded to incremental_dedup
 )
 def right_outer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
