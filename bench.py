@@ -73,6 +73,7 @@ HEADLINE = [
     "html_strip",
     "bpe_apply",
     "cosine_pq",
+    "cosine_ivfpq",
 ]
 
 

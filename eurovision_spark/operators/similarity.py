@@ -996,3 +996,231 @@ def cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("probe_id", "neighbor_id", "adc_dot")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ: coarse cells restrict candidates, codes score them
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_oracle(sf_dir: str) -> str:
+    cents = ivf_codebook(sf_dir)
+    books = pq_codebooks(sf_dir)
+    sub = PQ_DIM // PQ_SUBSPACES
+    ivf_values = ",\n          ".join(
+        f"({i}, [{', '.join(repr(v) for v in row)}]::DOUBLE[])"
+        for i, row in enumerate(cents)
+    )
+    pq_values = ",\n          ".join(
+        f"({j}, {c}, [{', '.join(repr(v) for v in row)}]::DOUBLE[])"
+        for j, book in enumerate(books)
+        for c, row in enumerate(book)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nv
+               FROM embeddings
+               WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+    cent_vals(cent_id, cv) AS (VALUES {ivf_values}),
+    cents AS (SELECT cent_id, cv, sqrt(list_dot_product(cv, cv)) AS ncv
+              FROM cent_vals),
+    assigned AS (
+        SELECT e.vec_id, e.v, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.cv) / (e.nv * c.ncv) DESC,
+                            c.cent_id) AS rn
+        FROM e CROSS JOIN cents c),
+    cells AS (SELECT vec_id, v, cent_id FROM assigned WHERE rn = 1),
+    pq_cents(sub_id, code, pcv) AS (VALUES {pq_values}),
+    subvecs AS (
+        SELECT vec_id, s.sub_id,
+               v[s.sub_id * {sub} + 1 : s.sub_id * {sub} + {sub}] AS sv
+        FROM cells CROSS JOIN (SELECT unnest(generate_series(0, {PQ_SUBSPACES - 1}))
+                               AS sub_id) s),
+    code_assigned AS (
+        SELECT vec_id, subvecs.sub_id AS sub_id, code,
+               row_number() OVER (
+                   PARTITION BY vec_id, subvecs.sub_id
+                   ORDER BY list_sum(list_transform(
+                       list_zip(sv, pcv),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
+                   code) AS rn
+        FROM subvecs JOIN pq_cents ON pq_cents.sub_id = subvecs.sub_id),
+    codes AS (SELECT vec_id, sub_id, code FROM code_assigned WHERE rn = 1),
+    probe_cells AS (
+        SELECT vec_id AS probe_id, v AS pv, cent_id
+        FROM assigned WHERE vec_id % {PROBE_MOD} = 0 AND rn <= {N_PROBE}),
+    adc AS (
+        SELECT p.probe_id, c.sub_id, c.code,
+               list_dot_product(
+                   pv[c.sub_id * {sub} + 1 : c.sub_id * {sub} + {sub}], c.pcv)
+                   AS part
+        FROM (SELECT DISTINCT probe_id, pv FROM probe_cells) p
+        CROSS JOIN pq_cents c),
+    cand AS (
+        SELECT DISTINCT p.probe_id, s.vec_id AS neighbor_id
+        FROM probe_cells p JOIN cells s
+          ON s.cent_id = p.cent_id AND s.vec_id <> p.probe_id),
+    scored AS (
+        SELECT c.probe_id, c.neighbor_id, sum(a.part) AS adc_dot
+        FROM cand c
+        JOIN codes k ON k.vec_id = c.neighbor_id
+        JOIN adc a ON a.probe_id = c.probe_id
+               AND a.sub_id = k.sub_id AND a.code = k.code
+        GROUP BY c.probe_id, c.neighbor_id),
+    ranked AS (
+        SELECT probe_id, neighbor_id, adc_dot,
+               row_number() OVER (
+                   PARTITION BY probe_id
+                   ORDER BY round(adc_dot, 6) DESC, neighbor_id) AS rn
+        FROM scored)
+    SELECT probe_id, neighbor_id, round(adc_dot, 6) AS adc_dot
+    FROM ranked WHERE rn <= {TOP_K}
+    """
+
+
+@register(
+    "cosine_ivfpq",
+    _ivfpq_oracle,
+    "IVF+PQ — the production ANN pairing, composed from the two "
+    "already-certified quantizers: the spherical IVF codebook restricts "
+    "each probe's candidates to its top-8 cells (cosine_ivf's coarse "
+    "stage — an equi-join on cent_id, ~nprobe/k of the corpus per "
+    "probe), and PQ asymmetric-distance tables score those candidates "
+    "from 8 four-bit codes (cosine_pq's fine stage — the index stays "
+    "~64x smaller than raw vectors). Compute cost tracks the IVF "
+    "candidate count; memory cost tracks the PQ code size: at 100 TB "
+    "the inverted lists hold codes, vectors exist only at the encode "
+    "edge. Non-residual variant (codes quantize the vectors, not "
+    "cell residuals), stated honestly — residual PQ would lift recall "
+    "further at the same layout. Both codebooks come from the same "
+    "bounded md5-ordered sample; the oracle inlines both literal sets.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01/0.1 (verify)
+)
+def cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sub = PQ_DIM // PQ_SUBSPACES
+    raw = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .filter(l2norm(F.col("v")) > 0)
+    )
+    cent_key = md5_long(F.concat(F.lit("cent-"), F.col("vec_id").cast("string")))
+    sample = (
+        raw.orderBy(cent_key.asc(), F.col("vec_id").asc())
+        .limit(IVF_SAMPLE)
+        .select("v")
+        .collect()
+    )
+    codebook = _lloyd([r.v for r in sample])
+    books = [
+        _lloyd_plain([r.v[j * sub : (j + 1) * sub] for r in sample], PQ_K)
+        for j in range(PQ_SUBSPACES)
+    ]
+    cents = spark.createDataFrame(
+        [(i, row) for i, row in enumerate(codebook)],
+        "cent_id bigint, cv array<double>",
+    ).withColumn("ncv", l2norm(F.col("cv")))
+    cent_row = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "cv", "ncv"))).alias("cents")
+    )
+    books_df = spark.createDataFrame([(books,)], "books array<array<array<double>>>")
+    e = (
+        raw.repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("nv", l2norm(F.col("v")))
+        .crossJoin(F.broadcast(cent_row))
+        .crossJoin(F.broadcast(books_df))
+    )
+    sims = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (dot(F.col("v"), c.cv) / (F.col("nv") * c.ncv)).alias("sim"),
+            (-c.cent_id).alias("neg_cent"),
+        ),
+    )
+    best = F.array_max(sims)
+
+    def sq_dist(j, c):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col("v"), j * sub + 1, sub),
+                c,
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    codes_arr = F.transform(
+        F.col("books"),
+        lambda book, j: (
+            -F.array_max(
+                F.transform(
+                    book,
+                    lambda c, ci: F.struct(
+                        (-F.round(sq_dist(j, c), 9)).alias("neg_d"),
+                        (-ci).alias("neg_code"),
+                    ),
+                )
+            ).neg_code
+        ).cast("int"),
+    )
+    cells = e.select(
+        "vec_id",
+        (-best.neg_cent).cast("bigint").alias("cent_id"),
+        codes_arr.alias("codes"),
+    )
+    table_arr = F.transform(
+        F.col("books"),
+        lambda book, j: F.transform(
+            book,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("v"), j * sub + 1, sub), c, lambda x, y: x * y
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        ),
+    )
+    top_cells = F.slice(
+        F.array_sort(sims),
+        -F.least(F.lit(N_PROBE), F.size(sims)),
+        F.lit(N_PROBE),
+    )
+    probes = (
+        e.filter(F.col("vec_id") % PROBE_MOD == 0)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            table_arr.alias("tbl"),
+            F.explode(top_cells).alias("pc"),
+        )
+        .select(
+            "probe_id", "tbl", (-F.col("pc.neg_cent")).cast("bigint").alias("cent_id")
+        )
+    )
+    adc = F.aggregate(
+        F.zip_with(F.col("tbl"), F.col("codes"), lambda t, c: F.element_at(t, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cells.join(
+            F.broadcast(probes),
+            (cells.cent_id == probes.cent_id) & (F.col("vec_id") != F.col("probe_id")),
+        )
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(adc, 6).alias("adc_dot"),
+        )
+        # no dedup needed: every vector lives in exactly ONE cell
+        # (rn = 1 assignment), so a (probe, neighbor) pair matches at
+        # most once even with nprobe cells exploded on the probe side
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("adc_dot").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("probe_id", "neighbor_id", "adc_dot")
+    )

@@ -141,3 +141,17 @@ def test_pq_adc_recall_beats_chance_and_compresses(spark):
     code_bits = PQ_SUBSPACES * max(PQ_K - 1, 1).bit_length()
     raw_bits = PQ_DIM * 64
     assert raw_bits / code_bits >= 64
+
+
+def test_ivfpq_recall_tracks_ivf_within_quantization_loss(spark):
+    """IVF+PQ searches the same candidate cells as IVF but scores from
+    4-bit codes; recall may drop vs full-precision IVF but must stay
+    above half of it and well above the sampling rate — quantization
+    noise, not candidate starvation, is the only extra loss."""
+    exact = _neighbor_sets(registry()["cosine_topk"].fn(spark, SF_DIR))
+    ivf = _neighbor_sets(registry()["cosine_ivf"].fn(spark, SF_DIR))
+    ivfpq = _neighbor_sets(registry()["cosine_ivfpq"].fn(spark, SF_DIR))
+    r_ivf = _recall(exact, ivf)
+    r_ivfpq = _recall(exact, ivfpq)
+    assert r_ivfpq >= r_ivf / 2, (r_ivf, r_ivfpq)
+    assert r_ivfpq >= 0.1
