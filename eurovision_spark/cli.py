@@ -104,6 +104,22 @@ def _cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_explain(args: argparse.Namespace) -> int:
+    """Plan inspection for any catalog query — the .explain("formatted")
+    loop the engine's own plan tests run, exposed to users so a slow
+    query's shuffle/broadcast structure is one command away."""
+    from eurovision_spark import get_spark
+    from eurovision_spark.catalog import registry
+
+    specs = registry()
+    if args.name not in specs:
+        print(f"unknown query {args.name!r}; available: {', '.join(sorted(specs))}")
+        return 2
+    spark = get_spark("eurovision-explain")
+    specs[args.name].fn(spark, args.sf_dir).explain(args.mode)
+    return 0
+
+
 def _cmd_list(args: argparse.Namespace) -> int:
     """Catalog discovery: every runnable query with its first doc
     sentence — no SparkSession needed (the registry is plain Python
@@ -181,6 +197,16 @@ def main(argv: list[str] | None = None) -> int:
     pq_.add_argument("--out", default=None, help="write result (.csv => CSV, else parquet)")
     pq_.add_argument("--limit", type=int, default=20, help="rows to show when not writing")
     pq_.set_defaults(fn=_cmd_query)
+
+    px = sub.add_parser("explain", help="print a catalog query's physical plan")
+    px.add_argument("name", help="catalog query name (see COVERAGE.md)")
+    px.add_argument("--sf-dir", default=default_sf, help="tables dir (parquet star schema)")
+    px.add_argument(
+        "--mode", default="formatted",
+        choices=["simple", "extended", "codegen", "cost", "formatted"],
+        help="explain mode (default: formatted)",
+    )
+    px.set_defaults(fn=_cmd_explain)
 
     pl = sub.add_parser("list", help="list catalog queries (name + one-liner)")
     pl.add_argument("--filter", default=None, help="substring filter on the name")

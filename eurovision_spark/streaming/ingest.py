@@ -616,3 +616,101 @@ def stream_incremental_dedup(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def stream_vector_dedup(
+    spark: SparkSession,
+    vecs_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Vector-modality twin of ``stream_incremental_dedup``: embedding
+    micro-batches dedupe against a GROWING landed vector store before
+    landing. Candidates come from the sign-hyperplane LSH bucket
+    (similarity._sign_bucket — scale-invariant, so a rescaled copy of a
+    landed vector shares its bucket exactly), verified by exact cosine
+    >= the near-dup threshold; decisions and survivors go through the
+    same first-wins keyed upserts, so replayed batches change nothing.
+
+    The landed store carries (vec_id, v, bucket): the bucket column is
+    the store's probe key — at scale a bucket-partitioned table, so the
+    per-batch candidate join touches only matching buckets, never the
+    corpus. Single-bucket probing is the deliberately-cheap intake
+    variant; batch-side semantic_dedup (k-means cells) is the deep
+    sweep."""
+    import os
+
+    from eurovision_spark.operators.similarity import (
+        N_PLANES,
+        NEAR_DUP_THRESHOLD,
+        _sign_bucket,
+        as_double,
+        dot,
+        l2norm,
+    )
+    from eurovision_spark.sinks import upsert_parquet
+
+    landed_dir = os.path.join(store_dir, "landed")
+    decisions_dir = os.path.join(store_dir, "decisions")
+    schema = spark.read.parquet(vecs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(vecs_dir)
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .filter(l2norm(F.col("v")) > 0)
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = batch_df.withColumn("nv", l2norm(F.col("v"))).withColumn(
+            "bucket", _sign_bucket(F.col("v"), range(N_PLANES))
+        )
+        if not os.path.exists(landed_dir):
+            ex = spark.createDataFrame(
+                [], "vec_id bigint, v array<double>, nv double, bucket bigint"
+            )
+        else:
+            ex = spark.read.parquet(landed_dir)
+        cand = batch.select("vec_id", "v", "nv", "bucket").join(
+            ex.select(
+                F.col("vec_id").alias("ex_id"),
+                F.col("v").alias("ev"),
+                F.col("nv").alias("en"),
+                "bucket",
+            ),
+            "bucket",
+        )
+        cos = dot(F.col("v"), F.col("ev")) / (F.col("nv") * F.col("en"))
+        near = (
+            cand.filter(cos >= NEAR_DUP_THRESHOLD)
+            .groupBy("vec_id")
+            .agg(F.min("ex_id").alias("matched_id"))
+        )
+        decisions = (
+            batch.select("vec_id")
+            .join(near, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.when(F.col("matched_id").isNotNull(), F.lit("near_dup"))
+                .otherwise(F.lit("new"))
+                .alias("decision"),
+                F.col("matched_id").cast("bigint"),
+            )
+        )
+        # decisions first, survivors from the decisions STORE — same
+        # ordering constraint as stream_incremental_dedup (rewriting
+        # landed first would invalidate the in-flight plan's file
+        # listing and re-decide the batch against itself)
+        upsert_parquet(decisions, decisions_dir, ["vec_id"], keep="existing")
+        survivors = batch.select("vec_id", "v", "nv", "bucket").join(
+            spark.read.parquet(decisions_dir)
+            .filter(F.col("decision") == "new")
+            .select("vec_id"),
+            "vec_id",
+        )
+        upsert_parquet(survivors, landed_dir, ["vec_id"], keep="existing")
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

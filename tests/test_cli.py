@@ -115,3 +115,17 @@ def test_cli_list_enumerates_catalog(capsys):
     assert main(["list", "--filter", "pii"]) == 0
     out = capsys.readouterr().out
     assert "pii_redact" in out and "dedup_exact" not in out
+
+
+def test_cli_explain_prints_physical_plan(spark, capsys):
+    rc = main(["explain", "token_stats", "--sf-dir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "Scan parquet" in out
+    # the shuffle-free claim is visible right in the CLI output
+    assert "Exchange" not in out
+
+
+def test_cli_explain_unknown_name(capsys):
+    rc = main(["explain", "nope", "--sf-dir", "/root/testdata/sf0.001"])
+    assert rc == 2

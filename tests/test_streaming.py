@@ -661,3 +661,51 @@ def test_stream_incremental_dedup_probes_growing_store(spark, tmp_path):
     # replay added no duplicate rows anywhere
     assert spark.read.parquet(str(store / "landed")).count() == 3
     assert spark.read.parquet(str(store / "decisions")).count() == 5
+
+
+def test_stream_vector_dedup_probes_growing_store(spark, tmp_path):
+    """Vector-modality intake dedup: a later wave's rescaled copy of a
+    landed vector must be rejected (sign buckets are scale-invariant,
+    cosine = 1), a genuinely new vector must land, and replay changes
+    nothing."""
+    import shutil
+
+    from eurovision_spark.streaming.ingest import stream_vector_dedup
+
+    vecs_dir = tmp_path / "vecs_in"
+    vecs_dir.mkdir()
+    store = tmp_path / "store"
+
+    va = [float(i % 7 - 3) + 0.25 for i in range(64)]
+    vb = [float((i * 3) % 11 - 5) - 0.5 for i in range(64)]
+    vc = [x * 2.0 for x in va]  # rescaled copy of va -> cosine 1.0
+    vd = [float((i * 5) % 13 - 6) + 0.125 for i in range(64)]
+
+    def write_wave(name, rows):
+        spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = next((tmp_path / name).glob("part-*.parquet"))
+        shutil.copy(part, vecs_dir / f"{name}.parquet")
+
+    write_wave("w1", [(1, va), (2, vb)])
+    q = stream_vector_dedup(spark, str(vecs_dir), str(store), str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+        write_wave("w2", [(100, vc), (101, vd)])
+        q.processAllAvailable()
+        write_wave("w2_replay", [(100, vc), (101, vd)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    decisions = {
+        r.vec_id: (r.decision, r.matched_id)
+        for r in spark.read.parquet(str(store / "decisions")).collect()
+    }
+    assert decisions[100] == ("near_dup", 1)
+    assert decisions[101][0] == "new"
+    assert decisions[1] == ("new", None) and decisions[2] == ("new", None)
+    landed = {r.vec_id for r in spark.read.parquet(str(store / "landed")).collect()}
+    assert landed == {1, 2, 101}
+    assert spark.read.parquet(str(store / "decisions")).count() == 4
