@@ -74,6 +74,8 @@ HEADLINE = [
     "bpe_apply",
     "cosine_pq",
     "cosine_ivfpq",
+    "time_weighted_avg",
+    "ohlc_rollup",
 ]
 
 

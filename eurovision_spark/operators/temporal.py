@@ -244,3 +244,100 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("ts_us") - F.min("ts_us")).cast("bigint").alias("duration_us"),
         F.round(F.sum("value"), 2).alias("value_sum"),
     )
+
+
+HOUR_US = 3_600_000_000
+
+
+@register(
+    "time_weighted_avg",
+    """
+    WITH o AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, value,
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+        FROM events),
+    w AS (SELECT user_id, value, next_us - ts_us AS w_us
+          FROM o WHERE next_us IS NOT NULL)
+    SELECT user_id,
+           round(sum(value * w_us) / sum(w_us), 2) AS twa_value,
+           CAST(sum(w_us) AS BIGINT) AS span_us
+    FROM w GROUP BY user_id HAVING sum(w_us) > 0
+    """,
+    "time-weighted average (the TimescaleDB `time_weight` shape): each "
+    "observation holds until the next one, so its weight is the gap to "
+    "its successor — the honest mean for irregularly-sampled state "
+    "(a plain AVG over-counts burst periods). One lead() window and "
+    "the final rollup share a single user_id exchange; the last "
+    "observation of each series carries no weight (nothing after it to "
+    "hold over) and single-event series drop (zero span). Weights come "
+    "from the canonical µs axis, so the oracle's epoch_us arithmetic "
+    "lines up exactly.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01/0.1 (verify)
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    o = ev.select(
+        "user_id",
+        "value",
+        (F.lead("ts_us").over(w) - F.col("ts_us")).alias("w_us"),
+    ).filter(F.col("w_us").isNotNull())
+    return (
+        o.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("w_us")) / F.sum("w_us"), 2
+            ).alias("twa_value"),
+            F.sum("w_us").cast("bigint").alias("span_us"),
+        )
+        .filter(F.col("span_us") > 0)
+    )
+
+
+@register(
+    "ohlc_rollup",
+    f"""
+    SELECT event_type,
+           CAST(epoch_us(ts) // {HOUR_US} AS BIGINT) AS hour_bucket,
+           arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000000
+                          + event_id) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000000
+                          + event_id) AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type, CAST(epoch_us(ts) // {HOUR_US} AS BIGINT)
+    """,
+    "OHLC candlestick rollup (the financial/monitoring downsample): "
+    "per (series, hour) the first, max, min, and last observation plus "
+    "the sample count — first/last are min_by/max_by under the "
+    "deterministic (ts, event_id) order, so ties can't flip between "
+    "engines, and the open/high/low/close floats are pass-through "
+    "values (no re-associated arithmetic to round). ONE partial+final "
+    "aggregation: min_by/max_by combine map-side like any other agg, "
+    "so a series' full history never gathers on one node — the "
+    "downsampling shape that replaces per-bucket sorting windows at "
+    "100 TB.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01/0.1 (verify)
+)
+def ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    # composite scalar order key (DuckDB arg_min/arg_max take a scalar,
+    # not a struct): ts_us * 1e9 + event_id needs 128-bit headroom, so
+    # decimal(38,0) here mirrors the oracle's HUGEINT — event ids are
+    # bounded far below the 1e9 multiplier
+    order = (
+        F.col("ts_us").cast("decimal(38,0)") * 1000000000 + F.col("event_id")
+    )
+    return ev.groupBy(
+        "event_type",
+        (F.col("ts_us") / HOUR_US).cast("bigint").alias("hour_bucket"),
+    ).agg(
+        F.min_by("value", order).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", order).alias("close"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
