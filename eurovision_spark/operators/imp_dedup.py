@@ -86,24 +86,37 @@ def connected_components_any_key(
 
 
 def cc_edge_list(
-    edges: DataFrame, src: str, dst: str, max_iter: int = 15
+    edges: DataFrame, src: str, dst: str, max_iter: int = 15,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Connected components over a global (src, dst) edge list: label
     every endpoint with the min node id reachable through the graph.
     Returns (node, comp) — one row per distinct endpoint.
 
-    Min-label propagation: each round takes, per node, the min label
-    among its neighbors (edges symmetrized once up front) and keeps the
-    lesser of that and its own. Labels only decrease, so the O(1)-row
-    label-sum aggregate detects the fixpoint exactly — the same
-    convergence contract as :func:`connected_components_any_key`, but
-    over an explicit edge list instead of shared-key groups. Rounds
-    needed = component diameter in hops; near-duplicate graphs are
-    shallow (members of a dup cluster are mutually similar), so a
-    handful of rounds suffices. Per round the cost is ONE shuffle of
-    the (node-id, label) edge list — ids only, never payloads — which
-    is the formulation that survives a 100 TB corpus; switch to
-    large-star/small-star only if long-chain components are expected.
+    Min-label propagation with pointer doubling: each round takes, per
+    node, the min label among its neighbors (edges symmetrized once up
+    front), keeps the lesser of that and its own, then — from round 2
+    on — follows the label one step (``comp := comp(comp)``, the
+    path-halving jump), so reach roughly DOUBLES per round and
+    convergence is O(log diameter) rounds, not O(diameter). Round 1
+    skips the jump: near-duplicate graphs are shallow near-cliques, so
+    the seed (min over the closed neighborhood) is usually already the
+    fixpoint and round 1 exists only to confirm it — a jump there would
+    spend a shuffle buying nothing.
+
+    Cost per round is ONE Spark action: the pre-hop label is carried
+    through the round, so one O(1)-row aggregate reads both the old and
+    the new label sum (labels only decrease, so equal sums == exact
+    fixpoint). Every round shuffles ids only, never payloads — the
+    formulation that survives a 100 TB corpus — and the label frame is
+    ``localCheckpoint``-ed every ``checkpoint_every`` rounds so logical-
+    plan depth stays O(1) instead of nesting one join level per round
+    (at cluster scale with reliable-checkpoint needs, point
+    ``spark.sparkContext.setCheckpointDir`` at durable storage and swap
+    in ``checkpoint()``; local mode keeps blocks on executors).
+    With default max_iter=15 the doubling covers component diameters
+    into the tens of thousands of hops; the residual non-convergence
+    guard exists only for graphs beyond that.
     """
     # materialize the edge list ONCE before anything fans out over it:
     # the upstream pipeline is typically the expensive part (LSH +
@@ -119,18 +132,15 @@ def cc_edge_list(
     )
     # seed with min(node, min neighbor): the first propagation round for
     # free inside the node-dedup aggregation (star-shaped dup clusters —
-    # the common case — finish after ONE further round + confirm)
+    # the common case — finish after the ONE confirming round)
     labels = (
         sym.groupBy("node")
         .agg(F.min("nbr").alias("_m"))
         .select("node", F.least(F.col("node"), F.col("_m")).alias("comp"))
         .persist()
     )
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
-    converged = prev_sum is None  # no edges -> no nodes: trivially done
-    for _ in range(max_iter):
-        if converged:
-            break
+    converged = False
+    for i in range(max_iter):
         nbr_min = (
             sym.join(
                 labels.select(
@@ -141,28 +151,47 @@ def cc_edge_list(
             .groupBy("node")
             .agg(F.min("nbr_comp").alias("_m"))
         )
-        new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce(F.col("_m"), F.col("comp"))).alias(
-                    "comp"
-                ),
-            )
-            .persist()
+        hopped = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.col("comp").alias("_prev"),
+            F.least(F.col("comp"), F.coalesce(F.col("_m"), F.col("comp"))).alias(
+                "comp"
+            ),
         )
-        new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
+        if i > 0:
+            # pointer-doubling jump: every comp value is itself a node
+            # id (labels are always reachable node ids), so one id-only
+            # self-join halves remaining path lengths
+            parent = hopped.select(
+                F.col("node").alias("_pn"), F.col("comp").alias("_pc")
+            )
+            hopped = hopped.join(
+                parent, hopped["comp"] == parent["_pn"], "left"
+            ).select(
+                "node", "_prev", F.coalesce("_pc", "comp").alias("comp")
+            )
+        new_labels = hopped.persist()
+        if (i + 1) % checkpoint_every == 0:
+            # truncate lineage: without this each round nests another
+            # join level into the logical plan (O(rounds) plan depth,
+            # O(rounds^2) analysis cost, ~10k-line explain output)
+            new_labels = new_labels.localCheckpoint()
+        # ONE action reads both sums: labels only decrease, so
+        # sum(prev) == sum(comp) detects the exact fixpoint; NULL == NULL
+        # (empty edge list -> no rows) is trivially converged
+        prev_sum, new_sum = new_labels.agg(
+            F.sum("_prev"), F.sum("comp")
+        ).collect()[0]
         labels.unpersist()
-        labels = new_labels
-        if new_sum == prev_sum:
+        labels = new_labels.select("node", "comp")
+        if prev_sum == new_sum:
             converged = True
-        prev_sum = new_sum
+            break
     edges.unpersist()
     if not converged:
-        labels.unpersist()
         raise RuntimeError(
             f"cc_edge_list did not converge in {max_iter} rounds "
-            "(component diameter exceeds max_iter); raise max_iter"
+            "(component diameter exceeds ~2^max_iter hops); raise max_iter"
         )
     return labels
 

@@ -848,13 +848,16 @@ def _pq_oracle(sf_dir: str) -> str:
                v[s.sub_id * {sub} + 1 : s.sub_id * {sub} + {sub}] AS sv
         FROM e CROSS JOIN (SELECT unnest(generate_series(0, {PQ_SUBSPACES - 1}))
                            AS sub_id) s),
+    -- round(d2, 9) mirrors the Spark side's F.round(sq_dist, 9) argmin
+    -- key exactly, so a near-tie (two centroids within 1e-9) resolves
+    -- to the same lowest code in both engines
     assigned AS (
         SELECT vec_id, subvecs.sub_id AS sub_id, code,
                row_number() OVER (
                    PARTITION BY vec_id, subvecs.sub_id
-                   ORDER BY list_sum(list_transform(
+                   ORDER BY round(list_sum(list_transform(
                        list_zip(sv, cv),
-                       p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))), 9) ASC,
                    code) AS rn
         FROM subvecs JOIN cents ON cents.sub_id = subvecs.sub_id),
     codes AS (SELECT vec_id, sub_id, code FROM assigned WHERE rn = 1),
@@ -1042,9 +1045,9 @@ def _ivfpq_oracle(sf_dir: str) -> str:
         SELECT vec_id, subvecs.sub_id AS sub_id, code,
                row_number() OVER (
                    PARTITION BY vec_id, subvecs.sub_id
-                   ORDER BY list_sum(list_transform(
+                   ORDER BY round(list_sum(list_transform(
                        list_zip(sv, pcv),
-                       p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))), 9) ASC,
                    code) AS rn
         FROM subvecs JOIN pq_cents ON pq_cents.sub_id = subvecs.sub_id),
     codes AS (SELECT vec_id, sub_id, code FROM code_assigned WHERE rn = 1),

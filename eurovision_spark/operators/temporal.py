@@ -331,9 +331,12 @@ def ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = (
         F.col("ts_us").cast("decimal(38,0)") * 1000000000 + F.col("event_id")
     )
+    # integer `div` (truncate toward zero) mirrors DuckDB's integer `//`
+    # exactly at every bigint — including negative pre-epoch ts and
+    # beyond-2^53 values where a double divide loses integer exactness
     return ev.groupBy(
         "event_type",
-        (F.col("ts_us") / HOUR_US).cast("bigint").alias("hour_bucket"),
+        F.expr(f"ts_us div {HOUR_US}").alias("hour_bucket"),
     ).agg(
         F.min_by("value", order).alias("open"),
         F.max("value").alias("high"),

@@ -819,7 +819,13 @@ def _train_bpe_merges(texts: list[str], n_merges: int = BPE_MERGES) -> list[tupl
     wc: Counter = Counter()
     for t in texts:
         for w in t.strip().lower().split():
-            wc[w] += 1
+            # the boundary marker only anchors symbol starts if it can't
+            # occur INSIDE a symbol: corpus text containing the marker
+            # char is normalized by stripping it (train + apply + oracle
+            # all share this rule, so the semantics stay aligned)
+            w = w.replace(BPE_MARK, "")
+            if w:
+                wc[w] += 1
     syms = {w: tuple(w) for w in wc}
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -876,7 +882,13 @@ def _bpe_oracle(sf_dir: str) -> str:
     # boundary — wrong in both engines identically, i.e. invisible to
     # the hash gate; the marker removes the failure mode instead of
     # hiding it)
-    chain = f"trim(regexp_replace(w, '(.)', '{BPE_MARK}\\1 ', 'g'))"
+    # replace(w, marker, '') first: a corpus word CONTAINING the marker
+    # char would otherwise break the unique-anchor guarantee (same
+    # normalization as _train_bpe_merges and the Spark chain)
+    chain = (
+        f"trim(regexp_replace(replace(w, '{BPE_MARK}', ''),"
+        f" '(.)', '{BPE_MARK}\\1 ', 'g'))"
+    )
     for a, b in merges:
         pa = (BPE_MARK + a + " " + BPE_MARK + b).replace("'", "''")
         pm = (BPE_MARK + a + b).replace("'", "''")
@@ -898,6 +910,24 @@ def _bpe_oracle(sf_dir: str) -> str:
            round(CAST(n_chars_tok AS DOUBLE) / n_bpe_tokens, 6) AS compression
     FROM b
     """
+
+
+def bpe_replace_chain(w, merges):
+    """Column -> Column: the plan-time fixed replace chain applying
+    ``merges`` to one word. Symbol-start markers anchor each pattern to
+    symbol boundaries (see the oracle builder comment for the failure
+    mode they fix); any marker char already IN the word is stripped
+    first so the anchor stays unique (mirrored in the oracle and in
+    training)."""
+    cleaned = F.replace(w, F.lit(BPE_MARK), F.lit(""))
+    expr = F.trim(F.regexp_replace(cleaned, "(.)", f"{BPE_MARK}$1 "))
+    for a, b in merges:
+        expr = F.replace(
+            expr,
+            F.lit(f"{BPE_MARK}{a} {BPE_MARK}{b}"),
+            F.lit(f"{BPE_MARK}{a}{b}"),
+        )
+    return expr
 
 
 @register(
@@ -931,17 +961,8 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges = _train_bpe_merges([r.text for r in sample])
 
-    def apply_merges(w):  # Column -> Column, plan-time fixed replace chain
-        # symbol-start markers anchor each pattern to symbol boundaries
-        # (see the oracle builder comment for the failure mode they fix)
-        expr = F.trim(F.regexp_replace(w, "(.)", f"{BPE_MARK}$1 "))
-        for a, b in merges:
-            expr = F.replace(
-                expr,
-                F.lit(f"{BPE_MARK}{a} {BPE_MARK}{b}"),
-                F.lit(f"{BPE_MARK}{a}{b}"),
-            )
-        return expr
+    def apply_merges(w):
+        return bpe_replace_chain(w, merges)
 
     toked = d.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id", tokens(F.lower(F.col("text"))).alias("_toks")

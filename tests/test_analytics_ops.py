@@ -96,3 +96,34 @@ def test_mixture_weights_normalized_and_monotone(spark):
     by_tokens = sorted(rows, key=lambda r: r.src_tokens)
     for a, b in zip(by_tokens, by_tokens[1:]):
         assert a.weight <= b.weight
+
+
+def test_ohlc_hour_bucket_integer_exact_at_edges(spark):
+    """ohlc_rollup's hour bucket is integer `div` (truncate toward zero)
+    — it must agree with DuckDB's integer `//` at every bigint,
+    including exactly ±1 µs around a bucket edge, pre-epoch negatives,
+    and beyond-2^53 values where a double divide would lose integer
+    exactness (the r04 advice item)."""
+    import duckdb
+
+    from eurovision_spark.operators.temporal import HOUR_US
+
+    edges = [0, HOUR_US, 7 * HOUR_US, -HOUR_US, 2**53 - 2**53 % HOUR_US]
+    ts = sorted(
+        {e + d for e in edges for d in (-1, 0, 1)} | {2**53 + 1, -(2**53) - 1}
+    )
+    got = dict(
+        spark.createDataFrame([(t,) for t in ts], "ts_us bigint")
+        .select("ts_us", F.expr(f"ts_us div {HOUR_US}").alias("b"))
+        .collect()
+    )
+    want = dict(
+        duckdb.sql(
+            "SELECT ts_us, ts_us // {h} FROM (SELECT unnest({ts}::BIGINT[]) "
+            "AS ts_us)".format(h=HOUR_US, ts=ts)
+        ).fetchall()
+    )
+    assert got == want
+    # the old double-divide formulation genuinely diverges past 2^53
+    # (this is what the fix buys, beyond the float-margin nit)
+    assert float(2**53 + 1) / HOUR_US * HOUR_US != 2**53 + 1

@@ -402,7 +402,15 @@ def test_bpe_apply_matches_python_reimplementation(spark):
     assert len(merges) == BPE_MERGES
 
     def py_word_tokens(word: str) -> int:
-        s: list[str] = list(word)
+        from eurovision_spark.operators.textstats import BPE_MARK
+
+        # marker chars in corpus words are stripped before tokenization
+        # (the anchor-uniqueness normalization); an all-marker word
+        # degrades to the empty string, which split-on-space counts as
+        # ONE token in both engines
+        s: list[str] = list(word.replace(BPE_MARK, ""))
+        if not s:
+            return 1
         for a, b in merges:
             out: list[str] = []
             i = 0
@@ -433,3 +441,49 @@ def test_bpe_apply_matches_python_reimplementation(spark):
         assert r.n_chars_tok == sum(len(w) for w in words)
         # merges actually fire: compression must exceed 1 somewhere
     assert any(r.n_bpe_tokens < r.n_chars_tok for r in rows.values())
+
+
+def test_bpe_marker_char_in_corpus_text_cannot_break_anchoring(spark):
+    """A corpus word CONTAINING the boundary-marker char '·' is
+    normalized by stripping it (train + apply + oracle share the rule),
+    so the marker always uniquely anchors symbol starts. The replace
+    chain on such words must equal the symbol-list semantics of the
+    stripped word — the r04 advice failure mode was the chain merging
+    across symbol boundaries while its equally-wrong oracle still
+    hash-matched."""
+    from eurovision_spark.operators.textstats import (
+        BPE_MARK,
+        _train_bpe_merges,
+        bpe_replace_chain,
+    )
+
+    # 'ab' is the clear winning pair; one training word carries a marker
+    texts = [f"abab a{BPE_MARK}bab abab cd"]
+    merges = _train_bpe_merges(texts, n_merges=2)
+    assert merges[0] == ("a", "b")
+
+    def py_tokens(word: str) -> int:
+        s = list(word.replace(BPE_MARK, ""))
+        if not s:
+            return 1
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return len(s)
+
+    words = ["abab", f"a{BPE_MARK}bab", f"{BPE_MARK}{BPE_MARK}", f"ab{BPE_MARK}ab",
+             "cd", f"{BPE_MARK}abab{BPE_MARK}"]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(w,) for w in words], "w string").select(
+        "w", F.size(F.split(bpe_replace_chain(F.col("w"), merges), " ")).alias("n")
+    )
+    got = {r.w: r.n for r in df.collect()}
+    assert got == {w: py_tokens(w) for w in words}
