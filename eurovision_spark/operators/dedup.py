@@ -598,30 +598,72 @@ MINHASH_CLUSTER_ORACLE = MINHASH_SIG_SQL.replace(
 """
 
 
+def minhash_from_shingles(sh: Column) -> Column:
+    """array<string> shingles -> array<bigint>[N_PERM] minhash signature
+    — the same fold as :func:`_minhash_signatures` (min over a set
+    equals min over the multiset, so distinct shingle arrays produce
+    identical signatures)."""
+    h_arr = F.transform(sh, lambda s: md5_long(s) % P31)
+    return F.aggregate(
+        h_arr,
+        F.array_repeat(F.lit(P31).cast("bigint"), N_PERM),
+        lambda acc, h: F.transform(
+            acc, lambda m, i: F.least(m, ((2 * i + 1) * h + (17 * i + 1)) % P31)
+        ),
+    )
+
+
 def verified_near_edges(docs: DataFrame) -> DataFrame:
     """(doc_id_1 < doc_id_2) VERIFIED near-dup edges for a
     (doc_id, text) corpus: LSH banded candidates, then exact word-3-gram
     Jaccard >= CLUSTER_JACCARD_T. The verification joins mirror
     minhash_lsh_jaccard: broadcast the (small) candidate set against the
     corpus shingle sets so the corpus never reshuffles for verification.
-    Shared by minhash_cluster and dedup_pipeline."""
+    Shared by minhash_cluster and dedup_pipeline.
+
+    The distinct-shingle frame is computed ONCE and cached — signatures,
+    and both verification sides all derive from it, so tokenize+shingle
+    runs one time per doc instead of three (signatures over DISTINCT
+    shingles are identical: min over a set == min over its multiset).
+    At 100 TB this cache is the in-flight shingle index a dedup pass
+    would materialize to parquet anyway (incremental_dedup persists
+    exactly this shape across batches); MEMORY_AND_DISK persist is the
+    single-pass stand-in."""
     spark = docs.sparkSession
-    pairs = _lsh_candidate_pairs(_minhash_signatures(docs))
     sets = (
         docs.repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", tokens(F.lower(F.col("text"))).alias("_toks"))
+        # docs with < 3 tokens have no shingles, hence no signature and
+        # no candidate membership — dropping them here is semantics-free
+        .filter(F.size("_toks") >= 3)
         .select("doc_id", F.array_distinct(shingles(F.col("_toks"))).alias("sh"))
+        .persist()
     )
+    # no eager materialization: the signature stage (which feeds the
+    # broadcast candidate set) runs before the verify-side scans within
+    # the one checkpoint job, so the cache is warm when s1/s2 read it —
+    # an extra count() action here measured slower than the lazy fill
+    sig = sets.select("doc_id", minhash_from_shingles(F.col("sh")).alias("minhashes"))
+    pairs = _lsh_candidate_pairs(sig)
     s1 = sets.select(F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1"))
     s2 = sets.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2"))
     union_size = F.size(F.array_distinct(F.concat("sh1", "sh2")))
     jaccard = F.size(F.array_intersect("sh1", "sh2")).cast("double") / union_size
-    return (
+    edges = (
         s1.join(F.broadcast(pairs), "doc_id_1")
         .join(s2.hint("shuffle_hash"), "doc_id_2")
         .filter((union_size > 0) & (jaccard >= CLUSTER_JACCARD_T))
         .select("doc_id_1", "doc_id_2")
     )
+    # materialize the (id-only, tiny) edge list NOW — localCheckpoint
+    # both stores it and TRUNCATES lineage, so every downstream CC-round
+    # and assembly action plans against a leaf instead of re-analyzing
+    # the whole LSH+verify tree (driver-side analysis of that tree was
+    # costing more than some of the actions themselves); it also lets
+    # the shingle cache go before returning
+    edges = edges.localCheckpoint()
+    sets.unpersist()
+    return edges
 
 
 @register(
@@ -776,56 +818,77 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decisions
 
 
-def incremental_dedup_decisions(inc: DataFrame, ex: DataFrame) -> DataFrame:
-    """(doc_id, decision, matched_id) for every (doc_id, text) row of
-    ``inc`` checked against the landed corpus ``ex`` — the shared core
-    of the batch catalog query and the streaming micro-batch step.
-
-    exact gate: content-digest equi-join (digests only shuffle);
-    near gate: banded minhash signatures of the batch equi-join the
-    corpus signature index, candidates verified by exact word-3-gram
-    Jaccard >= CLUSTER_JACCARD_T. Exact beats near; matched_id = min
-    matching landed id; everything else is 'new'.
-    """
-    spark = inc.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    exact = (
-        inc.select("doc_id", F.md5("text").alias("_d"))
-        .join(
-            ex.select(F.col("doc_id").alias("ex_id"), F.md5("text").alias("_d")),
-            "_d",
+def doc_index(docs: DataFrame) -> DataFrame:
+    """(doc_id, _d, sh) — the per-document probe index a landed store
+    persists: content digest (the exact gate's key) and the distinct
+    word-3-gram shingle set (the verify side of the near gate). At
+    100 TB this is a parquet table updated per intake batch, so the
+    probe work per batch tracks BATCH size — the landed corpus is
+    never re-tokenized."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.repartition(par)
+        .select(
+            "doc_id",
+            F.md5("text").alias("_d"),
+            tokens(F.lower(F.col("text"))).alias("_toks"),
         )
+        .select(
+            "doc_id", "_d", F.array_distinct(shingles(F.col("_toks"))).alias("sh")
+        )
+    )
+
+
+def incremental_probe(
+    inc_idx: DataFrame,
+    inc_bands: DataFrame,
+    ex_idx: DataFrame,
+    ex_bands: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Probe a landed index with an incoming batch: returns
+    ``(exact, near_pairs)`` where ``exact`` is (doc_id, exact_id = min
+    digest-matching landed id) and ``near_pairs`` is EVERY verified
+    near-dup (inc_id, ex_id) pair — callers aggregate min for the
+    decision and keep the full pair set for cluster maintenance.
+
+    Both sides arrive as prebuilt index frames (:func:`doc_index` +
+    :func:`banded_signatures` shapes), so the landed side can be a
+    PERSISTED store probed on equi-keys — never re-derived from text.
+    """
+    exact = (
+        inc_idx.select("doc_id", "_d")
+        .join(ex_idx.select(F.col("doc_id").alias("ex_id"), "_d"), "_d")
         .groupBy("doc_id")
         .agg(F.min("ex_id").alias("exact_id"))
     )
-    bands_inc = banded_signatures(_minhash_signatures(inc)).select(
-        F.col("doc_id").alias("inc_id"), "band_id", "band_sig"
-    )
-    bands_ex = banded_signatures(_minhash_signatures(ex)).select(
-        F.col("doc_id").alias("ex_id"), "band_id", "band_sig"
-    )
     cand = (
-        bands_inc.join(bands_ex, ["band_id", "band_sig"])
+        inc_bands.select(F.col("doc_id").alias("inc_id"), "band_id", "band_sig")
+        .join(
+            ex_bands.select(F.col("doc_id").alias("ex_id"), "band_id", "band_sig"),
+            ["band_id", "band_sig"],
+        )
         .select("inc_id", "ex_id")
         .distinct()
     )
-    def _sets(df: DataFrame, idc: str) -> DataFrame:
-        return (
-            df.repartition(par)
-            .select(F.col("doc_id").alias(idc), tokens(F.lower(F.col("text"))).alias("_toks"))
-            .select(idc, F.array_distinct(shingles(F.col("_toks"))).alias(f"sh_{idc}"))
-        )
-    si = _sets(inc, "inc_id")
-    se = _sets(ex, "ex_id")
+    si = inc_idx.select(F.col("doc_id").alias("inc_id"), F.col("sh").alias("sh_inc_id"))
+    se = ex_idx.select(F.col("doc_id").alias("ex_id"), F.col("sh").alias("sh_ex_id"))
     union_size = F.size(F.array_distinct(F.concat("sh_inc_id", "sh_ex_id")))
     jac = F.size(F.array_intersect("sh_inc_id", "sh_ex_id")).cast("double") / union_size
-    near = (
+    near_pairs = (
         si.join(F.broadcast(cand), "inc_id")
         .join(se.hint("shuffle_hash"), "ex_id")
         .filter((union_size > 0) & (jac >= CLUSTER_JACCARD_T))
-        .groupBy("inc_id")
-        .agg(F.min("ex_id").alias("near_id"))
+        .select("inc_id", "ex_id")
     )
+    return exact, near_pairs
+
+
+def assemble_decisions(
+    inc: DataFrame, exact: DataFrame, near_pairs: DataFrame
+) -> DataFrame:
+    """(doc_id, decision, matched_id): exact beats near, matched_id =
+    min matching landed id, everything else 'new'."""
+    near = near_pairs.groupBy("inc_id").agg(F.min("ex_id").alias("near_id"))
     return (
         inc.select("doc_id")
         .join(exact, "doc_id", "left")
@@ -839,6 +902,27 @@ def incremental_dedup_decisions(inc: DataFrame, ex: DataFrame) -> DataFrame:
             F.coalesce("exact_id", "near_id").cast("bigint").alias("matched_id"),
         )
     )
+
+
+def incremental_dedup_decisions(inc: DataFrame, ex: DataFrame) -> DataFrame:
+    """(doc_id, decision, matched_id) for every (doc_id, text) row of
+    ``inc`` checked against the landed corpus ``ex`` — the shared core
+    of the batch catalog query and the streaming micro-batch step.
+
+    exact gate: content-digest equi-join (digests only shuffle);
+    near gate: banded minhash signatures of the batch equi-join the
+    corpus signature index, candidates verified by exact word-3-gram
+    Jaccard >= CLUSTER_JACCARD_T. Here both indexes are derived in the
+    plan (the batch catalog query's one-shot shape); the streaming twin
+    derives the BATCH side only and probes its persisted landed index.
+    """
+    exact, near_pairs = incremental_probe(
+        doc_index(inc),
+        banded_signatures(_minhash_signatures(inc)),
+        doc_index(ex),
+        banded_signatures(_minhash_signatures(ex)),
+    )
+    return assemble_decisions(inc, exact, near_pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -963,9 +1047,15 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # digest collapse, computed ONCE and cached: the survivor set feeds
+    # the LSH stage and the (doc_id, c) map feeds the final assembly —
+    # without the persist the md5 groupBy+join re-runs per consumer. At
+    # 100 TB a real pipeline materializes this stage boundary to parquet
+    # (the digest collapse is a natural checkpoint); the persist is the
+    # single-pass stand-in.
     dig = docs.select("doc_id", "text", F.md5("text").alias("_d"))
     canon = dig.groupBy("_d").agg(F.min("doc_id").alias("c"))
-    mapc = dig.join(canon, "_d").select("doc_id", "text", "c")
+    mapc = dig.join(canon, "_d").select("doc_id", "text", "c").persist()
     surv = mapc.filter(F.col("doc_id") == F.col("c")).select("doc_id", "text")
     labels = cc_edge_list(verified_near_edges(surv), "doc_id_1", "doc_id_2")
     lab = labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))

@@ -93,30 +93,29 @@ def cc_edge_list(
     every endpoint with the min node id reachable through the graph.
     Returns (node, comp) — one row per distinct endpoint.
 
-    Min-label propagation with pointer doubling: each round takes, per
-    node, the min label among its neighbors (edges symmetrized once up
-    front), keeps the lesser of that and its own, then — from round 2
-    on — follows the label one step (``comp := comp(comp)``, the
-    path-halving jump), so reach roughly DOUBLES per round and
-    convergence is O(log diameter) rounds, not O(diameter). Round 1
-    skips the jump: near-duplicate graphs are shallow near-cliques, so
-    the seed (min over the closed neighborhood) is usually already the
-    fixpoint and round 1 exists only to confirm it — a jump there would
-    spend a shuffle buying nothing.
+    Min-label propagation, TWO hops per Spark action, with pointer
+    doubling from round 2 on: each round applies the neighbor-min hop
+    twice (the mid-hop label rides along as a column, so one O(1)-row
+    aggregate reads both sums — labels only decrease, so equal sums ==
+    exact hop-fixpoint, detected INSIDE the same action that computed
+    it). The common near-dup graph (shallow near-cliques, where the
+    closed-neighborhood seed is 0–1 hops from the fixpoint) therefore
+    converges in ONE action after the seed. Deeper graphs engage the
+    ``comp := comp(comp)`` path-halving jump from round 2, so reach
+    grows geometrically and convergence is O(log diameter) rounds, not
+    O(diameter) — a 200-hop chain converges well inside the default
+    max_iter (pinned in tests/test_pipeline_ops.py).
 
-    Cost per round is ONE Spark action: the pre-hop label is carried
-    through the round, so one O(1)-row aggregate reads both the old and
-    the new label sum (labels only decrease, so equal sums == exact
-    fixpoint). Every round shuffles ids only, never payloads — the
-    formulation that survives a 100 TB corpus — and the label frame is
+    Every round shuffles ids only, never payloads — the formulation
+    that survives a 100 TB corpus — and the label frame is
     ``localCheckpoint``-ed every ``checkpoint_every`` rounds so logical-
-    plan depth stays O(1) instead of nesting one join level per round
-    (at cluster scale with reliable-checkpoint needs, point
+    plan depth stays O(1) instead of nesting join levels per round (at
+    cluster scale with reliable-checkpoint needs, point
     ``spark.sparkContext.setCheckpointDir`` at durable storage and swap
-    in ``checkpoint()``; local mode keeps blocks on executors).
-    With default max_iter=15 the doubling covers component diameters
-    into the tens of thousands of hops; the residual non-convergence
-    guard exists only for graphs beyond that.
+    in ``checkpoint()``; local mode keeps blocks on executors). With
+    max_iter=15 the doubling covers component diameters into the tens
+    of thousands of hops; the residual non-convergence guard exists
+    only for graphs beyond that.
     """
     # materialize the edge list ONCE before anything fans out over it:
     # the upstream pipeline is typically the expensive part (LSH +
@@ -133,17 +132,25 @@ def cc_edge_list(
     # seed with min(node, min neighbor): the first propagation round for
     # free inside the node-dedup aggregation (star-shaped dup clusters —
     # the common case — finish after the ONE confirming round)
+    # the seed is referenced through several branches of the round-0
+    # plan, but no eager materialization is needed: with edges a
+    # materialized leaf, ReuseExchange collapses the identical seed
+    # subtrees inside the round job (measured: an extra count() action
+    # here costs more than the reuse saves)
     labels = (
         sym.groupBy("node")
         .agg(F.min("nbr").alias("_m"))
         .select("node", F.least(F.col("node"), F.col("_m")).alias("comp"))
         .persist()
     )
-    converged = False
-    for i in range(max_iter):
+
+    def hop(lab: DataFrame) -> DataFrame:
+        """One neighbor-min round: (node, ..., comp) -> same shape with
+        comp := min(comp, min over neighbors' comp). Carries every
+        non-comp column through."""
         nbr_min = (
             sym.join(
-                labels.select(
+                lab.select(
                     F.col("node").alias("nbr"), F.col("comp").alias("nbr_comp")
                 ),
                 "nbr",
@@ -151,40 +158,45 @@ def cc_edge_list(
             .groupBy("node")
             .agg(F.min("nbr_comp").alias("_m"))
         )
-        hopped = labels.join(nbr_min, "node", "left").select(
-            "node",
-            F.col("comp").alias("_prev"),
+        keep = [c for c in lab.columns if c != "comp"]
+        return lab.join(nbr_min, "node", "left").select(
+            *keep,
             F.least(F.col("comp"), F.coalesce(F.col("_m"), F.col("comp"))).alias(
                 "comp"
             ),
         )
+
+    converged = False
+    for i in range(max_iter):
+        # two hops per action; the mid-hop label rides along as _mid so
+        # the fixpoint test costs nothing extra
+        h2 = hop(hop(labels).withColumnRenamed("comp", "_mid").withColumn(
+            "comp", F.col("_mid")
+        ))
         if i > 0:
             # pointer-doubling jump: every comp value is itself a node
             # id (labels are always reachable node ids), so one id-only
-            # self-join halves remaining path lengths
-            parent = hopped.select(
-                F.col("node").alias("_pn"), F.col("comp").alias("_pc")
+            # self-join halves remaining path lengths. Skipped in round
+            # 1: shallow graphs converge there and the jump would spend
+            # a shuffle buying nothing.
+            parent = h2.select(F.col("node").alias("_pn"), F.col("comp").alias("_pc"))
+            h2 = h2.join(parent, h2["comp"] == parent["_pn"], "left").select(
+                "node", "_mid", F.coalesce("_pc", "comp").alias("comp")
             )
-            hopped = hopped.join(
-                parent, hopped["comp"] == parent["_pn"], "left"
-            ).select(
-                "node", "_prev", F.coalesce("_pc", "comp").alias("comp")
-            )
-        new_labels = hopped.persist()
+        new_labels = h2.persist()
         if (i + 1) % checkpoint_every == 0:
-            # truncate lineage: without this each round nests another
-            # join level into the logical plan (O(rounds) plan depth,
+            # truncate lineage: without this each round nests more join
+            # levels into the logical plan (O(rounds) plan depth,
             # O(rounds^2) analysis cost, ~10k-line explain output)
             new_labels = new_labels.localCheckpoint()
-        # ONE action reads both sums: labels only decrease, so
-        # sum(prev) == sum(comp) detects the exact fixpoint; NULL == NULL
-        # (empty edge list -> no rows) is trivially converged
-        prev_sum, new_sum = new_labels.agg(
-            F.sum("_prev"), F.sum("comp")
-        ).collect()[0]
+        # ONE action reads both sums. Labels only decrease through the
+        # second hop and the jump, so sum(_mid) == sum(comp) iff hop 2
+        # changed nothing == hop fixpoint (at which point the jump is
+        # the identity); NULL == NULL (empty edge list) trivially holds
+        mid_sum, new_sum = new_labels.agg(F.sum("_mid"), F.sum("comp")).collect()[0]
         labels.unpersist()
         labels = new_labels.select("node", "comp")
-        if prev_sum == new_sum:
+        if mid_sum == new_sum:
             converged = True
             break
     edges.unpersist()
@@ -193,7 +205,11 @@ def cc_edge_list(
             f"cc_edge_list did not converge in {max_iter} rounds "
             "(component diameter exceeds ~2^max_iter hops); raise max_iter"
         )
-    return labels
+    # hand consumers a LEAF: the label frame is already materialized in
+    # cache, but its logical plan still nests every round — consumers
+    # that reference it more than once (cluster remaps, window sizes)
+    # would re-analyze that tree per action
+    return labels.localCheckpoint()
 
 
 def cc_bounded_groups_array(

@@ -541,43 +541,79 @@ def stream_incremental_dedup(
     store_dir: str,
     checkpoint_dir: str,
 ) -> StreamingQuery:
-    """Streaming twin of ``incremental_dedup``: documents arrive as a
-    parquet file stream and each micro-batch is deduped against the
-    GROWING landed store before it lands — the production intake shape
-    where dedup happens once at ingest instead of as corpus-wide
-    sweeps over already-landed duplicates.
+    """Streaming twin of ``incremental_dedup`` + ``minhash_cluster``:
+    documents arrive as a parquet file stream and each micro-batch is
+    deduped against the GROWING landed store before it lands — the
+    production intake shape where dedup happens once at ingest instead
+    of as corpus-wide sweeps over already-landed duplicates.
+
+    Store layout (all keyed parquet, upserted per batch):
+
+    - ``landed/``    (doc_id, text) — surviving documents;
+    - ``index/``     (doc_id, _d, sh) — digest + distinct-shingle probe
+      index of the landed docs (operators/dedup.doc_index);
+    - ``sigindex/``  (doc_id, band_id, band_sig) — their banded minhash
+      signatures;
+    - ``decisions/`` (doc_id, decision, matched_id) — one row for EVERY
+      arriving doc, including in-batch exact-collapsed members;
+    - ``clusters/``  (doc_id, cluster_id) — the minhash_cluster twin: a
+      row per doc that participates in any dup relation, labeled with
+      the min member id of its (transitive) cluster.
 
     Per micro-batch (foreachBatch, batch semantics inside):
 
-    1. collapse exact dups WITHIN the batch (content digest, min
-       doc_id survives — deterministic under replay);
-    2. decide each doc against the landed store via the SHARED batch
-       core (operators/dedup.incremental_dedup_decisions): digest
-       equi-join for exact dups, banded minhash probe + exact-Jaccard
-       verify for near dups — the store is only ever PROBED on
-       equi-keys, never rescanned;
-    3. land survivors ('new') into ``store_dir``/landed and append
-       their decisions to ``store_dir``/decisions, both through the
-       first-wins keyed upsert (sinks.upsert_parquet) so a replayed
-       micro-batch (restart, at-least-once source) re-derives the same
-       decisions and changes nothing.
+    1. collapse exact dups WITHIN the batch (content digest, min doc_id
+       survives — deterministic under replay); collapsed members get an
+       ('exact_dup', in-batch survivor id) decision row, so the
+       decisions ledger accounts for every arriving doc;
+    2. decide each representative against the landed store by PROBING
+       the persisted index: digest equi-join on ``index._d``, banded
+       signatures equi-join on ``sigindex``, exact-Jaccard verify
+       against ``index.sh`` (operators/dedup.incremental_probe) —
+       minhash/shingles are computed for the BATCH only, so per-batch
+       cost tracks batch size, never store size;
+    3. upsert the decisions, land survivors ('new') into ``landed/``
+       and append their index + signature rows — all first-wins keyed
+       upserts, so a replayed micro-batch (restart, at-least-once
+       source) re-derives the same decisions and changes nothing;
+    4. maintain ``clusters/``: every verified (incoming, landed) pair —
+       near or exact — becomes an edge (node, current cluster label of
+       the landed side); a batch-sized connected-components pass
+       (imp_dedup.cc_edge_list) merges the touched clusters, existing
+       member rows of merged clusters are relabeled, and the incoming
+       docs get their labels. Labels are min member ids, so three
+       micro-batches building a transitive cluster converge to exactly
+       the batch minhash_cluster labels on the union (pinned in
+       tests/test_streaming.py).
 
     Arrival-order semantics, stated honestly: a near-dup pair split
     across batches keeps the EARLIER-ARRIVED member (the batch twin
     keeps min landed id); two near-dup docs inside ONE batch both land
     unless byte-identical — at scale the in-batch near-dup pass is the
     batch LSH (minhash_cluster) over the batch alone, elided here to
-    keep the store probe the focus. The landed store at 100 TB is a
-    partitioned table keyed like the probe (band signature / digest),
-    so per-batch cost tracks batch size, not corpus size.
+    keep the store probe the focus. Cluster visibility follows the same
+    rule: edges are only seen against LANDED docs, so a chain that runs
+    exclusively through dropped (never-landed) members is not observed.
+    At 100 TB the stores are partitioned tables keyed like their probes
+    (digest / band signature / cluster id).
     """
     import os
 
-    from eurovision_spark.operators.dedup import incremental_dedup_decisions
+    from eurovision_spark.operators.dedup import (
+        _minhash_signatures,
+        assemble_decisions,
+        banded_signatures,
+        doc_index,
+        incremental_probe,
+    )
+    from eurovision_spark.operators.imp_dedup import cc_edge_list
     from eurovision_spark.sinks import upsert_parquet
 
     landed_dir = os.path.join(store_dir, "landed")
+    index_dir = os.path.join(store_dir, "index")
+    sigindex_dir = os.path.join(store_dir, "sigindex")
     decisions_dir = os.path.join(store_dir, "decisions")
+    clusters_dir = os.path.join(store_dir, "clusters")
     schema = spark.read.parquet(docs_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -586,30 +622,109 @@ def stream_incremental_dedup(
         .select("doc_id", "text")
     )
 
+    def _read_or_empty(path: str, ddl: str) -> DataFrame:
+        if os.path.exists(path):
+            return spark.read.parquet(path)
+        return spark.createDataFrame([], ddl)
+
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        batch = batch_df.groupBy(F.md5("text").alias("_d")).agg(
+        grouped = batch_df.groupBy(F.md5("text").alias("_d")).agg(
             F.min_by(F.struct("doc_id", "text"), F.col("doc_id")).alias("_r")
         ).select("_r.doc_id", "_r.text")
-        if not os.path.exists(landed_dir):
-            ex = spark.createDataFrame([], "doc_id bigint, text string")
-        else:
-            ex = spark.read.parquet(landed_dir)
-        decisions = incremental_dedup_decisions(batch, ex)
+        # the collapsed members' ledger rows: exact_dup of the in-batch
+        # survivor (they never probe the store — their text already did)
+        rep_of = batch_df.select("doc_id", F.md5("text").alias("_d")).join(
+            grouped.select(F.col("doc_id").alias("_rep"), F.md5("text").alias("_d")),
+            "_d",
+        )
+        collapsed = rep_of.filter(F.col("doc_id") != F.col("_rep")).select(
+            "doc_id",
+            F.lit("exact_dup").alias("decision"),
+            F.col("_rep").cast("bigint").alias("matched_id"),
+        )
+        batch = grouped.localCheckpoint()  # decisions + landing + index share it
+        ex_idx = _read_or_empty(index_dir, "doc_id bigint, _d string, sh array<string>")
+        ex_bands = _read_or_empty(
+            sigindex_dir, "doc_id bigint, band_id int, band_sig string"
+        )
+        inc_idx = doc_index(batch).localCheckpoint()
+        inc_bands = banded_signatures(_minhash_signatures(batch)).localCheckpoint()
+        exact, near_pairs = incremental_probe(inc_idx, inc_bands, ex_idx, ex_bands)
+        near_pairs = near_pairs.localCheckpoint()
+        exact = exact.localCheckpoint()
+        decisions = assemble_decisions(batch, exact, near_pairs).unionByName(collapsed)
         # decisions FIRST, survivors second — and survivors re-read the
         # decisions STORE rather than the in-flight plan. Order matters:
-        # the decisions plan lazily scans landed_dir, and rewriting that
-        # store first would invalidate any cache of the plan (the file
-        # listing changes), silently re-deciding the batch against a
-        # store that already contains it (every 'new' doc would then
-        # exact-dup itself).
+        # the decisions plan lazily scans the index stores, and
+        # rewriting them first would invalidate any cache of the plan
+        # (the file listing changes), silently re-deciding the batch
+        # against a store that already contains it (every 'new' doc
+        # would then exact-dup itself).
         upsert_parquet(decisions, decisions_dir, ["doc_id"], keep="existing")
-        survivors = batch.join(
+        new_ids = (
             spark.read.parquet(decisions_dir)
             .filter(F.col("decision") == "new")
-            .select("doc_id"),
-            "doc_id",
+            .select("doc_id")
         )
-        upsert_parquet(survivors, landed_dir, ["doc_id"], keep="existing")
+        upsert_parquet(batch.join(new_ids, "doc_id"), landed_dir, ["doc_id"], keep="existing")
+        upsert_parquet(inc_idx.join(new_ids, "doc_id"), index_dir, ["doc_id"], keep="existing")
+        upsert_parquet(
+            inc_bands.join(new_ids, "doc_id"),
+            sigindex_dir,
+            ["doc_id", "band_id"],
+            keep="existing",
+        )
+        # --- cluster maintenance (batch-sized + touched clusters only) ---
+        # edges: verified near pairs + exact matches vs the landed store
+        # + the in-batch exact collapses (batch CC on the union would see
+        # the identical-text edge, so the twin must too — the chain
+        # member -> in-batch rep -> landed match resolves transitively in
+        # the same mini-CC). Self-pairs only arise on REPLAY (the batch
+        # is already in the index and matches itself) — filtered so a
+        # replay can't fabricate self-cluster rows.
+        dup_pairs = (
+            near_pairs.unionByName(
+                exact.select(
+                    F.col("doc_id").alias("inc_id"), F.col("exact_id").alias("ex_id")
+                )
+            )
+            .unionByName(
+                collapsed.select(
+                    F.col("doc_id").alias("inc_id"), F.col("matched_id").alias("ex_id")
+                )
+            )
+            .filter(F.col("inc_id") != F.col("ex_id"))
+            .distinct()
+        )
+        if dup_pairs.isEmpty():
+            return
+        cl = _read_or_empty(clusters_dir, "doc_id bigint, cluster_id bigint")
+        # current label of each matched landed doc (itself if unlabeled)
+        old = dup_pairs.join(
+            cl.select(F.col("doc_id").alias("ex_id"), "cluster_id"), "ex_id", "left"
+        ).select(
+            "inc_id",
+            "ex_id",
+            F.coalesce("cluster_id", F.col("ex_id")).alias("old_cid"),
+        )
+        edges = old.select(F.col("inc_id").alias("a"), F.col("old_cid").alias("b")).unionByName(
+            old.select(F.col("ex_id").alias("a"), F.col("old_cid").alias("b"))
+        )
+        labels = cc_edge_list(edges, "a", "b")  # (node, comp): min member id
+        # relabel every existing member of a touched cluster, then add
+        # rows for the nodes themselves (incoming docs + newly-labeled
+        # landed docs). Deterministic under replay: same edges -> same
+        # labels, so incoming-wins upserts are idempotent.
+        relabeled = cl.join(
+            labels.select(F.col("node").alias("cluster_id"), "comp"), "cluster_id"
+        ).select("doc_id", F.col("comp").alias("cluster_id"))
+        node_rows = labels.select(
+            F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+        )
+        updates = relabeled.unionByName(node_rows).groupBy("doc_id").agg(
+            F.min("cluster_id").alias("cluster_id")
+        )
+        upsert_parquet(updates, clusters_dir, ["doc_id"], keep="updates")
 
     return (
         stream.writeStream.foreachBatch(_process)

@@ -487,3 +487,37 @@ def test_bpe_marker_char_in_corpus_text_cannot_break_anchoring(spark):
     )
     got = {r.w: r.n for r in df.collect()}
     assert got == {w: py_tokens(w) for w in words}
+
+
+def test_cc_edge_list_converges_on_long_chains_and_odd_shapes(spark):
+    """Pointer doubling makes cc_edge_list O(log diameter): a path graph
+    whose diameter (200) far exceeds max_iter (15) must still converge —
+    the r04 verdict's 'raise and go home' residual. Also pins a mixed
+    forest: chain + clique + isolated edge resolve to per-component min
+    labels."""
+    from eurovision_spark.operators.imp_dedup import cc_edge_list
+
+    n = 201  # path 0-1-2-...-200: diameter 200 >> max_iter 15
+    chain = [(i, i + 1) for i in range(n - 1)]
+    clique = [(a, b) for a in range(1000, 1005) for b in range(a + 1, 1005)]
+    extra = [(5000, 6000)]
+    edges = spark.createDataFrame(chain + clique + extra, "s bigint, d bigint")
+    got = {r.node: r.comp for r in cc_edge_list(edges, "s", "d").collect()}
+    assert {r for r in got} == set(range(n)) | set(range(1000, 1005)) | {5000, 6000}
+    assert all(got[i] == 0 for i in range(n))
+    assert all(got[i] == 1000 for i in range(1000, 1005))
+    assert got[5000] == 5000  # isolated edge: min(5000, 6000)
+    assert got[6000] == 5000
+
+
+def test_cc_edge_list_empty_and_single_edge(spark):
+    """Degenerate shapes: an empty edge list returns zero rows without
+    erroring (the NULL-sum fixpoint guard), and a single edge labels
+    both endpoints with the min."""
+    from eurovision_spark.operators.imp_dedup import cc_edge_list
+
+    empty = spark.createDataFrame([], "s bigint, d bigint")
+    assert cc_edge_list(empty, "s", "d").count() == 0
+    one = spark.createDataFrame([(7, 3)], "s bigint, d bigint")
+    got = {r.node: r.comp for r in cc_edge_list(one, "s", "d").collect()}
+    assert got == {7: 3, 3: 3}

@@ -709,3 +709,133 @@ def test_stream_vector_dedup_probes_growing_store(spark, tmp_path):
     landed = {r.vec_id for r in spark.read.parquet(str(store / "landed")).collect()}
     assert landed == {1, 2, 101}
     assert spark.read.parquet(str(store / "decisions")).count() == 4
+
+
+def test_stream_cluster_store_matches_batch_minhash_cluster(spark, tmp_path):
+    """The clusters/ store is the streaming twin of minhash_cluster's
+    output: three micro-batches build one transitive duplicate cluster
+    (near-dups, exact dups, an in-batch exact collapse, and a LATER-
+    arriving smaller id that must relabel every already-stored member),
+    and the final labels must equal the batch machinery
+    (verified_near_edges + cc_edge_list) run on the union of all
+    arrived docs. Also pins the r04 advice item: in-batch collapsed
+    members get their own ('exact_dup', in-batch survivor) ledger row,
+    so the decisions store accounts for every arriving doc."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from eurovision_spark.operators.dedup import verified_near_edges
+    from eurovision_spark.operators.imp_dedup import cc_edge_list
+    from eurovision_spark.streaming.ingest import stream_incremental_dedup
+
+    docs_dir = tmp_path / "docs_in"
+    docs_dir.mkdir()
+    store = tmp_path / "store"
+
+    x = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    unrelated = "one two three four five six seven eight nine ten eleven twelve"
+    waves = {
+        "w1": [(5, x), (9, unrelated)],
+        "w2": [(3, x), (7, x + " perturbed")],
+        "w3": [(0, x), (8, x + " perturbed"), (80, x + " perturbed")],
+    }
+
+    def write_wave(name):
+        spark.createDataFrame(
+            [(i, t, len(t)) for i, t in waves[name]],
+            "doc_id bigint, text string, n_chars int",
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = next((tmp_path / name).glob("part-*.parquet"))
+        shutil.copy(part, docs_dir / f"{name}.parquet")
+
+    write_wave("w1")
+    q = stream_incremental_dedup(spark, str(docs_dir), str(store), str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+        write_wave("w2")
+        q.processAllAvailable()
+        write_wave("w3")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.doc_id: r.cluster_id
+        for r in spark.read.parquet(str(store / "clusters")).collect()
+    }
+    # batch ground truth: the minhash_cluster machinery on the union
+    union = spark.createDataFrame(
+        [(i, t) for rows in waves.values() for i, t in rows],
+        "doc_id bigint, text string",
+    )
+    want = {
+        r.node: r.comp
+        for r in cc_edge_list(
+            verified_near_edges(union), "doc_id_1", "doc_id_2"
+        ).collect()
+    }
+    assert got == want, (got, want)
+    assert set(got) == {0, 3, 5, 7, 8, 80} and set(got.values()) == {0}
+    assert 9 not in got  # singletons get no cluster row, as in the batch op
+
+    # every arriving doc has a ledger row; the in-batch collapsed member
+    # points at its in-batch survivor
+    decisions = {
+        r.doc_id: (r.decision, r.matched_id)
+        for r in spark.read.parquet(str(store / "decisions")).collect()
+    }
+    assert decisions[80] == ("exact_dup", 8)
+    assert decisions[0] == ("exact_dup", 5)
+    assert decisions[8] == ("near_dup", 5)
+    assert decisions[3] == ("exact_dup", 5)
+    assert decisions[7] == ("near_dup", 5)
+    assert decisions[5] == ("new", None) and decisions[9] == ("new", None)
+    # the persisted probe indexes hold exactly the landed survivors
+    assert {
+        r.doc_id for r in spark.read.parquet(str(store / "index")).collect()
+    } == {5, 9}
+    assert {
+        r.doc_id for r in spark.read.parquet(str(store / "sigindex")).collect()
+    } == {5, 9}
+
+
+def test_stream_cluster_store_replay_stable(spark, tmp_path):
+    """Replaying a micro-batch (at-least-once delivery) must leave the
+    cluster store byte-identical: the batch's own docs are already in
+    the landed index on replay, and the self-match guard keeps the
+    re-derived pairs from fabricating self-cluster rows."""
+    import shutil
+
+    from eurovision_spark.streaming.ingest import stream_incremental_dedup
+
+    docs_dir = tmp_path / "docs_in"
+    docs_dir.mkdir()
+    store = tmp_path / "store"
+    x = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+
+    def write_wave(name, rows):
+        spark.createDataFrame(
+            [(i, t, len(t)) for i, t in rows],
+            "doc_id bigint, text string, n_chars int",
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = next((tmp_path / name).glob("part-*.parquet"))
+        shutil.copy(part, docs_dir / f"{name}.parquet")
+
+    write_wave("w1", [(1, x)])
+    q = stream_incremental_dedup(spark, str(docs_dir), str(store), str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+        write_wave("w2", [(100, x + " perturbed")])
+        q.processAllAvailable()
+        write_wave("w2_replay", [(100, x + " perturbed")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    clusters = {
+        (r.doc_id, r.cluster_id)
+        for r in spark.read.parquet(str(store / "clusters")).collect()
+    }
+    assert clusters == {(1, 1), (100, 1)}
+    assert spark.read.parquet(str(store / "clusters")).count() == 2
