@@ -1132,37 +1132,87 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "distinct_users_approx",
-    None,  # sketches are engine-specific: rows-only check by design
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           TRUE AS approx_err_le_10pct
+    FROM events GROUP BY event_type
+    """,
     "HyperLogLog++ approximate distinct count — THE 100 TB formulation "
-    "of distinct_users: fixed-size mergeable sketches, one pass, ~2% "
-    "default error. No DuckDB oracle on purpose (sketch estimates are "
-    "engine-specific); the exact twin distinct_users carries the hash "
-    "gate, and the test below bounds this one against it.",
-    driver=False,  # rows-only by design: registry-gated, bounded vs exact twin in pytest
+    "of distinct_users: fixed-size mergeable sketches, one pass, ~5% "
+    "default rsd. The sketch ESTIMATE is engine-specific, so the "
+    "machine gate is a deterministic-bound oracle: the query computes "
+    "the sketch AND the exact count in one aggregation and emits the "
+    "in-SQL claim |hll - exact| <= 10% * exact (2x the configured rsd; "
+    "measured max 6.7% across sf0.001-0.1, deterministic per dataset); "
+    "the oracle asserts the claim must hold (TRUE) and hash-checks the "
+    "exact values, so a sketch regression or a broken bound FAILS the "
+    "row instead of hiding behind a rows-only check.",
+    driver=False,  # registry-gated: bounded-oracle row + magnitude pytest
 )
 def distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").cast("bigint").alias("n_users_approx"),
-        F.count("*").alias("n_events"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("_a"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            "n_events",
+            (
+                F.abs(F.col("_a") - F.col("n_users"))
+                <= 0.10 * F.col("n_users")
+            ).alias("approx_err_le_10pct"),
+        )
     )
 
 
 @register(
     "percentile_prices_approx",
-    None,  # rows-only: t-digest estimates are engine-specific
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           CAST(count(*) AS BIGINT) AS n,
+           TRUE AS approx_err_le_1pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
     "approx_percentile (t-digest) — the single-pass mergeable-sketch "
     "form of percentile_prices for 100 TB; accuracy parameter 10000. "
-    "Exact twin percentile_prices carries the hash gate; the test "
-    "bounds the relative error.",
-    driver=False,  # rows-only by design: registry-gated, bounded vs exact twin in pytest
+    "Same deterministic-bound oracle shape as distinct_users_approx: "
+    "the query computes sketch + exact percentiles together and emits "
+    "the in-SQL claim that both the median and p90 estimates sit "
+    "within 1% relative error of exact (measured max 0.1% across "
+    "sf0.001-0.1); the oracle asserts TRUE and hash-checks the exact "
+    "values.",
+    driver=False,  # registry-gated: bounded-oracle row + magnitude pytest
 )
 def percentile_prices_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("median_approx"),
-        F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("p90_approx"),
-        F.count("*").alias("n"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("_am"),
+            F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("_ap"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("_em"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("_ep"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("_em"), 4).alias("median_price"),
+            F.round(F.col("_ep"), 4).alias("p90_price"),
+            "n",
+            (
+                (F.abs(F.col("_am") - F.col("_em")) <= 0.01 * F.abs(F.col("_em")))
+                & (F.abs(F.col("_ap") - F.col("_ep")) <= 0.01 * F.abs(F.col("_ep")))
+            ).alias("approx_err_le_1pct"),
+        )
     )
 
 

@@ -45,25 +45,42 @@ def test_query_matches_oracle(spark, sf_dir, duck, name, spec):
 
 
 def test_approx_variants_bounded_by_exact(spark):
-    """The sketch queries (rows-only in the driver gate) are bounded
-    here against their exact twins: HLL++ within 5%, t-digest within
-    1% at sf0.001."""
+    """The sketch queries carry deterministic-bound oracles (the in-SQL
+    claim column hash-gated at every sf); this test additionally pins
+    the raw MAGNITUDES at sf0.001 — the sketches recomputed inline must
+    sit within the documented bounds of the exact twins, and every
+    bound-claim column must be True (a False would also hash-fail the
+    oracle row, but failing here names the offending group)."""
+    from pyspark.sql import functions as F
+
     from eurovision_spark.catalog import registry
+    from eurovision_spark.sources import load_table
 
     r = registry()
     sf = "/root/testdata/sf0.001"
+    rows = r["distinct_users_approx"].fn(spark, sf).collect()
+    assert rows and all(x.approx_err_le_10pct for x in rows)
     exact = {x.event_type: x.n_users for x in r["distinct_users"].fn(spark, sf).collect()}
-    approx = {
-        x.event_type: x.n_users_approx
-        for x in r["distinct_users_approx"].fn(spark, sf).collect()
+    assert {x.event_type: x.n_users for x in rows} == exact
+    hll = {
+        x.event_type: x.a
+        for x in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("a"))
+        .collect()
     }
     for k in exact:
-        assert abs(approx[k] - exact[k]) <= max(2, 0.05 * exact[k])
+        assert abs(hll[k] - exact[k]) <= max(2, 0.10 * exact[k])
 
+    prow = r["percentile_prices_approx"].fn(spark, sf).collect()
+    assert prow and all(x.approx_err_le_1pct for x in prow)
     pe = {x.l_returnflag: x.median_price for x in r["percentile_prices"].fn(spark, sf).collect()}
     pa = {
-        x.l_returnflag: x.median_approx
-        for x in r["percentile_prices_approx"].fn(spark, sf).collect()
+        x.l_returnflag: x.a
+        for x in load_table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("a"))
+        .collect()
     }
     for k in pe:
         assert abs(pa[k] - pe[k]) / pe[k] < 0.01
