@@ -523,33 +523,17 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "true-duplicate density, the only formulation that survives 100 TB.",
 )
 def minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the shared one-tokenize edge machinery (near_edges_plan, defined
+    # below): candidates, signatures, and both verify sides all derive
+    # from ONE cached distinct-shingle frame; no threshold here — the
+    # driver twin emits every candidate's exact jaccard. Checkpointing
+    # materializes the (small) pair list so the shingle cache releases
+    # before return; fn-eager work stays inside bench's timed section.
     docs = docs_with_copies(spark, sf_dir)
-    pairs = _lsh_candidate_pairs(_minhash_signatures(docs))
-    # repartition BEFORE building shingle sets: the parquet arrives in
-    # one coarse split, and without the spread the whole verification
-    # stage (shingle build + set ops) runs on a single core — measured
-    # 10s -> 1s at sf0.1
-    sets = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
-        # two-step projection: split once, then shingle (see _minhash_signatures)
-        .select("doc_id", tokens(F.lower(F.col("text"))).alias("_toks"))
-        .select("doc_id", F.array_distinct(shingles(F.col("_toks"))).alias("sh"))
-    )
-    s1 = sets.select(F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1"))
-    s2 = sets.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2"))
-    union_size = F.size(F.array_distinct(F.concat("sh1", "sh2")))
-    return (
-        s1.join(F.broadcast(pairs), "doc_id_1")
-        .join(s2.hint("shuffle_hash"), "doc_id_2")
-        .filter(union_size > 0)
-        .select(
-            "doc_id_1",
-            "doc_id_2",
-            F.round(
-                F.size(F.array_intersect("sh1", "sh2")).cast("double") / union_size, 6
-            ).alias("jaccard"),
-        )
-    )
+    pairs, sets = near_edges_plan(docs, threshold=None, with_jaccard=True)
+    out = pairs.localCheckpoint()
+    sets.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -613,22 +597,20 @@ def minhash_from_shingles(sh: Column) -> Column:
     )
 
 
-def verified_near_edges(docs: DataFrame) -> DataFrame:
-    """(doc_id_1 < doc_id_2) VERIFIED near-dup edges for a
-    (doc_id, text) corpus: LSH banded candidates, then exact word-3-gram
-    Jaccard >= CLUSTER_JACCARD_T. The verification joins mirror
-    minhash_lsh_jaccard: broadcast the (small) candidate set against the
-    corpus shingle sets so the corpus never reshuffles for verification.
-    Shared by minhash_cluster and dedup_pipeline.
-
-    The distinct-shingle frame is computed ONCE and cached — signatures,
-    and both verification sides all derive from it, so tokenize+shingle
-    runs one time per doc instead of three (signatures over DISTINCT
-    shingles are identical: min over a set == min over its multiset).
-    At 100 TB this cache is the in-flight shingle index a dedup pass
-    would materialize to parquet anyway (incremental_dedup persists
-    exactly this shape across batches); MEMORY_AND_DISK persist is the
-    single-pass stand-in."""
+def near_edges_plan(
+    docs: DataFrame,
+    threshold: float | None = None,
+    with_jaccard: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """The UNMATERIALIZED verified-near-edge plan (edges, sets): LSH
+    banded candidates over a shared cached distinct-shingle frame, then
+    exact word-3-gram Jaccard — filtered to ``>= threshold`` when one
+    is given, with the jaccard value emitted when ``with_jaccard``.
+    Split out so the plan-shape tests can assert on the pipeline itself
+    — the public :func:`verified_near_edges` checkpoints it into a
+    leaf, which hides the joins from the end-query explain — and so
+    ``minhash_lsh_jaccard`` (no threshold, value emitted) shares the
+    one-tokenize machinery."""
     spark = docs.sparkSession
     sets = (
         docs.repartition(spark.sparkContext.defaultParallelism)
@@ -649,18 +631,42 @@ def verified_near_edges(docs: DataFrame) -> DataFrame:
     s2 = sets.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2"))
     union_size = F.size(F.array_distinct(F.concat("sh1", "sh2")))
     jaccard = F.size(F.array_intersect("sh1", "sh2")).cast("double") / union_size
-    edges = (
+    verified = (
         s1.join(F.broadcast(pairs), "doc_id_1")
         .join(s2.hint("shuffle_hash"), "doc_id_2")
-        .filter((union_size > 0) & (jaccard >= CLUSTER_JACCARD_T))
-        .select("doc_id_1", "doc_id_2")
+        .filter(
+            (union_size > 0) & (jaccard >= threshold)
+            if threshold is not None
+            else (union_size > 0)
+        )
     )
-    # materialize the (id-only, tiny) edge list NOW — localCheckpoint
-    # both stores it and TRUNCATES lineage, so every downstream CC-round
-    # and assembly action plans against a leaf instead of re-analyzing
-    # the whole LSH+verify tree (driver-side analysis of that tree was
-    # costing more than some of the actions themselves); it also lets
-    # the shingle cache go before returning
+    cols = ["doc_id_1", "doc_id_2"]
+    if with_jaccard:
+        cols.append(F.round(jaccard, 6).alias("jaccard"))
+    return verified.select(*cols), sets
+
+
+def verified_near_edges(docs: DataFrame) -> DataFrame:
+    """(doc_id_1 < doc_id_2) VERIFIED near-dup edges for a
+    (doc_id, text) corpus, materialized as a plan LEAF. The verification
+    joins mirror minhash_lsh_jaccard: broadcast the (small) candidate
+    set against the corpus shingle sets so the corpus never reshuffles
+    for verification. Shared by minhash_cluster and dedup_pipeline.
+
+    The distinct-shingle frame is computed ONCE and cached — signatures
+    and both verification sides all derive from it, so tokenize+shingle
+    runs one time per doc instead of three (signatures over DISTINCT
+    shingles are identical: min over a set == min over its multiset).
+    At 100 TB this cache is the in-flight shingle index a dedup pass
+    would materialize to parquet anyway (incremental_dedup persists
+    exactly this shape across batches); MEMORY_AND_DISK persist is the
+    single-pass stand-in. The (id-only, tiny) edge list materializes
+    via localCheckpoint — storing AND truncating lineage, so every
+    downstream CC-round and assembly action plans against a leaf
+    instead of re-analyzing the whole LSH+verify tree (driver-side
+    analysis of that tree was costing more than some of the actions
+    themselves) — and the shingle cache is released before returning."""
+    edges, sets = near_edges_plan(docs, threshold=CLUSTER_JACCARD_T)
     edges = edges.localCheckpoint()
     sets.unpersist()
     return edges

@@ -436,14 +436,14 @@ def _maxmin_seed(x, k: int):
     return x[idx].copy()
 
 
-def _lloyd(mat) -> list[list[float]]:
+def _lloyd(mat, k: int | None = None) -> list[list[float]]:
     """Deterministic spherical k-means on the (≤4096-row) training
     sample: float64, farthest-first (k-means++-style) seeding, fixed
     iteration count, fixed argmax tie-break (lowest index), per-step
     rounding so the result is bit-stable across processes/BLAS thread
-    counts. Returns ≤K_CENTROIDS unit-norm centroids rounded to 9
-    decimals — the codebook BOTH engines consume (Spark as a broadcast
-    row, DuckDB as literals)."""
+    counts. Returns ≤k (default K_CENTROIDS) unit-norm centroids
+    rounded to 9 decimals — the codebook BOTH engines consume (Spark as
+    a broadcast row, DuckDB as literals)."""
     import numpy as np
 
     def _unit(m):
@@ -456,7 +456,7 @@ def _lloyd(mat) -> list[list[float]]:
 
     x = np.asarray(mat, dtype=np.float64)
     x = _unit(x)
-    k = min(K_CENTROIDS, len(x))
+    k = min(k or K_CENTROIDS, len(x))
     # on the unit sphere euclidean d² = 2 - 2cos, so the maxmin seed is
     # equivalently the farthest-in-angle traversal
     c = _maxmin_seed(x, k)
@@ -672,12 +672,37 @@ def cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are bit-identical across engines); random 64-dim corpus vectors never
 # approach it.
 SEM_DUP_T = 0.99
+# semantic_dedup cell-population target: k adapts so within-cell pair
+# work stays ~O(n * SEM_TARGET_CELL) instead of O(n²/k_fixed). The
+# formula is shared by both engines and floors at K_CENTROIDS, so at
+# every verify scale (≤ 4,000 planted vectors) k is still exactly 64
+# and the oracle hashes are unchanged; the x10 scaling tier (40,000
+# planted) is where the fixed k measured a 78x blow-up before this.
+SEM_TARGET_CELL = 64
+
+
+def sem_k(n_planted: int) -> int:
+    """Adaptive cell count for semantic_dedup: ~SEM_TARGET_CELL vectors
+    per cell, floored at K_CENTROIDS, capped at the training-sample
+    size (a codebook can't have more centroids than sample rows)."""
+    return min(IVF_SAMPLE, max(K_CENTROIDS, n_planted // SEM_TARGET_CELL))
 
 
 def _sem_oracle(sf_dir: str) -> str:
-    """Dynamic oracle: same codebook literals as cosine_ivf, with the
-    planted scaled copies added before assignment."""
-    cents = ivf_codebook(sf_dir)
+    """Dynamic oracle: same codebook literals as the Spark side (same
+    sample, same adaptive k), with the planted scaled copies added
+    before assignment."""
+    import duckdb
+
+    con = duckdb.connect()
+    n_raw = con.execute(
+        f"""
+        SELECT count(*) FROM read_parquet('{sf_dir}/embeddings.parquet')
+        WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+        """
+    ).fetchone()[0]
+    con.close()
+    cents = _lloyd(ivf_sample(sf_dir), sem_k(2 * n_raw))
     values = ",\n          ".join(
         f"({i}, [{', '.join(repr(v) for v in row)}]::DOUBLE[])"
         for i, row in enumerate(cents)
@@ -729,10 +754,11 @@ def _sem_oracle(sf_dir: str) -> str:
     "each pair's exact cosine is verified JVM-side, and a vector is "
     "DROPPED when a near-identical (cos >= 0.99) cell-mate with a "
     "smaller id exists — keeper = that smallest cell-mate, the "
-    "deterministic 'keep one representative' rule. At 100 TB, k grows "
-    "with the corpus (k ≈ n/target_cell) so per-cell work stays "
-    "bounded; cells are the IVF inverted lists, so this shares its "
-    "partitioning with the ANN index. Planted ×2-scaled copies (exact "
+    "deterministic 'keep one representative' rule. k GROWS with the "
+    "corpus (sem_k: ~64 vectors/cell, floored at 64 cells — the x10 "
+    "scaling tier measured the fixed-k variant blowing up 78x before "
+    "this) so per-cell work stays bounded; cells are the IVF inverted "
+    "lists, so this shares its partitioning with the ANN index. Planted ×2-scaled copies (exact "
     "direction match) must each drop against their original (pinned in "
     "tests/test_pipeline_ops.py). Oracle: same codebook inlined as "
     "literals, built at check time.",
@@ -747,7 +773,11 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(l2norm(F.col("v")) > 0)
     )
     # codebook from the ORIGINAL corpus only (the oracle builder reads
-    # the parquet directly), trained exactly as in cosine_ivf
+    # the parquet directly), trained as in cosine_ivf but with the
+    # ADAPTIVE cell count: k tracks corpus size so per-cell population
+    # — and with it the within-cell pair verification — stays bounded
+    # (one tiny count action; at real scale this comes from table stats)
+    n_raw = raw.count()
     cent_key = md5_long(F.concat(F.lit("cent-"), F.col("vec_id").cast("string")))
     sample = (
         raw.orderBy(cent_key.asc(), F.col("vec_id").asc())
@@ -755,7 +785,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("v")
         .collect()
     )
-    codebook = _lloyd([r.v for r in sample])
+    codebook = _lloyd([r.v for r in sample], sem_k(2 * n_raw))
     cents = spark.createDataFrame(
         [(i, row) for i, row in enumerate(codebook)],
         "cent_id bigint, cv array<double>",

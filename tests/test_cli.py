@@ -110,7 +110,10 @@ def test_cli_list_enumerates_catalog(capsys):
     out = capsys.readouterr().out
     for name in registry():
         assert name in out
-    assert "[rows-only]" in out  # the sketch queries are flagged
+    # r05: the sketch queries gained deterministic-bound oracles, so
+    # NOTHING in the catalog is rows-only anymore (the CLI tag logic
+    # stays, for any future un-oracled entry)
+    assert "[rows-only]" not in out
 
     assert main(["list", "--filter", "pii"]) == 0
     out = capsys.readouterr().out

@@ -585,6 +585,26 @@ def test_dedup_tier_joins_stay_equi(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_verified_near_edge_pipeline_stays_equi(spark):
+    """minhash_cluster / dedup_pipeline now checkpoint the verified
+    edge list into a leaf (their end-query explain no longer shows the
+    candidate-generation joins), so the no-cartesian / broadcast-
+    candidate properties are asserted on the edge PIPELINE plan
+    itself."""
+    from eurovision_spark.operators.dedup import docs_with_copies, near_edges_plan
+
+    edges, sets = near_edges_plan(docs_with_copies(spark, SF_DIR))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        edges.explain("formatted")
+    plan = buf.getvalue()
+    sets.unpersist()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # candidate set broadcasts
+    assert plan.count("Exchange") >= 1  # the one banded bucket shuffle
+
+
 def test_bucketed_signature_store_probe_is_exchange_free(spark, tmp_path):
     """The incremental-dedup signature store, written bucketed on
     band_sig, joins arriving band signatures with ZERO exchange on the

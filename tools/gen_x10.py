@@ -1,0 +1,111 @@
+"""Generate the x10 scaling tier: documents + embeddings at 10x sf0.1.
+
+Usage: python tools/gen_x10.py  (writes /root/repo/testdata_x10/*.parquet)
+
+The driver's testdata tops out at sf0.1 (5,000 docs / 2,000 vectors) —
+a 100x range over sf0.001. The dedup/ANN tier's "overhead-bound, not
+data-bound" claim deserves a longer lever, so this builds a 1000x-range
+endpoint for the two tables those queries read: 50,000 documents and
+20,000 embeddings with the SAME distributions as the driver data
+(vocab, language/source mix, word-count profile, unit-norm isotropic
+vectors, 10 labels) but fresh content — naive duplication of sf0.1
+would plant 10 exact copies of every doc and quadratically inflate the
+LSH bucket pair counts, distorting exactly the queries being measured.
+
+Deterministic: text words come from md5 draws keyed by (doc, position);
+embeddings from a fixed-seed numpy Generator. Idempotent: rerunning
+rewrites identical files.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SRC = "/root/testdata/sf0.1"
+OUT = Path(__file__).resolve().parent.parent / "testdata_x10"
+FACTOR = 10
+
+
+def main() -> None:
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    OUT.mkdir(exist_ok=True)
+    con = duckdb.connect()
+    base = con.execute(
+        f"SELECT lang, source, len(string_split(text, ' ')) AS n_words "
+        f"FROM '{SRC}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    vocab = [
+        r[0]
+        for r in con.execute(
+            f"SELECT DISTINCT unnest(string_split(text, ' ')) AS w "
+            f"FROM '{SRC}/documents.parquet' ORDER BY w"
+        ).fetchall()
+    ]
+    n_vecs = con.execute(
+        f"SELECT count(*) FROM '{SRC}/embeddings.parquet'"
+    ).fetchone()[0]
+    con.close()
+
+    nv = len(vocab)
+    doc_ids, texts, langs, sources, n_chars = [], [], [], [], []
+    for i in range(FACTOR * len(base)):
+        lang, source, n_words = base[i % len(base)]
+        # one md5 per doc, stretched: 16 bytes/digest, 1 byte per word
+        words = []
+        need = n_words
+        block = 0
+        while need > 0:
+            dig = hashlib.md5(f"x10-{i}-{block}".encode()).digest()
+            take = min(need, len(dig))
+            words.extend(vocab[b % nv] for b in dig[:take])
+            need -= take
+            block += 1
+        t = " ".join(words)
+        doc_ids.append(i)
+        texts.append(t)
+        langs.append(lang)
+        sources.append(source)
+        n_chars.append(len(t))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "text": texts,
+                "lang": langs,
+                "source": sources,
+                "n_chars": pa.array(n_chars, pa.int64()),
+            }
+        ),
+        OUT / "documents.parquet",
+    )
+
+    rng = np.random.default_rng(4242)
+    x = rng.normal(size=(FACTOR * n_vecs, 64))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(FACTOR * n_vecs), pa.int64()),
+                "embedding": pa.array(
+                    [row.astype(np.float32) for row in x], pa.list_(pa.float32())
+                ),
+                "label": pa.array(
+                    [int(i % 10) for i in range(FACTOR * n_vecs)], pa.int32()
+                ),
+            }
+        ),
+        OUT / "embeddings.parquet",
+    )
+    print(f"wrote {len(doc_ids)} docs, {FACTOR * n_vecs} vectors -> {OUT}")
+
+
+if __name__ == "__main__":
+    main()
