@@ -15,11 +15,12 @@ group:
   IMP lists): pack each group into one array, min-label propagation via
   higher-order functions INSIDE the array — one shuffle, zero Python,
   zero iteration jobs.
-- :func:`connected_components_any_key` (unbounded components):
-  iterative min-label propagation with DataFrame self-joins — no
-  GraphFrames dependency. Each round: per (group, key-value) compute
-  the min component label and broadcast it back; repeat to fixpoint
-  (rounds = graph diameter in "key hops").
+- :func:`connected_components_any_key` (unbounded components): a
+  star-edge reduction (per (group, key, value) set, everyone links to
+  the min entry) onto the shared edge-list engine
+  :func:`cc_edge_list` — two-hop rounds with a fused fixpoint test,
+  pointer doubling for O(log diameter) convergence, no GraphFrames
+  dependency.
 
 Survivor policy (deterministic, order-insensitive):
 - trade / product: shortest non-empty value, ties -> lexicographic min
@@ -47,42 +48,40 @@ def connected_components_any_key(
     chains of shared non-null key values within ``group_col``.
 
     ``entry_col`` must be unique within a group and orderable.
+
+    Implemented as a STAR-EDGE reduction onto :func:`cc_edge_list`: per
+    (group, key, value) co-occurrence set the min entry acts as hub and
+    every member gets one (member, hub) edge — edge count is linear in
+    the input (never pairwise within a heavy key group), components are
+    preserved (everyone sharing a value reaches everyone else through
+    the hub), and the solve inherits cc_edge_list's two-hop rounds,
+    pointer doubling (O(log diameter) — long cross-key chains converge
+    instead of raising), and lineage truncation. Nodes are
+    (group, entry) structs, so components can never leak across groups.
+    Entries with no non-null key keep their own label.
     """
-    df = entries.withColumn("comp", F.col(entry_col)).persist()
-    # labels only ever decrease, so the label sum strictly decreases
-    # until fixpoint — an O(1)-row aggregate replaces a diff self-join;
-    # each round reuses the previous round's sum (one agg per round)
-    prev_sum = df.agg(F.sum("comp")).collect()[0][0]
-    converged = False
-    for _ in range(max_iter):
-        new_df = df
-        for k in key_cols:
-            mins = (
-                new_df.filter(F.col(k).isNotNull())
-                .groupBy(group_col, k)
-                .agg(F.min("comp").alias(f"_min_{k}"))
-            )
-            new_df = new_df.join(mins, [group_col, k], "left").withColumn(
-                "comp", F.least(F.col("comp"), F.coalesce(F.col(f"_min_{k}"), F.col("comp")))
-            ).drop(f"_min_{k}")
-        new_df = new_df.persist()
-        new_sum = new_df.agg(F.sum("comp")).collect()[0][0]
-        df.unpersist()
-        df = new_df
-        if prev_sum == new_sum:
-            converged = True
-            break
-        prev_sum = new_sum
-    if not converged:
-        # silent non-convergence would split one real component into
-        # several labels — wrong output with no symptom. A chain's label
-        # needs diameter-in-key-hops rounds to propagate; surface it.
-        df.unpersist()
-        raise RuntimeError(
-            f"connected components did not converge in {max_iter} rounds "
-            "(component diameter exceeds max_iter); raise max_iter"
+    node = F.struct(F.col(group_col).alias("g"), F.col(entry_col).alias("e"))
+    parts = []
+    for k in key_cols:
+        keyed = entries.filter(F.col(k).isNotNull()).select(
+            F.col(group_col).alias("_g"),
+            F.col(k).alias("_k"),
+            node.alias("src"),
         )
-    return df
+        hubs = keyed.groupBy("_g", "_k").agg(F.min("src").alias("dst"))
+        parts.append(keyed.join(hubs, ["_g", "_k"]).select("src", "dst"))
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    labels = cc_edge_list(edges, "src", "dst", max_iter=max_iter)
+    lab = labels.select(
+        F.col("node.g").alias(group_col),
+        F.col("node.e").alias(entry_col),
+        F.col("comp.e").alias("_comp"),
+    )
+    return entries.join(lab, [group_col, entry_col], "left").withColumn(
+        "comp", F.coalesce(F.col("_comp"), F.col(entry_col))
+    ).drop("_comp")
 
 
 def cc_edge_list(
@@ -189,14 +188,17 @@ def cc_edge_list(
             # levels into the logical plan (O(rounds) plan depth,
             # O(rounds^2) analysis cost, ~10k-line explain output)
             new_labels = new_labels.localCheckpoint()
-        # ONE action reads both sums. Labels only decrease through the
-        # second hop and the jump, so sum(_mid) == sum(comp) iff hop 2
-        # changed nothing == hop fixpoint (at which point the jump is
-        # the identity); NULL == NULL (empty edge list) trivially holds
-        mid_sum, new_sum = new_labels.agg(F.sum("_mid"), F.sum("comp")).collect()[0]
+        # ONE action: count rows the second hop (or the jump) changed.
+        # Zero changes == hop fixpoint (at which point the jump is the
+        # identity); type-agnostic, so node ids may be structs (the
+        # any-key reduction uses (group, entry) nodes). NULL (empty
+        # edge list) counts as converged.
+        n_changed = new_labels.agg(
+            F.sum(F.when(F.col("_mid") != F.col("comp"), 1).otherwise(0))
+        ).collect()[0][0]
         labels.unpersist()
         labels = new_labels.select("node", "comp")
-        if mid_sum == new_sum:
+        if not n_changed:
             converged = True
             break
     edges.unpersist()

@@ -752,7 +752,12 @@ def stream_vector_dedup(
     per-batch candidate join touches only matching buckets, never the
     corpus. Single-bucket probing is the deliberately-cheap intake
     variant; batch-side semantic_dedup (k-means cells) is the deep
-    sweep."""
+    sweep. A ``clusters/`` store mirrors the document twin's: every
+    verified (incoming, landed) near pair becomes an edge against the
+    landed side's current label, a batch-sized CC merges touched
+    clusters, and stored members relabel when a smaller id arrives
+    later — labels are min member ids, transitive across micro-batches
+    (pinned in tests/test_streaming.py)."""
     import os
 
     from eurovision_spark.operators.similarity import (
@@ -765,8 +770,11 @@ def stream_vector_dedup(
     )
     from eurovision_spark.sinks import upsert_parquet
 
+    from eurovision_spark.operators.imp_dedup import cc_edge_list
+
     landed_dir = os.path.join(store_dir, "landed")
     decisions_dir = os.path.join(store_dir, "decisions")
+    clusters_dir = os.path.join(store_dir, "clusters")
     schema = spark.read.parquet(vecs_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -795,11 +803,17 @@ def stream_vector_dedup(
             "bucket",
         )
         cos = dot(F.col("v"), F.col("ev")) / (F.col("nv") * F.col("en"))
-        near = (
+        # materialized BEFORE any store write (the plan reads landed_dir;
+        # a rewrite would invalidate its file listing); the self-pair
+        # filter keeps a replayed batch — already in the store — from
+        # matching itself
+        near_pairs = (
             cand.filter(cos >= NEAR_DUP_THRESHOLD)
-            .groupBy("vec_id")
-            .agg(F.min("ex_id").alias("matched_id"))
+            .filter(F.col("vec_id") != F.col("ex_id"))
+            .select("vec_id", "ex_id")
+            .localCheckpoint()
         )
+        near = near_pairs.groupBy("vec_id").agg(F.min("ex_id").alias("matched_id"))
         decisions = (
             batch.select("vec_id")
             .join(near, "vec_id", "left")
@@ -823,6 +837,32 @@ def stream_vector_dedup(
             "vec_id",
         )
         upsert_parquet(survivors, landed_dir, ["vec_id"], keep="existing")
+        # --- cluster maintenance: the vector twin of the document path
+        if near_pairs.isEmpty():
+            return
+        if os.path.exists(clusters_dir):
+            cl = spark.read.parquet(clusters_dir)
+        else:
+            cl = spark.createDataFrame([], "vec_id bigint, cluster_id bigint")
+        old = near_pairs.join(
+            cl.select(F.col("vec_id").alias("ex_id"), "cluster_id"), "ex_id", "left"
+        ).select(
+            "vec_id", "ex_id", F.coalesce("cluster_id", F.col("ex_id")).alias("old_cid")
+        )
+        edges = old.select(F.col("vec_id").alias("a"), F.col("old_cid").alias("b")).unionByName(
+            old.select(F.col("ex_id").alias("a"), F.col("old_cid").alias("b"))
+        )
+        labels = cc_edge_list(edges, "a", "b")
+        relabeled = cl.join(
+            labels.select(F.col("node").alias("cluster_id"), "comp"), "cluster_id"
+        ).select("vec_id", F.col("comp").alias("cluster_id"))
+        node_rows = labels.select(
+            F.col("node").alias("vec_id"), F.col("comp").alias("cluster_id")
+        )
+        updates = relabeled.unionByName(node_rows).groupBy("vec_id").agg(
+            F.min("cluster_id").alias("cluster_id")
+        )
+        upsert_parquet(updates, clusters_dir, ["vec_id"], keep="updates")
 
     return (
         stream.writeStream.foreachBatch(_process)

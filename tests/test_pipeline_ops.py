@@ -521,3 +521,58 @@ def test_cc_edge_list_empty_and_single_edge(spark):
     one = spark.createDataFrame([(7, 3)], "s bigint, d bigint")
     got = {r.node: r.comp for r in cc_edge_list(one, "s", "d").collect()}
     assert got == {7: 3, 3: 3}
+
+
+def test_connected_components_any_key_star_reduction(spark):
+    """The shared-key CC variant is now a star-edge reduction onto
+    cc_edge_list: components must match a brute-force Python union-find
+    over 'shares a non-null key value within the group', cross-group
+    values must NOT connect, isolated entries keep their own label, and
+    a long cross-key chain (diameter 60 > the old per-hop budget)
+    converges via the pointer doubling instead of raising."""
+    from eurovision_spark.operators.imp_dedup import connected_components_any_key
+
+    # group A: chain e0-e1-e2-... alternating shared keys k1/k2
+    n = 61
+    rows = []
+    for i in range(n):
+        # consecutive entries alternate the key they share: (i, i+1)
+        # share k1 for even i (same i//2) and k2 for odd i
+        rows.append(("A", i, f"a{i // 2}", f"b{(i + 1) // 2}"))
+    # group B reuses THE SAME key values — must stay a separate component
+    rows += [("B", 0, "a0", None), ("B", 1, "a0", None)]
+    # isolated entry: all keys null
+    rows += [("A", 999, None, None)]
+    df = spark.createDataFrame(
+        rows, "grp string, entry bigint, k1 string, k2 string"
+    )
+    got = {
+        (r.grp, r.entry): r.comp
+        for r in connected_components_any_key(df, "grp", "entry", ["k1", "k2"]).collect()
+    }
+
+    # brute-force union-find ground truth
+    parent = {}
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb, key=lambda t: t[1])] = min(ra, rb, key=lambda t: t[1])
+    by_key = {}
+    for grp, e, k1, k2 in rows:
+        for kc, kv in (("k1", k1), ("k2", k2)):
+            if kv is not None:
+                by_key.setdefault((grp, kc, kv), []).append((grp, e))
+    for members in by_key.values():
+        for m in members[1:]:
+            union(members[0], m)
+    want = {(grp, e): find((grp, e))[1] for grp, e, _, _ in rows}
+    assert got == want
+    # the chain really is one component, separate from group B's pair
+    assert len({v for (g, _), v in got.items() if g == "A" and _ != 999}) == 1
+    assert got[("B", 0)] == 0 and got[("B", 1)] == 0
+    assert got[("A", 999)] == 999

@@ -839,3 +839,48 @@ def test_stream_cluster_store_replay_stable(spark, tmp_path):
     }
     assert clusters == {(1, 1), (100, 1)}
     assert spark.read.parquet(str(store / "clusters")).count() == 2
+
+
+def test_stream_vector_cluster_store_transitive_with_relabel(spark, tmp_path):
+    """Vector twin of the cluster store: three waves of rescaled copies
+    (cosine 1.0, scale-invariant sign buckets) build one transitive
+    cluster, and a smaller id arriving LAST must relabel the stored
+    members — labels are min member ids, mirroring the document path."""
+    import shutil
+
+    from eurovision_spark.streaming.ingest import stream_vector_dedup
+
+    vecs_dir = tmp_path / "vecs_in"
+    vecs_dir.mkdir()
+    store = tmp_path / "store"
+    base = [float(i % 7 - 3) + 0.25 for i in range(64)]
+
+    def write_wave(name, rows):
+        spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = next((tmp_path / name).glob("part-*.parquet"))
+        shutil.copy(part, vecs_dir / f"{name}.parquet")
+
+    write_wave("w1", [(5, base)])
+    q = stream_vector_dedup(spark, str(vecs_dir), str(store), str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+        write_wave("w2", [(7, [x * 2.0 for x in base])])
+        q.processAllAvailable()
+        write_wave("w3", [(1, [x * 4.0 for x in base])])
+        q.processAllAvailable()
+        # replay the last wave: the store must not change
+        write_wave("w3_replay", [(1, [x * 4.0 for x in base])])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    clusters = {
+        r.vec_id: r.cluster_id
+        for r in spark.read.parquet(str(store / "clusters")).collect()
+    }
+    # 7 matched 5 -> cluster 5; 1 matched 5 later -> min id 1 relabels
+    # the whole stored cluster
+    assert clusters == {5: 1, 7: 1, 1: 1}, clusters
+    assert spark.read.parquet(str(store / "clusters")).count() == 3
