@@ -688,6 +688,45 @@ def sem_k(n_planted: int) -> int:
     return min(IVF_SAMPLE, max(K_CENTROIDS, n_planted // SEM_TARGET_CELL))
 
 
+def sem_coarse(codebook: list[list[float]]):
+    """Two-level assignment support: since sem_k grows ~linearly with
+    the corpus, a FLAT per-row argmax over k fine centroids is
+    O(n·k·dim) = O(n²·dim/64) — quadratic (the x10 scaling tier
+    measured it 15.7x over 10x data). The faiss-style fix is a coarse
+    quantizer: group the fine centroids themselves with spherical
+    k-means into k1 = ceil(sqrt(k)) coarse cells; a row then argmaxes
+    over k1 coarse centroids and over only the fine members of its
+    winning coarse cell — O(n·sqrt(k)·dim) total, and the hierarchy is
+    plan-time data so the per-row expression stays pure JVM codegen.
+
+    Returns (coarse_centroids, fine_to_coarse): the coarse book (unit,
+    9-decimal rounded — _lloyd's contract) and, per fine centroid, the
+    id of its coarse cell (deterministic argmax, ties to the lowest
+    index). Driver-side numpy over ≤4096×64 floats; BOTH engines call
+    this same helper on the same fine codebook, so the hierarchy is
+    identical by construction and only the per-ROW assignment needs
+    cross-engine SQL mirroring."""
+    import math
+
+    import numpy as np
+
+    k1 = max(1, math.ceil(math.sqrt(len(codebook))))
+    coarse = _lloyd(codebook, k1)
+    fine = np.asarray(codebook, dtype=np.float64)
+    cn = np.asarray(coarse, dtype=np.float64)
+
+    def _unit(m):
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        return m / np.where(nrm == 0.0, 1.0, nrm)
+
+    # same determinism discipline as _lloyd: unit-normalize, round the
+    # similarity matrix before the argmax so BLAS reduction noise can't
+    # flip a pick, ties resolve to the lowest coarse index
+    sims = np.round(_unit(fine) @ _unit(cn).T, 9)
+    fine_to_coarse = [int(j) for j in np.argmax(sims, axis=1)]
+    return coarse, fine_to_coarse
+
+
 def _sem_oracle(sf_dir: str) -> str:
     """Dynamic oracle: same codebook literals as the Spark side (same
     sample, same adaptive k), with the planted scaled copies added
@@ -703,8 +742,13 @@ def _sem_oracle(sf_dir: str) -> str:
     ).fetchone()[0]
     con.close()
     cents = _lloyd(ivf_sample(sf_dir), sem_k(2 * n_raw))
+    coarse, fine_to_coarse = sem_coarse(cents)
+    live = sorted(set(fine_to_coarse))  # only coarse cells with members
+    coarse_values = ",\n          ".join(
+        f"({j}, [{', '.join(repr(v) for v in coarse[j])}]::DOUBLE[])" for j in live
+    )
     values = ",\n          ".join(
-        f"({i}, [{', '.join(repr(v) for v in row)}]::DOUBLE[])"
+        f"({i}, {fine_to_coarse[i]}, [{', '.join(repr(v) for v in row)}]::DOUBLE[])"
         for i, row in enumerate(cents)
     )
     return f"""
@@ -718,17 +762,30 @@ def _sem_oracle(sf_dir: str) -> str:
                list_transform(v, x -> x * 2.0) AS v
         FROM base),
     e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM planted),
-    cent_vals(cent_id, cv) AS (
+    coarse_vals(coarse_id, ccv) AS (
+        VALUES {coarse_values}),
+    coarse AS (SELECT coarse_id, ccv, sqrt(list_dot_product(ccv, ccv)) AS nccv
+               FROM coarse_vals),
+    cent_vals(cent_id, coarse_id, cv) AS (
         VALUES {values}),
-    cents AS (SELECT cent_id, cv, sqrt(list_dot_product(cv, cv)) AS ncv
+    cents AS (SELECT cent_id, coarse_id, cv,
+                     sqrt(list_dot_product(cv, cv)) AS ncv
               FROM cent_vals),
-    assigned AS (
-        SELECT e.vec_id, e.v, e.nv, c.cent_id,
+    coarse_assigned AS (
+        SELECT e.vec_id, e.v, e.nv, c.coarse_id,
                row_number() OVER (
                    PARTITION BY e.vec_id
-                   ORDER BY list_dot_product(e.v, c.cv) / (e.nv * c.ncv) DESC,
-                            c.cent_id) AS rn
-        FROM e CROSS JOIN cents c),
+                   ORDER BY list_dot_product(e.v, c.ccv) / (e.nv * c.nccv) DESC,
+                            c.coarse_id) AS rn
+        FROM e CROSS JOIN coarse c),
+    picked AS (SELECT vec_id, v, nv, coarse_id FROM coarse_assigned WHERE rn = 1),
+    assigned AS (
+        SELECT p.vec_id, p.v, p.nv, f.cent_id,
+               row_number() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY list_dot_product(p.v, f.cv) / (p.nv * f.ncv) DESC,
+                            f.cent_id) AS rn
+        FROM picked p JOIN cents f ON f.coarse_id = p.coarse_id),
     cells AS (SELECT vec_id, v, nv, cent_id FROM assigned WHERE rn = 1),
     dup AS (
         SELECT a.vec_id AS d1, b.vec_id AS d2,
@@ -757,7 +814,11 @@ def _sem_oracle(sf_dir: str) -> str:
     "deterministic 'keep one representative' rule. k GROWS with the "
     "corpus (sem_k: ~64 vectors/cell, floored at 64 cells — the x10 "
     "scaling tier measured the fixed-k variant blowing up 78x before "
-    "this) so per-cell work stays bounded; cells are the IVF inverted "
+    "this) so per-cell work stays bounded, and assignment is TWO-LEVEL "
+    "(sem_coarse: argmax over sqrt(k) coarse cells, then over the "
+    "winning cell's fine members — O(n*sqrt(k)*dim), the faiss coarse-"
+    "quantizer shape; the flat argmax was O(n*k*dim), quadratic in n); "
+    "cells are the IVF inverted "
     "lists, so this shares its partitioning with the ANN index. Planted ×2-scaled copies (exact "
     "direction match) must each drop against their original (pinned in "
     "tests/test_pipeline_ops.py). Oracle: same codebook inlined as "
@@ -786,12 +847,34 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     codebook = _lloyd([r.v for r in sample], sem_k(2 * n_raw))
+    # two-level assignment (sem_coarse): a flat argmax over k fine
+    # centroids is O(n·k·dim) with k ∝ n — quadratic. The coarse book
+    # over the fine centroids makes each row scan k1=√k coarse cells
+    # plus its winning cell's fine members only.
+    coarse, fine_to_coarse = sem_coarse(codebook)
+    live = sorted(set(fine_to_coarse))
     cents = spark.createDataFrame(
-        [(i, row) for i, row in enumerate(codebook)],
-        "cent_id bigint, cv array<double>",
+        [(i, fine_to_coarse[i], row) for i, row in enumerate(codebook)],
+        "cent_id bigint, coarse_id bigint, cv array<double>",
     ).withColumn("ncv", l2norm(F.col("cv")))
-    cent_row = cents.agg(
-        F.array_sort(F.collect_list(F.struct("cent_id", "cv", "ncv"))).alias("cents")
+    coarse_df = spark.createDataFrame(
+        [(j, coarse[j]) for j in live], "coarse_id bigint, ccv array<double>"
+    ).withColumn("nccv", l2norm(F.col("ccv")))
+    # ONE broadcast row: the (members-only) coarse book as a sorted
+    # struct array + coarse_id -> fine-member structs as a map. Both
+    # lookups are then per-row JVM expressions — no join, no shuffle.
+    groups = cents.groupBy("coarse_id").agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "cv", "ncv"))).alias(
+            "members"
+        )
+    )
+    book_row = coarse_df.join(groups, "coarse_id").agg(
+        F.array_sort(F.collect_list(F.struct("coarse_id", "ccv", "nccv"))).alias(
+            "coarse"
+        ),
+        F.map_from_entries(F.collect_list(F.struct("coarse_id", "members"))).alias(
+            "gm"
+        ),
     )
     planted = raw.unionByName(
         raw.select(
@@ -802,17 +885,28 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         planted.repartition(spark.sparkContext.defaultParallelism)
         .withColumn("nv", l2norm(F.col("v")))
-        .crossJoin(F.broadcast(cent_row))
+        .crossJoin(F.broadcast(book_row))
     )
-    # per-row argmax over the broadcast codebook (same shape as cosine_ivf)
-    sims = F.transform(
-        F.col("cents"),
+    # per-row coarse argmax (k1 cells), then fine argmax over the
+    # winning cell's members — same (sim DESC, id ASC) tie rule both
+    # levels, mirrored in the oracle's two row_number windows
+    coarse_sims = F.transform(
+        F.col("coarse"),
         lambda c: F.struct(
-            (dot(F.col("v"), c.cv) / (F.col("nv") * c.ncv)).alias("sim"),
-            (-c.cent_id).alias("neg_cent"),
+            (dot(F.col("v"), c.ccv) / (F.col("nv") * c.nccv)).alias("sim"),
+            (-c.coarse_id).alias("neg_cent"),
         ),
     )
-    best = F.array_max(sims)
+    best_coarse = (-F.array_max(coarse_sims).neg_cent).cast("bigint")
+    members = F.element_at(F.col("gm"), best_coarse)
+    fine_sims = F.transform(
+        members,
+        lambda m: F.struct(
+            (dot(F.col("v"), m.cv) / (F.col("nv") * m.ncv)).alias("sim"),
+            (-m.cent_id).alias("neg_cent"),
+        ),
+    )
+    best = F.array_max(fine_sims)
     cells = e.select(
         "vec_id", "v", "nv", (-best.neg_cent).cast("bigint").alias("cent_id")
     )
