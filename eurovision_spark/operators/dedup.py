@@ -1197,3 +1197,173 @@ def near_dup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_verified").cast("double") / F.col("n_candidates"), 6
         ).alias("precision_verified"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup at word-k-gram granularity (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better": their
+# EXACTSUBSTR method finds byte spans shared verbatim across documents;
+# here the unit is a word k-gram, the granularity that composes with the
+# whitespace tokenizer the rest of the text tier uses)
+# ---------------------------------------------------------------------------
+
+SUB_K = 8  # span unit: 8 consecutive tokens shared verbatim
+SUB_PLANT_MOD = 7  # doc_id % 7 == 0 sources get a planted chimera
+SUB_SPAN_START = 6  # 1-based token where the copied span starts ...
+SUB_SPAN = 16  # ... and its length (>= SUB_K so it must be found)
+CHIMERA_OFFSET = 3 * 10**15  # planted chimera ids (near=1e15, exact=2e15)
+SUB_DROP_FRAC = 0.8
+SUB_TRIM_FRAC = 0.2
+
+# chimera docs: a 16-token verbatim span lifted from every 7th document,
+# wrapped in tokens unique to the chimera — so source and chimera share
+# EXACTLY the span's k-grams and nothing else, exercising the partial-
+# coverage path (not just all-or-nothing duplication)
+_SUB_TOKS = "string_split_regex(trim(text), '\\s+')"
+DOCS_WITH_CHIMERAS_SQL = f"""
+    SELECT doc_id, text FROM documents WHERE n_chars > 0
+    UNION ALL
+    SELECT doc_id + {CHIMERA_OFFSET} AS doc_id,
+           concat('pre-', CAST(doc_id AS VARCHAR), ' ',
+                  array_to_string({_SUB_TOKS}[{SUB_SPAN_START}:{SUB_SPAN_START + SUB_SPAN - 1}], ' '),
+                  ' post-', CAST(doc_id AS VARCHAR)) AS text
+    FROM documents
+    WHERE n_chars > 0 AND doc_id % {SUB_PLANT_MOD} = 0
+      AND len({_SUB_TOKS}) >= {SUB_SPAN_START + SUB_SPAN - 1}
+"""
+
+
+@register(
+    "substring_dedup",
+    f"""
+    WITH docs AS ({DOCS_WITH_CHIMERAS_SQL}),
+    t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM docs),
+    g AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               list_transform(
+                   generate_series(1, len(toks) - {SUB_K} + 1),
+                   i -> {md5_long_sql(f"array_to_string(toks[i:i+{SUB_K}-1], ' ')")})
+                   AS ghs
+        FROM t),
+    pos AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(ghs))) AS pos,
+               unnest(ghs) AS gh
+        FROM g),
+    shared AS (
+        SELECT gh FROM pos GROUP BY gh
+        HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT p.doc_id, p.pos FROM pos p JOIN shared s USING (gh)),
+    cover AS (
+        SELECT doc_id,
+               CAST(count(DISTINCT pos) AS BIGINT) AS shared_grams,
+               CAST(count(DISTINCT cp) AS BIGINT) AS covered
+        FROM (SELECT doc_id, pos,
+                     unnest(generate_series(pos, pos + {SUB_K} - 1)) AS cp
+              FROM hits)
+        GROUP BY doc_id)
+    SELECT g.doc_id, g.n_tokens,
+           CAST(coalesce(c.shared_grams, 0) AS BIGINT) AS shared_grams,
+           round(CAST(coalesce(c.covered, 0) AS DOUBLE) / g.n_tokens, 4)
+               AS dup_frac,
+           CASE WHEN coalesce(c.covered, 0) >= {SUB_DROP_FRAC} * g.n_tokens
+                THEN 'drop'
+                WHEN coalesce(c.covered, 0) >= {SUB_TRIM_FRAC} * g.n_tokens
+                THEN 'trim'
+                ELSE 'keep' END AS action
+    FROM g LEFT JOIN cover c ON c.doc_id = g.doc_id
+    """,
+    f"exact-substring dedup (Lee et al. 2022 EXACTSUBSTR, word-{SUB_K}-"
+    "gram granularity): a k-gram is SHARED when it occurs verbatim in "
+    ">= 2 distinct docs; each doc reports how many of its gram positions "
+    "are shared and the fraction of its token positions covered by the "
+    "union of shared spans (overlapping spans merged by counting "
+    "DISTINCT covered positions), then a keep/trim/drop decision. "
+    "Scale shape: docs explode to (doc_id, pos, 60-bit gram hash) rows — "
+    "8-byte keys, never gram text — one groupBy on the hash finds shared "
+    "grams, hits join back id-to-id, coverage is a per-doc distinct-"
+    "count; every shuffle moves ids+hashes only, so the operator is "
+    "linear in corpus token count at any scale. Planted chimeras (a 16-"
+    "token span lifted from every 7th doc into an otherwise-unique doc) "
+    "pin the partial-coverage path: the source flags exactly the span "
+    "(~0.3 coverage -> 'trim') while the chimera — mostly copied text "
+    "by construction — crosses the 0.8 line into 'drop'; untouched "
+    "word-soup docs stay 'keep' (tests/test_pipeline_ops.py).",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    toks = tokens(F.col("text"))
+    span = F.concat_ws(" ", F.slice(toks, SUB_SPAN_START, SUB_SPAN))
+    chimeras = (
+        d.filter(
+            (F.col("doc_id") % SUB_PLANT_MOD == 0)
+            & (F.size(toks) >= SUB_SPAN_START + SUB_SPAN - 1)
+        )
+        .select(
+            (F.col("doc_id") + CHIMERA_OFFSET).alias("doc_id"),
+            F.concat(
+                F.lit("pre-"), F.col("doc_id").cast("string"), F.lit(" "),
+                span,
+                F.lit(" post-"), F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+    )
+    docs = d.select("doc_id", "text").unionByName(chimeras)
+    # split once, then derive grams: one projection holds the token
+    # array, the next the hash list (codegen re-evaluates inline splits
+    # at every element_at reference — same discipline as the LSH ops)
+    base = docs.select(
+        "doc_id", tokens(F.col("text")).alias("_toks")
+    ).select(
+        "doc_id",
+        F.size(F.col("_toks")).cast("bigint").alias("n_tokens"),
+        F.when(
+            F.size(F.col("_toks")) >= SUB_K,
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.col("_toks")) - SUB_K + 1),
+                lambda i: md5_long(F.concat_ws(" ", F.slice(F.col("_toks"), i, SUB_K))),
+            ),
+        ).otherwise(F.array().cast("array<bigint>")).alias("ghs"),
+    )
+    pos = base.select(
+        "doc_id", F.posexplode(F.col("ghs")).alias("pos0", "gh")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
+    # shared grams: 8-byte hash keys only through the shuffle
+    shared = (
+        pos.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    hits = pos.join(shared, "gh").select("doc_id", "pos")
+    cover = (
+        hits.select(
+            "doc_id",
+            "pos",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + SUB_K - 1)).alias("cp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("pos").cast("bigint").alias("shared_grams"),
+            F.count_distinct("cp").cast("bigint").alias("covered"),
+        )
+    )
+    covered = F.coalesce(F.col("covered"), F.lit(0))
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(cover, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("shared_grams"), F.lit(0)).cast("bigint").alias(
+                "shared_grams"
+            ),
+            F.round(covered.cast("double") / F.col("n_tokens"), 4).alias("dup_frac"),
+            F.when(covered >= SUB_DROP_FRAC * F.col("n_tokens"), "drop")
+            .when(covered >= SUB_TRIM_FRAC * F.col("n_tokens"), "trim")
+            .otherwise("keep")
+            .alias("action"),
+        )
+    )

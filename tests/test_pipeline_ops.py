@@ -576,3 +576,72 @@ def test_connected_components_any_key_star_reduction(spark):
     assert len({v for (g, _), v in got.items() if g == "A" and _ != 999}) == 1
     assert got[("B", 0)] == 0 and got[("B", 1)] == 0
     assert got[("A", 999)] == 999
+
+
+def test_substring_dedup_flags_exactly_the_planted_span(spark):
+    """The chimera shares EXACTLY its 16-token lifted span with the
+    source: the source's shared positions must be precisely the span
+    window (partial coverage -> 'trim' when the doc is long enough),
+    the chimera — mostly copied text — must cross into 'drop', and a
+    Python recomputation of the source's expected coverage must match
+    row-for-row."""
+    from eurovision_spark.operators.dedup import (
+        CHIMERA_OFFSET,
+        SUB_K,
+        SUB_PLANT_MOD,
+        SUB_SPAN,
+        SUB_SPAN_START,
+    )
+
+    out = registry()["substring_dedup"].fn(spark, SF)
+    rows = {r.doc_id: r for r in out.collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .filter("n_chars > 0")
+        .collect()
+    }
+    # every doc appears exactly once; chimeras exist for eligible sources
+    eligible = [
+        d
+        for d, t in docs.items()
+        if d % SUB_PLANT_MOD == 0 and len(t.split()) >= SUB_SPAN_START + SUB_SPAN - 1
+    ]
+    assert eligible, "fixture must contain plantable sources"
+    assert set(rows) == set(docs) | {d + CHIMERA_OFFSET for d in eligible}
+
+    # corpus-wide gram index (python reimplementation)
+    def grams(toks):
+        return [
+            " ".join(toks[i : i + SUB_K]) for i in range(len(toks) - SUB_K + 1)
+        ]
+
+    texts = {d: t.split() for d, t in docs.items()}
+    for d in eligible:
+        toks = texts[d]
+        span = toks[SUB_SPAN_START - 1 : SUB_SPAN_START - 1 + SUB_SPAN]
+        texts[d + CHIMERA_OFFSET] = [f"pre-{d}", *span, f"post-{d}"]
+    owners: dict[str, set] = {}
+    for d, toks in texts.items():
+        for g in set(grams(toks)):
+            owners.setdefault(g, set()).add(d)
+    for d, toks in texts.items():
+        covered: set[int] = set()
+        shared = 0
+        for i, g in enumerate(grams(toks)):
+            if len(owners[g]) >= 2:
+                shared += 1
+                covered.update(range(i, i + SUB_K))
+        r = rows[d]
+        assert r.n_tokens == len(toks)
+        assert r.shared_grams == shared, (d, r.shared_grams, shared)
+        assert abs(r.dup_frac - round(len(covered) / len(toks), 4)) < 1e-9
+    # the chimera is mostly span by construction -> 'drop'
+    for d in eligible:
+        assert rows[d + CHIMERA_OFFSET].action == "drop"
+    # a long-enough source's coverage is ~SPAN/n -> 'trim' territory
+    long_sources = [
+        d for d in eligible if len(docs[d].split()) >= SUB_SPAN / 0.8 + 1
+    ]
+    trims = [d for d in long_sources if rows[d].action in ("trim", "drop")]
+    assert trims, "planted spans must move sources out of 'keep'"
