@@ -986,3 +986,179 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_chars_tok.cast("double") / n_bpe.cast("double"), 6
         ).alias("compression"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Learned quality classifier: distill the heuristic gate into a linear
+# hashed-bag-of-words model (the fasttext-classifier shape used to
+# quality-filter pretraining corpora — train on a small labeled set,
+# apply to the whole corpus as pure arithmetic)
+# ---------------------------------------------------------------------------
+
+QC_SAMPLE = 512  # labeled training docs (bounded driver transfer)
+QC_BUCKETS = 256  # hashed unigram feature buckets
+QC_DIV_T = 0.45  # heuristic label: lexical diversity >= threshold
+QC_ITERS = 300
+QC_LR = 2.0
+_QC_ORDER_SQL = md5_long_sql("concat('qc-', CAST(doc_id AS VARCHAR))") + ", doc_id"
+
+
+def _qc_bucket(tok: str) -> int:
+    """Python twin of ``md5_long(token) % QC_BUCKETS`` (first 15 md5 hex
+    digits as an int — identical in Spark, DuckDB, and here)."""
+    import hashlib
+
+    return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % QC_BUCKETS
+
+
+def _qc_label(text: str) -> int:
+    """The heuristic being distilled: lexical diversity (distinct/total
+    lowercased tokens, quality_score's first column) >= QC_DIV_T."""
+    toks = text.strip().lower().split()
+    return int(len(set(toks)) / len(toks) >= QC_DIV_T)
+
+
+def _qc_fit(texts: list[str]) -> tuple[list[float], float]:
+    """Deterministic logistic regression on the labeled sample: features
+    are bucket-count fractions (count of tokens hashing to bucket b,
+    over n_tokens) plus three dense shape features (distinct-bucket
+    fraction, 1/n, n/1000), full-batch gradient descent with fixed lr and
+    iteration count, float64 throughout, weights rounded to 9 decimals
+    — the same bit-stability discipline as the k-means codebooks. Both
+    engines consume the identical (w, b) by construction."""
+    import numpy as np
+
+    X = np.zeros((len(texts), QC_BUCKETS + 3), dtype=np.float64)
+    y = np.zeros(len(texts), dtype=np.float64)
+    for i, t in enumerate(texts):
+        toks = t.strip().lower().split()
+        n_t = max(len(toks), 1)
+        for tok in toks:
+            X[i, _qc_bucket(tok)] += 1.0
+        X[i, :QC_BUCKETS] /= n_t
+        # three dense shape features — the signal a pure bag-of-words
+        # cannot express (the diversity label is a REPETITION property):
+        # distinct-bucket fraction (~lexical diversity up to hash
+        # collisions), 1/n, n/1000. All are exactly-rounded IEEE ops
+        # (divisions of integers), so Spark and DuckDB compute them
+        # bit-identically — no libm (log/exp) in the apply path.
+        X[i, QC_BUCKETS] = len({_qc_bucket(tok) for tok in toks}) / n_t
+        X[i, QC_BUCKETS + 1] = 1.0 / n_t
+        X[i, QC_BUCKETS + 2] = n_t / 1000.0
+        y[i] = _qc_label(t)
+    w = np.zeros(QC_BUCKETS + 3, dtype=np.float64)
+    b = 0.0
+    n = len(texts)
+    for _ in range(QC_ITERS):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= QC_LR * (X.T @ g) / n
+        b -= QC_LR * float(g.sum()) / n
+    return [round(float(v), 9) for v in w], round(float(b), 9)
+
+
+def _qc_sample_texts(sf_dir: str) -> list[str]:
+    """md5-ordered labeled sample, DuckDB driver-side (oracle path)."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT text FROM read_parquet('{sf_dir}/documents.parquet')
+        WHERE n_chars > 0
+        ORDER BY {_QC_ORDER_SQL}
+        LIMIT {QC_SAMPLE}
+        """
+    ).fetchall()
+    con.close()
+    return [r[0] for r in rows]
+
+
+def _qc_oracle(sf_dir: str) -> str:
+    w, b = _qc_fit(_qc_sample_texts(sf_dir))
+    wd, w_inv, w_n = w[QC_BUCKETS], w[QC_BUCKETS + 1], w[QC_BUCKETS + 2]
+    warr = f"[{', '.join(repr(v) for v in w[:QC_BUCKETS])}]::DOUBLE[]"
+    buck = f"list_transform(toks, t -> {md5_long_sql('t')} % {QC_BUCKETS})"
+    return f"""
+    WITH base AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents WHERE n_chars > 0),
+    scored AS (
+        SELECT doc_id,
+               {b!r} + list_reduce(
+                   list_prepend(0.0::DOUBLE,
+                       list_transform({buck}, j -> ({warr})[1 + j])),
+                   (a, x) -> a + x) / len(toks)
+               + {wd!r} * (CAST(len(list_distinct({buck})) AS DOUBLE) / len(toks))
+               + {w_inv!r} * (1.0 / len(toks))
+               + {w_n!r} * (CAST(len(toks) AS DOUBLE) / 1000.0) AS z
+        FROM base)
+    SELECT doc_id, round(z, 4) AS qc_logit,
+           CAST(z >= 0 AS INT) AS qc_label
+    FROM scored
+    """
+
+
+@register(
+    "quality_classifier",
+    _qc_oracle,
+    "LEARNED quality filter (the fasttext-classifier shape): a logistic "
+    f"model over {QC_BUCKETS} hashed-unigram buckets + 3 dense shape "
+    "features (distinct-bucket fraction, 1/n, n/1000 — exactly-rounded "
+    "IEEE divisions, no libm in the apply path) is trained driver-"
+    f"side on a bounded md5-ordered {QC_SAMPLE}-doc sample labeled by "
+    "the lexical-diversity heuristic (distilling quality_score into a "
+    "model that generalizes past the hand rule), then applied corpus-"
+    "wide as ONE per-row expression: logit = b + mean of w[md5(token) % "
+    "B] over the doc's tokens — an identical left fold in both engines "
+    "(F.aggregate / list_reduce), zero Python on the hot path, zero "
+    "shuffles, weights riding the closure like the ANN codebooks. "
+    "Decision = logit >= 0. Accuracy vs the heuristic on the FULL "
+    "corpus is gated in tests/test_pipeline_ops.py; training is "
+    "deterministic (fixed lr/iters, float64, 9-decimal weight "
+    "rounding), so both engines consume bit-identical weights.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    # the SAME sample rows as the oracle builder, collected via Spark
+    # TakeOrdered (bounded <=512-row driver transfer)
+    order_key = md5_long(F.concat(F.lit("qc-"), F.col("doc_id").cast("string")))
+    sample = (
+        d.orderBy(order_key.asc(), F.col("doc_id").asc())
+        .limit(QC_SAMPLE)
+        .select("text")
+        .collect()
+    )
+    w, b = _qc_fit([r.text for r in sample])
+    wd, w_inv, w_n = w[QC_BUCKETS], w[QC_BUCKETS + 1], w[QC_BUCKETS + 2]
+    warr = F.array(*[F.lit(v) for v in w[:QC_BUCKETS]])
+    toked = d.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("_toks")
+    ).select(
+        "doc_id",
+        F.transform(
+            F.col("_toks"), lambda t: (md5_long(t) % QC_BUCKETS).cast("int")
+        ).alias("_bks"),
+    )
+    n_t = F.size(F.col("_bks"))
+    # addition sequence mirrors the oracle term-for-term (left fold,
+    # then the three dense terms) so z is bit-identical cross-engine
+    z = (
+        F.lit(b)
+        + F.aggregate(
+            F.transform(F.col("_bks"), lambda j: F.element_at(warr, j + 1)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / n_t
+        + F.lit(wd) * (F.size(F.array_distinct(F.col("_bks"))).cast("double") / n_t)
+        + F.lit(w_inv) * (F.lit(1.0) / n_t)
+        + F.lit(w_n) * (n_t.cast("double") / F.lit(1000.0))
+    )
+    return toked.select(
+        "doc_id",
+        F.round(z, 4).alias("qc_logit"),
+        (z >= 0).cast("int").alias("qc_label"),
+    )

@@ -645,3 +645,28 @@ def test_substring_dedup_flags_exactly_the_planted_span(spark):
     ]
     trims = [d for d in long_sources if rows[d].action in ("trim", "drop")]
     assert trims, "planted spans must move sources out of 'keep'"
+
+
+def test_quality_classifier_distills_the_heuristic(spark):
+    """The learned filter must actually LEARN: >= 90% agreement with
+    the lexical-diversity heuristic on the full corpus (not just the
+    512-doc training sample), a determinism check (two invocations,
+    identical rows), and both classes present in the output."""
+    from eurovision_spark.operators.textstats import _qc_label
+
+    spec = registry()["quality_classifier"]
+    out1 = {r.doc_id: (r.qc_logit, r.qc_label) for r in spec.fn(spark, SF).collect()}
+    out2 = {r.doc_id: (r.qc_logit, r.qc_label) for r in spec.fn(spark, SF).collect()}
+    assert out1 == out2, "training or scoring is nondeterministic"
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .filter("n_chars > 0")
+        .collect()
+    }
+    assert set(out1) == set(docs)
+    agree = sum(1 for d, t in docs.items() if out1[d][1] == _qc_label(t))
+    acc = agree / len(docs)
+    assert acc >= 0.90, f"classifier accuracy vs heuristic: {acc:.3f}"
+    labels = {v[1] for v in out1.values()}
+    assert labels == {0, 1}, f"degenerate classifier output: {labels}"
