@@ -1442,3 +1442,100 @@ def cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("probe_id", "neighbor_id", "adc_dot")
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN classification: the "similarity search applied" op — predict a
+# probe's label by majority vote of its cosine top-k neighbors
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "knn_classify",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+    probes AS (SELECT vec_id AS probe_id, label AS true_label, v AS pv
+               FROM e WHERE vec_id % {PROBE_MOD} = 0),
+    scored AS (
+        SELECT p.probe_id, p.true_label, e.label AS nbr_label,
+               row_number() OVER (
+                   PARTITION BY p.probe_id
+                   ORDER BY {COSINE_SQL.format(a='p.pv', b='e.v')} DESC, e.vec_id) AS rn
+        FROM probes p CROSS JOIN e
+        WHERE e.vec_id <> p.probe_id),
+    votes AS (
+        SELECT probe_id, true_label, nbr_label,
+               CAST(count(*) AS BIGINT) AS n_votes
+        FROM scored WHERE rn <= {TOP_K}
+        GROUP BY probe_id, true_label, nbr_label),
+    ranked AS (
+        SELECT probe_id, true_label, nbr_label AS pred_label, n_votes,
+               row_number() OVER (
+                   PARTITION BY probe_id
+                   ORDER BY n_votes DESC, nbr_label) AS vr
+        FROM votes)
+    SELECT probe_id, CAST(true_label AS INT) AS true_label,
+           CAST(pred_label AS INT) AS pred_label, n_votes,
+           CAST(true_label = pred_label AS INT) AS correct
+    FROM ranked WHERE vr = 1
+    """,
+    f"kNN classification over the embedding column: each probe (vec_id % "
+    f"{PROBE_MOD} == 0) takes the majority label of its {TOP_K} nearest "
+    "cosine neighbors (self excluded; ties -> most votes then smallest "
+    "label — deterministic). The candidate stage here is the exact "
+    "brute-force top-k (broadcast probes x partitioned corpus, one "
+    "corpus pass); at index scale the same vote/rank tail composes "
+    "unchanged over cosine_ivf/cosine_ivfpq candidates — the vote is "
+    "id+label-only aggregation, so everything after the similarity "
+    "stage shuffles bytes, not vectors. Accuracy vs the stored labels "
+    "is reported per probe (correct column); the synthetic corpus "
+    "carries geometry-free random labels, so it sits at chance THERE "
+    "by construction — the behavioral gate runs on a planted 3-cluster "
+    "fixture where every probe's whole neighborhood shares its label "
+    "and accuracy must be exactly 1.0 "
+    "(tests/test_similarity_recall.py).",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", as_double(F.col("embedding")).alias("v"))
+        .filter(l2norm(F.col("v")) > 0)
+        .withColumn("nv", l2norm(F.col("v")))
+    )
+    probes = e.filter(F.col("vec_id") % PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("pv"),
+        F.col("nv").alias("npv"),
+    )
+    cos = dot(F.col("pv"), F.col("v")) / (F.col("npv") * F.col("nv"))
+    scored = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "true_label",
+            F.col("label").alias("nbr_label"),
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    topk = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K)
+    votes = topk.groupBy("probe_id", "true_label", "nbr_label").agg(
+        F.count("*").cast("bigint").alias("n_votes")
+    )
+    vw = W.partitionBy("probe_id").orderBy(F.col("n_votes").desc(), F.col("nbr_label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .select(
+            "probe_id",
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("nbr_label").cast("int").alias("pred_label"),
+            "n_votes",
+            (F.col("true_label") == F.col("nbr_label")).cast("int").alias("correct"),
+        )
+    )

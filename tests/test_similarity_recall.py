@@ -251,3 +251,45 @@ def _md5_keys(ids):
     return np.array(
         [int(hashlib.md5(f"cent-{i}".encode()).hexdigest()[:15], 16) for i in ids]
     )
+
+
+def test_knn_classify_is_perfect_on_planted_clusters(spark, tmp_path):
+    """On a fixture with real label geometry (3 orthogonal-axis clusters,
+    tight deterministic jitter, label == cluster), every probe's whole
+    neighborhood shares its label, so majority-vote accuracy must be
+    exactly 1.0 — the behavioral gate the random-label corpus can't
+    provide. Also pins the tie/determinism contract: two runs, identical
+    rows."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eurovision_spark.catalog import registry
+
+    dim, per = 16, 50
+    rows = []
+    for c in range(3):
+        for i in range(per):
+            v = np.zeros(dim, dtype=np.float32)
+            v[c] = 1.0
+            # deterministic off-axis jitter, small enough that within-
+            # cluster cosine (~>=0.99) always beats cross-cluster (~0)
+            v[(c + 3 + i % 5) % dim] = 0.05 + 0.001 * i
+            rows.append((c * per + i, v.tolist(), c))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    out1 = registry()["knn_classify"].fn(spark, str(tmp_path)).collect()
+    out2 = registry()["knn_classify"].fn(spark, str(tmp_path)).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    # probes: vec_id % 50 == 0 -> one per cluster (0, 50, 100)
+    assert {r.probe_id for r in out1} == {0, 50, 100}
+    for r in out1:
+        assert r.pred_label == r.true_label
+        assert r.correct == 1
+        assert r.n_votes == 5, "all k neighbors must share the cluster label"
