@@ -76,6 +76,10 @@ HEADLINE = [
     "cosine_ivfpq",
     "time_weighted_avg",
     "ohlc_rollup",
+    # round 5: exact-substring dedup, learned quality filter, kNN labeling
+    "substring_dedup",
+    "quality_classifier",
+    "knn_classify",
 ]
 
 

@@ -1310,26 +1310,47 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text"),
         )
     )
-    docs = d.select("doc_id", "text").unionByName(chimeras)
-    # split once, then derive grams: one projection holds the token
-    # array, the next the hash list (codegen re-evaluates inline splits
-    # at every element_at reference — same discipline as the LSH ops)
-    base = docs.select(
-        "doc_id", tokens(F.col("text")).alias("_toks")
-    ).select(
-        "doc_id",
-        F.size(F.col("_toks")).cast("bigint").alias("n_tokens"),
-        F.when(
-            F.size(F.col("_toks")) >= SUB_K,
-            F.transform(
-                F.sequence(F.lit(1), F.size(F.col("_toks")) - SUB_K + 1),
-                lambda i: md5_long(F.concat_ws(" ", F.slice(F.col("_toks"), i, SUB_K))),
-            ),
-        ).otherwise(F.array().cast("array<bigint>")).alias("ghs"),
+    docs = (
+        d.select("doc_id", "text")
+        .unionByName(chimeras)
+        # the sf-scale corpus arrives as one small parquet split; gram
+        # hashing is the op's CPU (md5 per position), so spread it over
+        # the executors before any of the three consumers branch off
+        # (measured 5x at sf0.1: the whole op was single-task without it)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
-    pos = base.select(
-        "doc_id", F.posexplode(F.col("ghs")).alias("pos0", "gh")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
+    # same staging as contamination_check (the fast path): project the
+    # token array once, explode the gram STRINGS, then hash the flat
+    # exploded column — md5 runs exactly once per (doc, pos) row inside
+    # whole-stage codegen. (Two rejected shapes, both measured at sf0.1:
+    # md5 inside the transform lambda re-evaluates the upstream split
+    # per element reference after projection collapse — 37s; and
+    # F.slice(toks, i, k) with a Column start knocks the projection out
+    # of codegen entirely — 8s. This shape: ~2s.)
+    grams = F.when(
+        F.size(F.col("_toks")) >= SUB_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("_toks")) - SUB_K + 1),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("_toks"), i + j) for j in range(SUB_K)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    meta = toked.select(
+        "doc_id", F.size(F.col("_toks")).cast("bigint").alias("n_tokens")
+    ).localCheckpoint()
+    # materialize the exploded (doc_id, pos, gh) frame ONCE: three
+    # consumers read it (shared-gram agg, hits probe, coverage) and
+    # would otherwise each re-run the gram hashing — the op's entire
+    # CPU. localCheckpoint stores AND truncates: ids + 8-byte hashes
+    # only, tiny at any corpus size relative to the text it summarizes
+    # (same discipline as minhash_lsh's pair frame).
+    pos = (
+        toked.select("doc_id", F.posexplode(grams).alias("pos0", "g"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), md5_long(F.col("g")).alias("gh"))
+        .localCheckpoint()
+    )
     # shared grams: 8-byte hash keys only through the shuffle
     shared = (
         pos.groupBy("gh")
@@ -1352,7 +1373,7 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     covered = F.coalesce(F.col("covered"), F.lit(0))
     return (
-        base.select("doc_id", "n_tokens")
+        meta
         .join(cover, "doc_id", "left")
         .select(
             "doc_id",
