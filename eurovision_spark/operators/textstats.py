@@ -1100,41 +1100,15 @@ def _qc_oracle(sf_dir: str) -> str:
     """
 
 
-@register(
-    "quality_classifier",
-    _qc_oracle,
-    "LEARNED quality filter (the fasttext-classifier shape): a logistic "
-    f"model over {QC_BUCKETS} hashed-unigram buckets + 3 dense shape "
-    "features (distinct-bucket fraction, 1/n, n/1000 — exactly-rounded "
-    "IEEE divisions, no libm in the apply path) is trained driver-"
-    f"side on a bounded md5-ordered {QC_SAMPLE}-doc sample labeled by "
-    "the lexical-diversity heuristic (distilling quality_score into a "
-    "model that generalizes past the hand rule), then applied corpus-"
-    "wide as ONE per-row expression: logit = b + mean of w[md5(token) % "
-    "B] over the doc's tokens — an identical left fold in both engines "
-    "(F.aggregate / list_reduce), zero Python on the hot path, zero "
-    "shuffles, weights riding the closure like the ANN codebooks. "
-    "Decision = logit >= 0. Accuracy vs the heuristic on the FULL "
-    "corpus is gated in tests/test_pipeline_ops.py; training is "
-    "deterministic (fixed lr/iters, float64, 9-decimal weight "
-    "rounding), so both engines consume bit-identical weights.",
-    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
-)
-def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    # the SAME sample rows as the oracle builder, collected via Spark
-    # TakeOrdered (bounded <=512-row driver transfer)
-    order_key = md5_long(F.concat(F.lit("qc-"), F.col("doc_id").cast("string")))
-    sample = (
-        d.orderBy(order_key.asc(), F.col("doc_id").asc())
-        .limit(QC_SAMPLE)
-        .select("text")
-        .collect()
-    )
-    w, b = _qc_fit([r.text for r in sample])
+def score_documents(docs: DataFrame, w: list[float], b: float) -> DataFrame:
+    """Apply frozen classifier weights to a (doc_id, text) frame — the
+    shared batch/stream scoring core: one per-row expression, stateless,
+    so it composes with ``readStream`` unchanged (the production shape:
+    train offline on the landed corpus, gate the intake stream with the
+    frozen model — streaming/ingest.stream_quality_gate)."""
     wd, w_inv, w_n = w[QC_BUCKETS], w[QC_BUCKETS + 1], w[QC_BUCKETS + 2]
     warr = F.array(*[F.lit(v) for v in w[:QC_BUCKETS]])
-    toked = d.select(
+    toked = docs.select(
         "doc_id", tokens(F.lower(F.col("text"))).alias("_toks")
     ).select(
         "doc_id",
@@ -1162,3 +1136,44 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("qc_logit"),
         (z >= 0).cast("int").alias("qc_label"),
     )
+
+
+def train_quality_model(spark: SparkSession, sf_dir: str) -> tuple[list[float], float]:
+    """Train the classifier on ``sf_dir``'s corpus: the SAME sample rows
+    as the oracle builder, collected via Spark TakeOrdered (bounded
+    <=512-row driver transfer), fit driver-side (_qc_fit)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    order_key = md5_long(F.concat(F.lit("qc-"), F.col("doc_id").cast("string")))
+    sample = (
+        d.orderBy(order_key.asc(), F.col("doc_id").asc())
+        .limit(QC_SAMPLE)
+        .select("text")
+        .collect()
+    )
+    return _qc_fit([r.text for r in sample])
+
+
+@register(
+    "quality_classifier",
+    _qc_oracle,
+    "LEARNED quality filter (the fasttext-classifier shape): a logistic "
+    f"model over {QC_BUCKETS} hashed-unigram buckets + 3 dense shape "
+    "features (distinct-bucket fraction, 1/n, n/1000 — exactly-rounded "
+    "IEEE divisions, no libm in the apply path) is trained driver-"
+    f"side on a bounded md5-ordered {QC_SAMPLE}-doc sample labeled by "
+    "the lexical-diversity heuristic (distilling quality_score into a "
+    "model that generalizes past the hand rule), then applied corpus-"
+    "wide as ONE per-row expression: logit = b + mean of w[md5(token) % "
+    "B] over the doc's tokens — an identical left fold in both engines "
+    "(F.aggregate / list_reduce), zero Python on the hot path, zero "
+    "shuffles, weights riding the closure like the ANN codebooks. "
+    "Decision = logit >= 0. Accuracy vs the heuristic on the FULL "
+    "corpus is gated in tests/test_pipeline_ops.py; training is "
+    "deterministic (fixed lr/iters, float64, 9-decimal weight "
+    "rounding), so both engines consume bit-identical weights.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w, b = train_quality_model(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return score_documents(d, w, b)

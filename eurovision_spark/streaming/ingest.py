@@ -869,3 +869,28 @@ def stream_vector_dedup(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def stream_quality_gate(
+    spark: SparkSession, docs_dir: str, train_dir: str
+) -> DataFrame:
+    """Streaming twin of quality_classifier — the production shape for
+    a learned intake filter: the model is trained OFFLINE on the landed
+    corpus (``train_dir``, bounded md5-ordered sample, deterministic
+    fit — operators/textstats.train_quality_model), then its frozen
+    weights gate the arriving document stream as the SAME stateless
+    per-row scoring expression the batch path uses
+    (operators/textstats.score_documents) — one definition, so the
+    stream/batch parity test certifies a shared plan. No state store,
+    no watermark: each arriving doc scores independently, and weights
+    ride the closure exactly as they do in batch (at cluster scale the
+    array literal broadcasts with the task binary). Retraining is a
+    restart with new weights — the standard frozen-scorer deployment,
+    not an in-stream learner."""
+    from eurovision_spark.operators.textstats import (
+        score_documents,
+        train_quality_model,
+    )
+
+    w, b = train_quality_model(spark, train_dir)
+    return score_documents(_stream_docs(spark, docs_dir), w, b)

@@ -884,3 +884,41 @@ def test_stream_vector_cluster_store_transitive_with_relabel(spark, tmp_path):
     # the whole stored cluster
     assert clusters == {5: 1, 7: 1, 1: 1}, clusters
     assert spark.read.parquet(str(store / "clusters")).count() == 3
+
+
+def test_stream_quality_gate_equals_batch_classifier(spark, sf_dir, tmp_path):
+    """The learned quality filter scores an arriving document stream
+    with weights trained offline on the landed corpus, and must agree
+    with the batch classifier row-for-row (shared scoring core, shared
+    trained weights — one definition for both planes)."""
+    import shutil
+
+    from eurovision_spark.streaming.ingest import stream_quality_gate
+
+    docs_dir = str(tmp_path / "docs_qc_stream")
+    (tmp_path / "docs_qc_stream").mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", docs_dir)
+
+    q = (
+        stream_quality_gate(spark, docs_dir, sf_dir)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("qc_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            r["doc_id"]: (r["qc_logit"], r["qc_label"])
+            for r in spark.sql("SELECT * FROM qc_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    from eurovision_spark.catalog import registry
+
+    batch = {
+        r["doc_id"]: (r["qc_logit"], r["qc_label"])
+        for r in registry()["quality_classifier"].fn(spark, sf_dir).collect()
+    }
+    assert streamed == batch and len(batch) > 0
