@@ -648,3 +648,49 @@ def test_bucketed_signature_store_probe_is_exchange_free(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_sigstore")
+
+
+def _fmt(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_quality_classifier_scoring_is_shuffle_free(spark):
+    """The learned filter's APPLY path is one per-row expression: the
+    scored output plan must contain no Exchange (training is a bounded
+    TakeOrdered collect, outside the scoring plan)."""
+    from eurovision_spark.operators.textstats import (
+        score_documents,
+        train_quality_model,
+    )
+
+    w, b = train_quality_model(spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter("n_chars > 0")
+    plan = _fmt(score_documents(docs, w, b))
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_substring_dedup_shuffles_ids_and_hashes_only(spark):
+    """The gram pipeline may shuffle (doc_id, pos, 60-bit hash) rows and
+    nothing wider: no cross product, no text column through an
+    exchange, equi-joins only."""
+    plan = plan_of(spark, "substring_dedup")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan or "text" not in plan.split("SortMergeJoin")[1][:400]
+    # every Exchange is keyed on gh or doc_id (hash/id columns)
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,)]+)", plan):
+        key = m.group(1).split("#")[0].strip()
+        assert key in ("gh", "doc_id", "pos"), f"unexpected shuffle key {key!r}"
+
+
+def test_knn_classify_broadcasts_probes_and_votes_on_ids(spark):
+    """The probe set broadcasts (the corpus never re-shuffles for the
+    similarity stage); the vote/rank tail runs on id+label rows."""
+    plan = plan_of(spark, "knn_classify")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
