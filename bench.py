@@ -80,6 +80,7 @@ HEADLINE = [
     "substring_dedup",
     "quality_classifier",
     "knn_classify",
+    "span_dedup",
 ]
 
 

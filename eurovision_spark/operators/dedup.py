@@ -1388,3 +1388,167 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("action"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-block REMOVAL (the rewrite step substring_dedup stops short
+# of): C4 (Raffel et al. 2020) removes repeated three-sentence spans and
+# RefinedWeb/Dolma run exact line-dedup — the corpus keeps ONE copy of a
+# repeated block and every other occurrence is cut out of the text.  The
+# block unit here is a fixed window of BLK_W consecutive tokens (the
+# corpus has no newlines, so the word-block is the line surrogate), which
+# keeps occurrences alignment-comparable without overlapping-gram span
+# merging.
+# ---------------------------------------------------------------------------
+
+BLK_W = 8  # block unit: 8 consecutive tokens (last block of a doc may be short)
+SPAN_PLANT_MOD = 5  # doc_id % 5 == 0 sources get a planted block-copy doc
+SPAN_COPY_OFFSET = 4 * 10**15  # planted ids (1e15 near, 2e15 exact, 3e15 chimera)
+
+_SPAN_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+
+@register(
+    "span_dedup",
+    f"""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE n_chars > 0),
+    plants AS (
+        SELECT doc_id + {SPAN_COPY_OFFSET} AS doc_id,
+               concat(array_to_string({_SPAN_TOKS}[1:{3 * BLK_W}], ' '),
+                      ' post-', CAST(doc_id AS VARCHAR),
+                      ' tail-', CAST(doc_id AS VARCHAR),
+                      ' end-', CAST(doc_id AS VARCHAR)) AS text
+        FROM documents
+        WHERE n_chars > 0 AND doc_id % {SPAN_PLANT_MOD} = 0
+          AND len({_SPAN_TOKS}) >= {3 * BLK_W}),
+    docs AS (SELECT * FROM base UNION ALL SELECT * FROM plants),
+    t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM docs),
+    b AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               list_transform(
+                   generate_series(0, CAST(ceil(len(toks) / {BLK_W}.0) AS INT) - 1),
+                   i -> array_to_string(
+                            toks[i * {BLK_W} + 1 : least((i + 1) * {BLK_W}, len(toks))],
+                            ' ')) AS blks
+        FROM t),
+    pos AS (
+        SELECT doc_id,
+               unnest(generate_series(0, len(blks) - 1)) AS bi,
+               unnest(blks) AS bt
+        FROM b),
+    h AS (SELECT doc_id, bi, {md5_long_sql('bt')} AS bh FROM pos),
+    r AS (SELECT doc_id, bi,
+                 row_number() OVER (PARTITION BY bh ORDER BY doc_id, bi) AS rn
+          FROM h),
+    rem AS (SELECT doc_id, list_sort(list(bi)) AS rl
+            FROM r WHERE rn > 1 GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens,
+           CAST(coalesce(len(rem.rl), 0) AS BIGINT) AS removed_blocks,
+           CAST(b.n_tokens - coalesce(list_sum(list_transform(rem.rl,
+                    i -> least({BLK_W}, b.n_tokens - i * {BLK_W}))), 0) AS BIGINT)
+               AS kept_tokens,
+           coalesce(array_to_string(
+               list_filter(blks,
+                           (x, i) -> NOT coalesce(list_contains(rem.rl, i - 1),
+                                                  FALSE)),
+               ' '), '') AS clean_text
+    FROM b LEFT JOIN rem ON rem.doc_id = b.doc_id
+    """,
+    f"duplicated-block removal (the REWRITE dedup: C4's repeated-span "
+    "cut / RefinedWeb-Dolma exact line-dedup, at word-"
+    f"{BLK_W}-block granularity): docs split into consecutive non-"
+    "overlapping token blocks; the globally FIRST occurrence of each "
+    "distinct block text (min (doc_id, block_idx)) survives and every "
+    "other occurrence is removed from its document's text; each doc "
+    "reports its removed-block count, surviving token count, and the "
+    "reassembled clean text. Complements substring_dedup, which only "
+    "DECIDES keep/trim/drop — this op performs the trim. Scale shape: "
+    "block text lives in-row as an array column; only (doc_id, "
+    "block_idx, 60-bit block hash) rows ever explode, the survivor "
+    "choice is one row_number window over the hash (id-sized rows "
+    "through the shuffle), removal lists group back to one short "
+    "array<int> per affected doc, and the rewrite is ONE doc_id-keyed "
+    "hash join (shuffle_hash hint: no sort of the text side) feeding an "
+    "index-aware array filter — the corpus text crosses exactly one "
+    "exchange, and only for docs that appear in the removal list... "
+    "every planted copy doc (first 3 blocks lifted verbatim from a "
+    "source doc, block-aligned by construction) loses exactly those 3 "
+    "blocks and keeps its unique tail (tests/test_pipeline_ops.py).",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    toks0 = tokens(F.col("text"))
+    plants = d.filter(
+        (F.col("doc_id") % SPAN_PLANT_MOD == 0) & (F.size(toks0) >= 3 * BLK_W)
+    ).select(
+        (F.col("doc_id") + SPAN_COPY_OFFSET).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat_ws(" ", F.slice(toks0, 1, 3 * BLK_W)),
+            F.concat(F.lit("post-"), F.col("doc_id").cast("string")),
+            F.concat(F.lit("tail-"), F.col("doc_id").cast("string")),
+            F.concat(F.lit("end-"), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    docs = (
+        d.select("doc_id", "text")
+        .unionByName(plants)
+        # spread block hashing (the op's CPU) before the branches fork,
+        # same rationale as substring_dedup's repartition
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    # blocks built in-row: block i covers tokens i*W+1 .. min((i+1)*W, n);
+    # try_element_at returns NULL past the end (ANSI-safe) and concat_ws
+    # skips NULLs, so the last short block assembles without a
+    # Column-start slice (which would knock the projection out of
+    # codegen — see the substring_dedup note above)
+    blocks = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.col("n_tokens") / F.lit(float(BLK_W))).cast("int") - 1),
+        lambda i: F.concat_ws(
+            " ",
+            *[
+                F.try_element_at(F.col("_toks"), (i * BLK_W + j).cast("int"))
+                for j in range(1, BLK_W + 1)
+            ],
+        ),
+    )
+    blk = (
+        docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+        .withColumn("n_tokens", F.size(F.col("_toks")).cast("bigint"))
+        .withColumn("_blks", blocks)
+        .select("doc_id", "n_tokens", "_blks")
+    )
+    # survivor choice: ids + 60-bit hashes only through the exchange
+    blk_rows = blk.select("doc_id", F.posexplode(F.col("_blks")).alias("bi", "bt")).select(
+        "doc_id", "bi", md5_long(F.col("bt")).alias("bh")
+    )
+    w = W.partitionBy("bh").orderBy("doc_id", "bi")
+    removed = (
+        blk_rows.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "bi")
+    )
+    rem_lists = removed.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("bi")).alias("_rl")
+    )
+    # the rewrite join: one doc_id-keyed hash exchange of the corpus —
+    # the honest cost of emitting rewritten text; shuffle_hash avoids
+    # sorting the text side
+    joined = blk.join(rem_lists.hint("shuffle_hash"), "doc_id", "left")
+    rl = F.coalesce(F.col("_rl"), F.array().cast("array<int>"))
+    removed_tok = F.aggregate(
+        rl,
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + F.least(F.lit(BLK_W).cast("bigint"), F.col("n_tokens") - i.cast("bigint") * BLK_W),
+    )
+    clean_blocks = F.filter(F.col("_blks"), lambda b, i: ~F.array_contains(rl, i))
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        F.size(rl).cast("bigint").alias("removed_blocks"),
+        (F.col("n_tokens") - removed_tok).cast("bigint").alias("kept_tokens"),
+        F.concat_ws(" ", clean_blocks).alias("clean_text"),
+    )

@@ -670,3 +670,61 @@ def test_quality_classifier_distills_the_heuristic(spark):
     assert acc >= 0.90, f"classifier accuracy vs heuristic: {acc:.3f}"
     labels = {v[1] for v in out1.values()}
     assert labels == {0, 1}, f"degenerate classifier output: {labels}"
+
+
+def test_span_dedup_removes_planted_blocks_and_reassembles(spark):
+    """Every planted copy doc (first 3 blocks lifted verbatim,
+    block-aligned) must lose AT LEAST those 3 blocks (natural word-salad
+    collisions may remove more) while its unique post/tail/end token
+    block always survives; its source keeps any block the plant copied
+    whenever the source owns the globally-first occurrence; clean_text
+    must always equal the doc's surviving blocks reassembled in order;
+    and token accounting must be internally consistent."""
+    from eurovision_spark.operators.dedup import (
+        BLK_W,
+        SPAN_COPY_OFFSET,
+        SPAN_PLANT_MOD,
+    )
+
+    out = {r.doc_id: r for r in registry()["span_dedup"].fn(spark, SF).collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .filter("n_chars > 0")
+        .collect()
+    }
+    eligible = [
+        d for d, t in docs.items()
+        if d % SPAN_PLANT_MOD == 0 and len(t.split()) >= 3 * BLK_W
+    ]
+    assert eligible, "fixture must contain plantable sources"
+    assert set(out) == set(docs) | {d + SPAN_COPY_OFFSET for d in eligible}
+
+    def blocks(toks):
+        return [
+            " ".join(toks[i : i + BLK_W]) for i in range(0, len(toks), BLK_W)
+        ]
+
+    # python reimplementation of the global first-occurrence rule
+    all_texts = {d: docs[d].split() for d in docs}
+    for d in eligible:
+        src = all_texts[d]
+        all_texts[d + SPAN_COPY_OFFSET] = (
+            src[: 3 * BLK_W] + [f"post-{d}", f"tail-{d}", f"end-{d}"]
+        )
+    first = {}
+    for d in sorted(all_texts):
+        for bi, bt in enumerate(blocks(all_texts[d])):
+            first.setdefault(bt, (d, bi))
+    for d, toks in all_texts.items():
+        blks = blocks(toks)
+        kept = [bt for bi, bt in enumerate(blks) if first[bt] == (d, bi)]
+        r = out[d]
+        assert r.n_tokens == len(toks)
+        assert r.clean_text == " ".join(kept), f"doc {d}"
+        assert r.removed_blocks == len(blks) - len(kept)
+        assert r.kept_tokens == sum(len(b.split()) for b in kept)
+    for d in eligible:
+        p = out[d + SPAN_COPY_OFFSET]
+        assert p.removed_blocks >= 3, f"plant {d} kept a copied block"
+        assert p.clean_text.endswith(f"post-{d} tail-{d} end-{d}")
