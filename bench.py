@@ -81,6 +81,7 @@ HEADLINE = [
     "quality_classifier",
     "knn_classify",
     "span_dedup",
+    "corpus_diff",
 ]
 
 

@@ -728,3 +728,40 @@ def test_span_dedup_removes_planted_blocks_and_reassembles(spark):
         p = out[d + SPAN_COPY_OFFSET]
         assert p.removed_blocks >= 3, f"plant {d} kept a copied block"
         assert p.clean_text.endswith(f"post-{d} tail-{d} end-{d}")
+
+
+def test_corpus_diff_emits_exactly_the_planted_delta(spark):
+    """The synthesized v2 removes the %11==3 stripe, revises %11==5,
+    and adds a new doc per %11==7: the diff must contain exactly those
+    ids with the right status, nothing for the unchanged bulk, and
+    digests present on exactly the sides where the doc exists."""
+    from eurovision_spark.operators.pipeline import (
+        DIFF_ADDED_OFFSET,
+        DIFF_ADDED_RES,
+        DIFF_CHANGED_RES,
+        DIFF_MOD,
+        DIFF_REMOVED_RES,
+    )
+
+    out = {r.doc_id: r for r in registry()["corpus_diff"].fn(spark, SF).collect()}
+    ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .filter("n_chars > 0")
+        .select("doc_id")
+        .collect()
+    ]
+    expect = {}
+    for d in ids:
+        if d % DIFF_MOD == DIFF_REMOVED_RES:
+            expect[d] = "removed"
+        elif d % DIFF_MOD == DIFF_CHANGED_RES:
+            expect[d] = "changed"
+        elif d % DIFF_MOD == DIFF_ADDED_RES:
+            expect[d + DIFF_ADDED_OFFSET] = "added"
+    assert {d: r.status for d, r in out.items()} == expect
+    for d, r in out.items():
+        assert (r.old_digest is None) == (r.status == "added")
+        assert (r.new_digest is None) == (r.status == "removed")
+        if r.status == "changed":
+            assert r.old_digest != r.new_digest

@@ -715,3 +715,14 @@ def test_span_dedup_exchanges_are_hash_or_id_keyed(spark):
     assert len(win) >= 2, "expected a window operator in the plan"
     for seg in win[1:]:
         assert "_blks" not in seg[:300] and "_toks" not in seg[:300]
+
+
+def test_corpus_diff_join_moves_digests_not_text(spark):
+    """Both snapshot sides collapse to (doc_id, digest) before the full
+    outer join: no exchange or join operand may carry the text column,
+    and there is no cross product."""
+    plan = plan_of(spark, "corpus_diff")
+    assert "CartesianProduct" not in plan
+    # every Exchange section must be free of the text column
+    for seg in plan.split("Exchange ")[1:]:
+        assert "text#" not in seg[:200], "text column crossed an exchange"
