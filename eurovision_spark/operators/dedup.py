@@ -1499,11 +1499,27 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # same rationale as substring_dedup's repartition
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    # blocks built in-row: block i covers tokens i*W+1 .. min((i+1)*W, n);
-    # try_element_at returns NULL past the end (ANSI-safe) and concat_ws
-    # skips NULLs, so the last short block assembles without a
-    # Column-start slice (which would knock the projection out of
-    # codegen — see the substring_dedup note above)
+    blk = doc_blocks(docs)
+    # survivor choice: ids + 60-bit hashes only through the exchange
+    w = W.partitionBy("bh").orderBy("doc_id", "bi")
+    removed = (
+        block_rows(blk)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "bi")
+    )
+    return apply_block_removals(blk, removed)
+
+
+def doc_blocks(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, _blks) — each doc's consecutive BLK_W-token
+    block texts as an IN-ROW array (the span_dedup working shape: block
+    text never needs to leave its row except through :func:`block_rows`'
+    hash projection). Blocks built per-row: block i covers tokens
+    i*W+1 .. min((i+1)*W, n); try_element_at returns NULL past the end
+    (ANSI-safe) and concat_ws skips NULLs, so the last short block
+    assembles without a Column-start slice (which would knock the
+    projection out of codegen — see the substring_dedup note above)."""
     blocks = F.transform(
         F.sequence(F.lit(0), F.ceil(F.col("n_tokens") / F.lit(float(BLK_W))).cast("int") - 1),
         lambda i: F.concat_ws(
@@ -1514,28 +1530,30 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         ),
     )
-    blk = (
+    return (
         docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
         .withColumn("n_tokens", F.size(F.col("_toks")).cast("bigint"))
         .withColumn("_blks", blocks)
         .select("doc_id", "n_tokens", "_blks")
     )
-    # survivor choice: ids + 60-bit hashes only through the exchange
-    blk_rows = blk.select("doc_id", F.posexplode(F.col("_blks")).alias("bi", "bt")).select(
-        "doc_id", "bi", md5_long(F.col("bt")).alias("bh")
-    )
-    w = W.partitionBy("bh").orderBy("doc_id", "bi")
-    removed = (
-        blk_rows.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") > 1)
-        .select("doc_id", "bi")
-    )
+
+
+def block_rows(blk: DataFrame) -> DataFrame:
+    """(doc_id, bi, bh) — one id+hash row per block occurrence; the only
+    shape the dedup decision ever shuffles."""
+    return blk.select(
+        "doc_id", F.posexplode(F.col("_blks")).alias("bi", "bt")
+    ).select("doc_id", "bi", md5_long(F.col("bt")).alias("bh"))
+
+
+def apply_block_removals(blk: DataFrame, removed: DataFrame) -> DataFrame:
+    """Rewrite ``blk`` docs with the ``removed`` (doc_id, bi)
+    occurrences cut out: ONE doc_id-keyed hash join (shuffle_hash hint:
+    no sort of the text side) feeding an index-aware array filter —
+    the honest single corpus exchange of emitting rewritten text."""
     rem_lists = removed.groupBy("doc_id").agg(
         F.array_sort(F.collect_list("bi")).alias("_rl")
     )
-    # the rewrite join: one doc_id-keyed hash exchange of the corpus —
-    # the honest cost of emitting rewritten text; shuffle_hash avoids
-    # sorting the text side
     joined = blk.join(rem_lists.hint("shuffle_hash"), "doc_id", "left")
     rl = F.coalesce(F.col("_rl"), F.array().cast("array<int>"))
     removed_tok = F.aggregate(

@@ -24,7 +24,7 @@ Both run to completion on local parquet/text dirs via
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -894,3 +894,95 @@ def stream_quality_gate(
 
     w, b = train_quality_model(spark, train_dir)
     return score_documents(_stream_docs(spark, docs_dir), w, b)
+
+
+def stream_span_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming twin of ``span_dedup`` — duplicated-block removal AT
+    INTAKE: each arriving document is rewritten with every block whose
+    text already landed (or occurred earlier in the same batch) cut
+    out, so the landed corpus never stores a block's text twice. The
+    production shape for block/line-level dedup of a continuous crawl:
+    the batch op's global min-(doc_id, block_idx) survivor becomes
+    first-ARRIVED-wins here, which coincides with the batch result
+    whenever batches arrive in doc_id order (pinned in
+    tests/test_streaming.py against the batch core on the union).
+
+    Store layout (keyed parquet, upserted per batch):
+
+    - ``landed/``     (doc_id, n_tokens, removed_blocks, kept_tokens,
+      clean_text) — the rewritten documents;
+    - ``blockindex/`` (bh, doc_id, bi) — one row per distinct landed
+      block hash: its first owner. The store is PROBED on the block
+      hash (equi-join) only; per-batch cost tracks batch block count,
+      never store size.
+
+    Per micro-batch (foreachBatch, batch semantics inside): build the
+    in-row block arrays (operators/dedup.doc_blocks), explode the
+    id+hash rows ONCE (block_rows), decide removals = store hits (any
+    occurrence of an already-owned hash, excluding the owner row
+    itself so a replayed batch doesn't self-collide) + in-batch
+    non-first occurrences (row_number over the hash among store
+    misses), rewrite via the SAME array-filter tail as batch
+    (apply_block_removals), then first-wins upsert landed docs and the
+    batch's newly-owned hash rows. Decisions are materialized
+    (localCheckpoint) BEFORE either store write, so the lazily-planned
+    store probe can't re-read files the same batch rewrites; first-wins
+    keyed upserts make a replayed micro-batch a no-op on both stores."""
+    import os
+
+    from eurovision_spark.operators.dedup import (
+        apply_block_removals,
+        block_rows,
+        doc_blocks,
+    )
+    from eurovision_spark.sinks import upsert_parquet
+
+    landed_dir = os.path.join(store_dir, "landed")
+    blockindex_dir = os.path.join(store_dir, "blockindex")
+    stream = _stream_docs(spark, docs_dir).select("doc_id", "text")
+
+    def _read_or_empty(path: str, ddl: str) -> DataFrame:
+        if os.path.exists(path):
+            return spark.read.parquet(path)
+        return spark.createDataFrame([], ddl)
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        blk = doc_blocks(batch_df).localCheckpoint()
+        rows = block_rows(blk).localCheckpoint()
+        ex = _read_or_empty(blockindex_dir, "bh bigint, doc_id bigint, bi int")
+        # store hits: every occurrence of an already-owned hash is cut —
+        # except the owner row itself (replay: the batch's own blocks
+        # are already in the index and must not erase themselves)
+        store_hit = (
+            rows.join(
+                ex.select("bh", F.col("doc_id").alias("_od"), F.col("bi").alias("_ob")),
+                "bh",
+            )
+            .filter(~((F.col("doc_id") == F.col("_od")) & (F.col("bi") == F.col("_ob"))))
+            .select("doc_id", "bi")
+        )
+        # in-batch decision among store MISSES: first (doc_id, bi) owns
+        misses = rows.join(ex.select("bh"), "bh", "left_anti")
+        w = W.partitionBy("bh").orderBy("doc_id", "bi")
+        ranked = misses.withColumn("rn", F.row_number().over(w))
+        removed = (
+            store_hit.unionByName(ranked.filter(F.col("rn") > 1).select("doc_id", "bi"))
+            .localCheckpoint()
+        )
+        new_owners = (
+            ranked.filter(F.col("rn") == 1).select("bh", "doc_id", "bi").localCheckpoint()
+        )
+        cleaned = apply_block_removals(blk, removed).localCheckpoint()
+        upsert_parquet(cleaned, landed_dir, ["doc_id"], keep="existing")
+        upsert_parquet(new_owners, blockindex_dir, ["bh"], keep="existing")
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -922,3 +922,97 @@ def test_stream_quality_gate_equals_batch_classifier(spark, sf_dir, tmp_path):
         for r in registry()["quality_classifier"].fn(spark, sf_dir).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_stream_span_dedup_matches_batch_core_on_union(spark, tmp_path):
+    """Block-level intake dedup: a block landed in wave 1 must be cut
+    from every later arrival, in-batch repeats keep only their first
+    occurrence, the final landed store equals the BATCH span-dedup core
+    run over the union (doc_id-ordered arrival == global min survivor),
+    and replaying a wave changes neither store."""
+    import shutil
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from eurovision_spark.operators.dedup import (
+        apply_block_removals,
+        block_rows,
+        doc_blocks,
+    )
+    from eurovision_spark.streaming.ingest import stream_span_dedup
+
+    docs_dir = tmp_path / "docs_in"
+    docs_dir.mkdir()
+    store = tmp_path / "store"
+
+    def blk8(tag):  # one full 8-token block of distinct words
+        return " ".join(f"{tag}{i}" for i in range(8))
+
+    A, B, C, D = blk8("a"), blk8("b"), blk8("c"), blk8("d")
+    waves = {
+        "wave1": [(1, f"{A} {B}")],
+        # B repeats from wave1 (cross-batch); C is new
+        "wave2": [(10, f"{B} {C}")],
+        # C and A repeat across batches; D appears twice IN-batch
+        "wave3": [(20, f"{C} {A} {D}"), (21, f"{D} {blk8('e')}")],
+    }
+
+    def write_wave(name):
+        spark.createDataFrame(
+            [(i, t, len(t)) for i, t in waves[name]],
+            "doc_id bigint, text string, n_chars int",
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = next((tmp_path / name).glob("part-*.parquet"))
+        shutil.copy(part, docs_dir / f"{name}.parquet")
+
+    write_wave("wave1")
+    q = stream_span_dedup(spark, str(docs_dir), str(store), str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        write_wave("wave2")
+        q.processAllAvailable()
+        write_wave("wave3")
+        q.processAllAvailable()
+        landed_before = {
+            r.doc_id: tuple(r) for r in spark.read.parquet(str(store / "landed")).collect()
+        }
+        idx_before = {
+            r.bh: (r.doc_id, r.bi)
+            for r in spark.read.parquet(str(store / "blockindex")).collect()
+        }
+        # replay wave 3 under a new file name (same rows re-delivered)
+        shutil.copy(docs_dir / "wave3.parquet", docs_dir / "wave3_replay.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    landed = {
+        r.doc_id: tuple(r) for r in spark.read.parquet(str(store / "landed")).collect()
+    }
+    idx = {
+        r.bh: (r.doc_id, r.bi)
+        for r in spark.read.parquet(str(store / "blockindex")).collect()
+    }
+    assert landed == landed_before and idx == idx_before, "replay mutated a store"
+
+    # expected cuts: doc 10 loses B, doc 20 loses C and A, doc 21 loses D
+    by_id = {d: r for d, r in landed.items()}
+    assert by_id[1][4] == f"{A} {B}"
+    assert by_id[10][4] == C
+    assert by_id[20][4] == D
+    assert by_id[21][4] == blk8("e")
+
+    # batch-core parity on the union (arrival is doc_id-ordered)
+    union = spark.createDataFrame(
+        [(i, t) for rows in waves.values() for i, t in rows], "doc_id bigint, text string"
+    )
+    blk = doc_blocks(union)
+    w = W.partitionBy("bh").orderBy("doc_id", "bi")
+    removed = (
+        block_rows(blk).withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "bi")
+    )
+    batch_out = {r.doc_id: tuple(r) for r in apply_block_removals(blk, removed).collect()}
+    assert batch_out == landed
