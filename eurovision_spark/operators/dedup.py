@@ -1503,7 +1503,7 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survivor choice: ids + 60-bit hashes only through the exchange
     w = W.partitionBy("bh").orderBy("doc_id", "bi")
     removed = (
-        block_rows(blk)
+        block_rows(docs)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") > 1)
         .select("doc_id", "bi")
@@ -1511,17 +1511,18 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_block_removals(blk, removed)
 
 
-def doc_blocks(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens, _blks) — each doc's consecutive BLK_W-token
-    block texts as an IN-ROW array (the span_dedup working shape: block
-    text never needs to leave its row except through :func:`block_rows`'
-    hash projection). Blocks built per-row: block i covers tokens
-    i*W+1 .. min((i+1)*W, n); try_element_at returns NULL past the end
-    (ANSI-safe) and concat_ws skips NULLs, so the last short block
-    assembles without a Column-start slice (which would knock the
-    projection out of codegen — see the substring_dedup note above)."""
-    blocks = F.transform(
-        F.sequence(F.lit(0), F.ceil(F.col("n_tokens") / F.lit(float(BLK_W))).cast("int") - 1),
+def _block_expr():
+    """The block-array expression over a ``_toks`` column: block i
+    covers tokens i*W+1 .. min((i+1)*W, n); try_element_at returns NULL
+    past the end (ANSI-safe) and concat_ws skips NULLs, so the last
+    short block assembles without a Column-start slice (which would
+    knock the projection out of codegen — see the substring_dedup note
+    above). One definition consumed by BOTH doc_blocks (the in-row
+    rewrite side) and block_rows (the hash-explode side), so the two
+    necessarily derive identical blocks."""
+    n = F.size(F.col("_toks"))
+    return F.transform(
+        F.sequence(F.lit(0), F.ceil(n / F.lit(float(BLK_W))).cast("int") - 1),
         lambda i: F.concat_ws(
             " ",
             *[
@@ -1530,20 +1531,39 @@ def doc_blocks(docs: DataFrame) -> DataFrame:
             ],
         ),
     )
+
+
+def _toked(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+
+
+def doc_blocks(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, _blks) — each doc's consecutive BLK_W-token
+    block texts as an IN-ROW array (the span_dedup working shape: block
+    text never needs to leave its row except through :func:`block_rows`'
+    hash projection)."""
     return (
-        docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+        _toked(docs)
         .withColumn("n_tokens", F.size(F.col("_toks")).cast("bigint"))
-        .withColumn("_blks", blocks)
+        .withColumn("_blks", _block_expr())
         .select("doc_id", "n_tokens", "_blks")
     )
 
 
-def block_rows(blk: DataFrame) -> DataFrame:
+def block_rows(docs: DataFrame) -> DataFrame:
     """(doc_id, bi, bh) — one id+hash row per block occurrence; the only
-    shape the dedup decision ever shuffles."""
-    return blk.select(
-        "doc_id", F.posexplode(F.col("_blks")).alias("bi", "bt")
-    ).select("doc_id", "bi", md5_long(F.col("bt")).alias("bh"))
+    shape the dedup decision ever shuffles. Takes the DOCS frame (not
+    doc_blocks' output) and explodes the block expression inline:
+    generating from the expression keeps the higher-order block build
+    on the fast evaluation path, where exploding the materialized
+    ``_blks`` column measured ~35x slower at the x10 tier (360k blocks:
+    0.7s vs 25s) — the lazily-evaluated array column re-enters the
+    interpreted projection path per occurrence."""
+    return (
+        _toked(docs)
+        .select("doc_id", F.posexplode(_block_expr()).alias("bi", "bt"))
+        .select("doc_id", "bi", md5_long(F.col("bt")).alias("bh"))
+    )
 
 
 def apply_block_removals(blk: DataFrame, removed: DataFrame) -> DataFrame:

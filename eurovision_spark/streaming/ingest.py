@@ -953,7 +953,7 @@ def stream_span_dedup(
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         blk = doc_blocks(batch_df).localCheckpoint()
-        rows = block_rows(blk).localCheckpoint()
+        rows = block_rows(batch_df).localCheckpoint()
         ex = _read_or_empty(blockindex_dir, "bh bigint, doc_id bigint, bi int")
         # store hits: every occurrence of an already-owned hash is cut —
         # except the owner row itself (replay: the batch's own blocks

@@ -1010,7 +1010,7 @@ def test_stream_span_dedup_matches_batch_core_on_union(spark, tmp_path):
     blk = doc_blocks(union)
     w = W.partitionBy("bh").orderBy("doc_id", "bi")
     removed = (
-        block_rows(blk).withColumn("rn", F.row_number().over(w))
+        block_rows(union).withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") > 1)
         .select("doc_id", "bi")
     )
