@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from eurovision_spark.catalog import register
-from eurovision_spark.sources import load_events
+from eurovision_spark.sources import load_events, load_table
 from eurovision_spark.timeaxis import SESSION_GAP_US
 
 
@@ -343,4 +343,91 @@ def ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("low"),
         F.max_by("value", order).alias("close"),
         F.count("*").cast("bigint").alias("n_events"),
+    )
+
+
+@register(
+    "scd2_history",
+    """
+    WITH o AS (
+        SELECT o_custkey, o_orderstatus,
+               strftime(o_orderdate, '%Y-%m-%d') AS od, o_orderkey
+        FROM orders),
+    marked AS (
+        SELECT o_custkey, o_orderstatus, od, o_orderkey,
+               lag(o_orderstatus) OVER w AS prev
+        FROM o
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY od, o_orderkey)),
+    runs AS (
+        SELECT o_custkey, o_orderstatus, od,
+               CAST(sum(CASE WHEN prev IS NULL OR prev <> o_orderstatus
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS version
+        FROM marked),
+    segs AS (
+        SELECT o_custkey, o_orderstatus AS status, version,
+               min(od) AS valid_from,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM runs GROUP BY o_custkey, o_orderstatus, version)
+    SELECT o_custkey, status, version, valid_from,
+           lead(valid_from) OVER w2 AS valid_to,
+           CAST(CASE WHEN lead(valid_from) OVER w2 IS NULL THEN 1 ELSE 0 END
+                AS INT) AS is_current,
+           n_orders
+    FROM segs
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY version)
+    """,
+    "SCD type-2 history build (the warehouse dimension-maintenance "
+    "shape): per customer, collapse the order-status sequence into "
+    "versioned validity segments — change-detect with lag, number runs "
+    "with a running sum, aggregate each run to (valid_from, n_orders), "
+    "close each segment with lead(valid_from) and flag the open one "
+    "as current. EVERY stage clusters on o_custkey, and Spark's "
+    "ClusteredDistribution subset rule lets the run-grouping and both "
+    "window passes reuse the FIRST exchange (group/partition keys are "
+    "supersets of the incoming hashpartitioning(o_custkey)) — the whole "
+    "history build moves each row across the wire exactly once, which "
+    "is what makes it viable as a daily rebuild over a 100 TB fact "
+    "table. Dates ride as 'yyyy-MM-dd' strings (lexicographic == "
+    "chronological) so both engines order and emit identically.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01/0.1 (verify)
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+    )
+    w = W.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    runs = o.withColumn("prev", F.lag("o_orderstatus").over(w)).withColumn(
+        "version",
+        F.sum(
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("prev") != F.col("o_orderstatus")),
+                1,
+            ).otherwise(0)
+        ).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    segs = runs.groupBy(
+        "o_custkey", F.col("o_orderstatus").alias("status"), "version"
+    ).agg(
+        F.min("od").alias("valid_from"),
+        F.count("*").alias("n_orders"),
+    )
+    w2 = W.partitionBy("o_custkey").orderBy("version")
+    return segs.select(
+        "o_custkey",
+        "status",
+        "version",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.when(F.lead("valid_from").over(w2).isNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_current"),
+        "n_orders",
     )
