@@ -80,6 +80,7 @@ def registry() -> dict[str, QuerySpec]:
     from eurovision_spark.plans import relational  # noqa: F401
     from eurovision_spark.operators import analytics  # noqa: F401
     from eurovision_spark.operators import dedup  # noqa: F401
+    from eurovision_spark.operators import entity  # noqa: F401
     from eurovision_spark.operators import imp_dedup  # noqa: F401
     from eurovision_spark.operators import multimodal  # noqa: F401
     from eurovision_spark.operators import pipeline  # noqa: F401

@@ -1539,3 +1539,114 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("true_label") == F.col("nbr_label")).cast("int").alias("correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA projection: bounded-sample-trained linear dimension reduction
+# ---------------------------------------------------------------------------
+
+PCA_DIM = 8  # output components
+PCA_ITERS = 60  # power-iteration steps per component
+
+
+def pca_model(sample_vecs, d_out: int = PCA_DIM):
+    """Deterministic PCA on the (≤4096-row) training sample: mean +
+    top-``d_out`` principal axes by power iteration with deflation.
+    Mirrors ``_lloyd``'s determinism discipline — float64 throughout,
+    fixed unit-basis seeds, per-step rounding (kills last-ulp BLAS
+    reduction noise so results are bit-stable across processes and
+    thread counts), sign fixed so the largest-|coordinate| entry is
+    positive. Returns (mean, components) with every float rounded to 9
+    decimals — the literals BOTH engines consume."""
+    import numpy as np
+
+    x = np.asarray(sample_vecs, dtype=np.float64)
+    mean = np.round(x.mean(axis=0), 9)
+    xc = np.round(x - mean, 9)
+    dim = xc.shape[1]
+    comps: list = []
+    for j in range(min(d_out, dim)):
+        v = np.zeros(dim)
+        v[j % dim] = 1.0
+        for _ in range(PCA_ITERS):
+            w = xc.T @ (xc @ v)
+            for c in comps:
+                w = w - np.dot(w, c) * c
+            n = np.linalg.norm(w)
+            v = np.round(w / (n if n else 1.0), 12)
+        i = int(np.argmax(np.abs(np.round(v, 9))))
+        if v[i] < 0:
+            v = -v
+        comps.append(np.round(v, 9))
+    return (
+        [float(m) for m in mean],
+        [[float(c) for c in row] for row in comps],
+    )
+
+
+def _pca_oracle(sf_dir: str) -> str:
+    """Dynamic oracle: inline the sample-trained axes as literals (repr
+    round-trips float64 exactly); (v - mean) . w == v . w - mean . w, so
+    the mean folds into one scalar offset per component."""
+    mean, comps = pca_model(ivf_sample(sf_dir))
+    import numpy as np
+
+    cols = []
+    for j, w in enumerate(comps):
+        b = float(np.dot(np.asarray(mean), np.asarray(w)))
+        lit = f"[{', '.join(repr(x) for x in w)}]::DOUBLE[]"
+        cols.append(
+            f"round(list_dot_product(embedding::DOUBLE[], {lit}) - {b!r}, 6)"
+            f" AS pc{j + 1}"
+        )
+    sel = ",\n           ".join(cols)
+    return f"""
+    SELECT vec_id, label,
+           {sel}
+    FROM embeddings
+    """
+
+
+@register(
+    "embed_pca",
+    _pca_oracle,
+    "PCA dimension reduction over the embedding column (the standard "
+    "pre-pass before ANN indexing / clustering when 64 raw dims carry "
+    "redundant variance): top-8 principal axes trained by deterministic "
+    "power iteration on the SAME bounded md5-ordered ≤4096-vector "
+    "sample as the IVF codebook (one TakeOrdered collect, never a "
+    "corpus-sized transfer), then applied corpus-wide as EIGHT literal "
+    "dot products inside whole-stage codegen — a zero-shuffle per-row "
+    "map, embarrassingly parallel at any corpus size. (v - mean) . w "
+    "folds the centering into a scalar offset per component, so the hot "
+    "path is pure multiply-add over the array column; the oracle "
+    "inlines the identical axis literals and DuckDB's sequential "
+    "list_dot_product matches Spark's aggregate fold bit-for-bit.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01/0.1 (verify)
+)
+def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    raw = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    # the SAME deterministic sample as the IVF/PQ codebooks (md5-ordered
+    # TakeOrdered, zero-norm rows excluded from TRAINING only — the
+    # projection itself applies to every row)
+    cent_key = md5_long(F.concat(F.lit("cent-"), F.col("vec_id").cast("string")))
+    sample = (
+        raw.filter(l2norm(F.col("v")) > 0)
+        .orderBy(cent_key.asc(), F.col("vec_id").asc())
+        .limit(IVF_SAMPLE)
+        .select("v")
+        .collect()
+    )
+    mean, comps = pca_model([r.v for r in sample])
+    out = [F.col("vec_id"), F.col("label")]
+    for j, wvec in enumerate(comps):
+        b = float(np.dot(np.asarray(mean), np.asarray(wvec)))
+        lit = F.array(*[F.lit(x) for x in wvec])
+        out.append(
+            F.round(dot(F.col("v"), lit) - F.lit(b), 6).alias(f"pc{j + 1}")
+        )
+    return raw.select(*out)
