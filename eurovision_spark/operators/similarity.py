@@ -62,6 +62,34 @@ def l2norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def seq_norm(v) -> float:
+    """Driver-side L2 norm by the SAME sequential fold as the in-plan
+    ``l2norm`` and DuckDB's sqrt(list_dot_product): one IEEE-double
+    multiply-add per element in array order, so the result is
+    bit-identical across all three (pinned in
+    tests/test_similarity_recall.py). Used when a codebook ships as a
+    pre-built LocalRelation row instead of carrying norm expressions."""
+    import math
+
+    acc = 0.0
+    for x in v:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def book_rows(rows) -> list:
+    """[(id, vec, seq_norm(vec))] struct data for a codebook
+    LocalRelation, ids ascending — the zero-job way to ship a
+    driver-held codebook into the plan. createDataFrame over this
+    nested data is a driver-local operation and the broadcast of the
+    one-row relation is the only (tiny) job; the groupBy/collect_list/
+    join chain it replaces re-aggregated plan-time-constant data
+    through ~3 Spark jobs per query (~1s of pure overhead), and
+    inlining the book as literal expressions instead blows the
+    Catalyst tree to ~20k nodes (measured 2x slower than either)."""
+    return [(int(i), [float(x) for x in v], seq_norm(v)) for i, v in rows]
+
+
 COSINE_SQL = (
     "list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
@@ -588,14 +616,14 @@ def cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     codebook = _lloyd([r.v for r in sample])
-    cents = spark.createDataFrame(
-        [(i, row) for i, row in enumerate(codebook)],
-        "cent_id bigint, cv array<double>",
-    ).withColumn("ncv", l2norm(F.col("cv")))
-    cent_row = cents.agg(
-        F.array_sort(
-            F.collect_list(F.struct("cent_id", "cv", "ncv"))
-        ).alias("cents")
+    # the codebook ships as a pre-built one-row LocalRelation
+    # (book_rows: norms pre-folded driver-side, bit-identical to the
+    # l2norm fold) — the collect_list-to-one-row aggregation chain this
+    # replaces burned ~1s of job overhead per query re-aggregating
+    # plan-time-constant data
+    cent_row = spark.createDataFrame(
+        [(book_rows(enumerate(codebook)),)],
+        "cents array<struct<cent_id:bigint,cv:array<double>,ncv:double>>",
     )
     e = (
         raw.repartition(spark.sparkContext.defaultParallelism)
@@ -806,8 +834,9 @@ def _sem_oracle(sf_dir: str) -> str:
     "semantic deduplication (SemDeDup-shaped): vectors partition into "
     "k-means cells (the cosine_ivf codebook — deterministic Lloyd on a "
     "bounded md5-ordered sample, broadcast as ONE array row), candidate "
-    "pairs form ONLY within a cell (dedup.pairs_in_buckets on the cell "
-    "id — one id-only shuffle, cost tracks cell occupancy, never n²), "
+    "pairs form ONLY within a cell (vectors carried through ONE cell "
+    "groupBy, pairs + cosines generated inside the sorted member array "
+    "— cost tracks cell occupancy, never n², and no join-back shuffle), "
     "each pair's exact cosine is verified JVM-side, and a vector is "
     "DROPPED when a near-identical (cos >= 0.99) cell-mate with a "
     "smaller id exists — keeper = that smallest cell-mate, the "
@@ -826,8 +855,6 @@ def _sem_oracle(sf_dir: str) -> str:
     driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01/0.1 (verify)
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from eurovision_spark.operators.dedup import pairs_in_buckets
-
     raw = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", as_double(F.col("embedding")).alias("v"))
@@ -853,28 +880,30 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plus its winning cell's fine members only.
     coarse, fine_to_coarse = sem_coarse(codebook)
     live = sorted(set(fine_to_coarse))
-    cents = spark.createDataFrame(
-        [(i, fine_to_coarse[i], row) for i, row in enumerate(codebook)],
-        "cent_id bigint, coarse_id bigint, cv array<double>",
-    ).withColumn("ncv", l2norm(F.col("cv")))
-    coarse_df = spark.createDataFrame(
-        [(j, coarse[j]) for j in live], "coarse_id bigint, ccv array<double>"
-    ).withColumn("nccv", l2norm(F.col("ccv")))
-    # ONE broadcast row: the (members-only) coarse book as a sorted
-    # struct array + coarse_id -> fine-member structs as a map. Both
-    # lookups are then per-row JVM expressions — no join, no shuffle.
-    groups = cents.groupBy("coarse_id").agg(
-        F.array_sort(F.collect_list(F.struct("cent_id", "cv", "ncv"))).alias(
-            "members"
-        )
-    )
-    book_row = coarse_df.join(groups, "coarse_id").agg(
-        F.array_sort(F.collect_list(F.struct("coarse_id", "ccv", "nccv"))).alias(
-            "coarse"
-        ),
-        F.map_from_entries(F.collect_list(F.struct("coarse_id", "members"))).alias(
-            "gm"
-        ),
+    # the two-level book ships as ONE pre-built LocalRelation row
+    # (book_rows: norms pre-folded driver-side, bit-identical to the
+    # l2norm fold): the members-only coarse array plus a coarse_id ->
+    # fine-member map — zero aggregation jobs over plan-time-constant
+    # data (the old createDataFrame + join + collect-to-one-row chain
+    # burned ~1s of job overhead per query)
+    book_row = spark.createDataFrame(
+        [
+            (
+                book_rows([(j, coarse[j]) for j in live]),
+                {
+                    j: book_rows(
+                        [
+                            (i, codebook[i])
+                            for i in range(len(codebook))
+                            if fine_to_coarse[i] == j
+                        ]
+                    )
+                    for j in live
+                },
+            )
+        ],
+        "coarse array<struct<coarse_id:bigint,ccv:array<double>,nccv:double>>, "
+        "gm map<bigint,array<struct<cent_id:bigint,cv:array<double>,ncv:double>>>",
     )
     planted = raw.unionByName(
         raw.select(
@@ -910,24 +939,41 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = e.select(
         "vec_id", "v", "nv", (-best.neg_cent).cast("bigint").alias("cent_id")
     )
-    banded = cells.select(
-        "vec_id",
-        F.lit(0).alias("band_id"),
-        F.col("cent_id").cast("string").alias("band_sig"),
+    # within-cell pair verification with the vectors CARRIED THROUGH the
+    # cell groupBy: each cell collects its (id, v, norm) members into a
+    # sorted array and pairs + exact cosines are generated inside the
+    # array (same 1-indexed slice as dedup.pairs_in_buckets) — the whole
+    # verify is ONE shuffle of the vectors, where the id-only bucket
+    # variant paid two MORE shuffles joining the vectors back by id (and
+    # re-derived the assignment expression for each join branch).
+    # Per-cell state is bounded by the adaptive k (~SEM_TARGET_CELL
+    # members/cell); a mega-cell would mean a degenerate codebook —
+    # raise k, don't add shuffles.
+    grouped = (
+        cells.groupBy("cent_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("vec_id", "v", "nv"))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") > 1)
     )
-    # one band (cells partition the corpus) -> no pair-distinct shuffle
-    pairs = pairs_in_buckets(banded, "vec_id", dedup_pairs=False)
-    a = cells.select(
-        F.col("vec_id").alias("vec_id_1"), F.col("v").alias("v1"), F.col("nv").alias("n1")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x.vec_id.alias("vec_id_1"),
+                    y.vec_id.alias("vec_id_2"),
+                    (dot(x.v, y.v) / (x.nv * y.nv)).alias("cos"),
+                ),
+            ),
+        )
     )
-    b = cells.select(
-        F.col("vec_id").alias("vec_id_2"), F.col("v").alias("v2"), F.col("nv").alias("n2")
-    )
-    cos = dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
     dup = (
-        pairs.join(a, "vec_id_1")
-        .join(b, "vec_id_2")
-        .select("vec_id_1", "vec_id_2", cos.alias("cos"))
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.vec_id_1", "p.vec_id_2", "p.cos")
         .filter(F.col("cos") >= SEM_DUP_T)
     )
     return dup.groupBy(F.col("vec_id_2").alias("dropped_id")).agg(
@@ -1316,12 +1362,11 @@ def cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subspace books trained on RESIDUALS of the same sample (shared
     # helper with the oracle builder — identical floats by construction)
     books = residual_pq_books([r.v for r in sample], codebook)
-    cents = spark.createDataFrame(
-        [(i, row) for i, row in enumerate(codebook)],
-        "cent_id bigint, cv array<double>",
-    ).withColumn("ncv", l2norm(F.col("cv")))
-    cent_row = cents.agg(
-        F.array_sort(F.collect_list(F.struct("cent_id", "cv", "ncv"))).alias("cents")
+    # one-row LocalRelation book (see book_rows): no aggregation jobs
+    # over plan-time-constant data
+    cent_row = spark.createDataFrame(
+        [(book_rows(enumerate(codebook)),)],
+        "cents array<struct<cent_id:bigint,cv:array<double>,ncv:double>>",
     )
     books_df = spark.createDataFrame([(books,)], "books array<array<array<double>>>")
     e = (

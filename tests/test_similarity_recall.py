@@ -293,3 +293,32 @@ def test_knn_classify_is_perfect_on_planted_clusters(spark, tmp_path):
         assert r.pred_label == r.true_label
         assert r.correct == 1
         assert r.n_votes == 5, "all k neighbors must share the cluster label"
+
+
+def test_seq_norm_matches_jvm_fold_and_duckdb(spark):
+    """book_rows ships codebook norms pre-folded driver-side (seq_norm);
+    the LocalRelation book is only hash-safe if that fold is
+    bit-identical to the in-plan l2norm fold AND DuckDB's
+    sqrt(list_dot_product) — pin all three on an adversarial vector
+    (mixed magnitudes force different results under any re-association).
+    """
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from eurovision_spark.operators.similarity import l2norm, seq_norm
+
+    v = [
+        1e-8, -3.1415926535, 2.718281828e5, -1.0000000001, 7e-3,
+        123456.789, -9.87654321e-6, 0.333333333333, -2.0, 1e2,
+    ]
+    py = seq_norm(v)
+    jvm = (
+        spark.range(1)
+        .select(l2norm(F.array(*[F.lit(x) for x in v])).alias("n"))
+        .collect()[0]
+        .n
+    )
+    duck = duckdb.sql(
+        f"SELECT sqrt(list_dot_product({v!r}::DOUBLE[], {v!r}::DOUBLE[]))"
+    ).fetchone()[0]
+    assert py == jvm and py == duck  # exact, not approx: bitwise contract
