@@ -696,7 +696,9 @@ def minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eurovision_spark.operators.imp_dedup import cc_edge_list
 
     docs = docs_with_copies(spark, sf_dir)
-    labels = cc_edge_list(verified_near_edges(docs), "doc_id_1", "doc_id_2")
+    labels = cc_edge_list(
+        verified_near_edges(docs), "doc_id_1", "doc_id_2", materialized=True
+    )
     return labels.select(
         F.col("node").cast("bigint").alias("doc_id"),
         F.col("comp").cast("bigint").alias("cluster_id"),
@@ -1063,7 +1065,9 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = dig.groupBy("_d").agg(F.min("doc_id").alias("c"))
     mapc = dig.join(canon, "_d").select("doc_id", "text", "c").persist()
     surv = mapc.filter(F.col("doc_id") == F.col("c")).select("doc_id", "text")
-    labels = cc_edge_list(verified_near_edges(surv), "doc_id_1", "doc_id_2")
+    labels = cc_edge_list(
+        verified_near_edges(surv), "doc_id_1", "doc_id_2", materialized=True
+    )
     lab = labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
     lab_c = lab.select(F.col("doc_id").alias("c"), F.col("cluster_id").alias("c_cluster"))
     return (

@@ -86,7 +86,7 @@ def connected_components_any_key(
 
 def cc_edge_list(
     edges: DataFrame, src: str, dst: str, max_iter: int = 15,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 3, materialized: bool = False,
 ) -> DataFrame:
     """Connected components over a global (src, dst) edge list: label
     every endpoint with the min node id reachable through the graph.
@@ -115,6 +115,11 @@ def cc_edge_list(
     max_iter=15 the doubling covers component diameters into the tens
     of thousands of hops; the residual non-convergence guard exists
     only for graphs beyond that.
+
+    ``materialized``: callers that already hand over a stored leaf
+    (e.g. :func:`~eurovision_spark.operators.dedup.verified_near_edges`
+    localCheckpoints its edge list) set this to skip the redundant
+    persist+count action here.
     """
     # materialize the edge list ONCE before anything fans out over it:
     # the upstream pipeline is typically the expensive part (LSH +
@@ -123,8 +128,9 @@ def cc_edge_list(
     # union branches would each recompute the whole pipeline inside one
     # job (measured 2x the verify cost), and each round would again.
     # The cached payload is ids-only, tiny at any corpus size.
-    edges = edges.persist()
-    edges.count()
+    if not materialized:
+        edges = edges.persist()
+        edges.count()
     sym = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")).unionByName(
         edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
     )
@@ -168,7 +174,10 @@ def cc_edge_list(
     converged = False
     for i in range(max_iter):
         # two hops per action; the mid-hop label rides along as _mid so
-        # the fixpoint test costs nothing extra
+        # the fixpoint test costs nothing extra (measured: ONE-hop
+        # first rounds lose — template-generated near-dup clusters have
+        # diameter >= 2, so a single hop rarely converges and the
+        # second round costs a whole extra action)
         h2 = hop(hop(labels).withColumnRenamed("comp", "_mid").withColumn(
             "comp", F.col("_mid")
         ))
@@ -188,11 +197,11 @@ def cc_edge_list(
             # levels into the logical plan (O(rounds) plan depth,
             # O(rounds^2) analysis cost, ~10k-line explain output)
             new_labels = new_labels.localCheckpoint()
-        # ONE action: count rows the second hop (or the jump) changed.
-        # Zero changes == hop fixpoint (at which point the jump is the
-        # identity); type-agnostic, so node ids may be structs (the
-        # any-key reduction uses (group, entry) nodes). NULL (empty
-        # edge list) counts as converged.
+        # ONE action: count rows this round's hop(s) (or the jump)
+        # changed. Zero changes == hop fixpoint (at which point the
+        # jump is the identity); type-agnostic, so node ids may be
+        # structs (the any-key reduction uses (group, entry) nodes).
+        # NULL (empty edge list) counts as converged.
         n_changed = new_labels.agg(
             F.sum(F.when(F.col("_mid") != F.col("comp"), 1).otherwise(0))
         ).collect()[0][0]
@@ -201,7 +210,8 @@ def cc_edge_list(
         if not n_changed:
             converged = True
             break
-    edges.unpersist()
+    if not materialized:
+        edges.unpersist()
     if not converged:
         raise RuntimeError(
             f"cc_edge_list did not converge in {max_iter} rounds "
@@ -210,7 +220,10 @@ def cc_edge_list(
     # hand consumers a LEAF: the label frame is already materialized in
     # cache, but its logical plan still nests every round — consumers
     # that reference it more than once (cluster remaps, window sizes)
-    # would re-analyze that tree per action
+    # would re-analyze that tree per action (and an evictable
+    # persisted-only frame could silently recompute against stores a
+    # streaming caller mutates next — the leaf is a correctness fence
+    # there, not just a speedup)
     return labels.localCheckpoint()
 
 
