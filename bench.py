@@ -82,6 +82,11 @@ HEADLINE = [
     "knn_classify",
     "span_dedup",
     "corpus_diff",
+    # round 5 (cont.): dimension-history, robust stats, PCA, typo pairs
+    "scd2_history",
+    "winsorized_stats",
+    "embed_pca",
+    "id_typo_pairs",
 ]
 
 
