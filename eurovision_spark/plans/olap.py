@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from eurovision_spark.catalog import register
+from eurovision_spark.operators.textstats import md5_long, md5_long_sql
 from eurovision_spark.sources import load_table
 
 
@@ -355,14 +356,29 @@ def quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-group bound-estimation sample size: bounded buffer, and kept <=
+# spark.sql.optimizer.windowGroupLimitThreshold (default 1000) so the
+# rn<=k predicate plans as WindowGroupLimit instead of a full window
+WIN_SAMPLE = 1000
+_WIN_KEY_SQL = md5_long_sql("concat('win-', CAST(o_orderkey AS VARCHAR))")
+
+
 @register(
     "winsorized_stats",
-    """
-    WITH g AS (
+    f"""
+    WITH s AS (
+        SELECT o_orderpriority, o_totalprice FROM (
+            SELECT o_orderpriority, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY {_WIN_KEY_SQL}, o_orderkey) AS rn
+            FROM orders)
+        WHERE rn <= {WIN_SAMPLE}),
+    g AS (
         SELECT o_orderpriority,
                quantile_cont(o_totalprice, 0.05) AS p05,
                quantile_cont(o_totalprice, 0.95) AS p95
-        FROM orders GROUP BY o_orderpriority)
+        FROM s GROUP BY o_orderpriority)
     SELECT o.o_orderpriority,
            round(g.p05, 4) AS p05,
            round(g.p95, 4) AS p95,
@@ -378,27 +394,44 @@ def quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "winsorized robust statistics (the outlier-clamp every metrics "
     "pipeline runs before averaging heavy-tailed values): per group, "
-    "clamp values into the [p05, p95] band and report raw vs "
-    "winsorized means plus the clip count. Two passes by necessity "
-    "(the clamp bounds are order statistics of the same group), but "
-    "both aggregates cluster on o_orderpriority and the per-group "
-    "bound table is broadcast back — the fact rows shuffle once for "
-    "the percentile pass and once for the final aggregate, never "
-    "through a sort of the full data. Spark's exact percentile() and "
-    "DuckDB's quantile_cont share linear-interpolation semantics "
-    "(proven by percentile_prices/quantiles_by_priority), and the "
-    "re-associated float means are rounded per the catalog "
-    "convention.",
+    "clamp values into a [p05, p95] band and report raw vs winsorized "
+    "means plus the clip count. The clamp bounds are order statistics "
+    f"estimated from a BOUNDED deterministic sample (≤{WIN_SAMPLE} "
+    "rows/group by md5-ordered row_number — Spark plans the rn<=k "
+    "predicate as WindowGroupLimit, a bounded per-group heap kept "
+    "map-side BEFORE the exchange, pinned in tests/test_plans.py), so "
+    "the exact-percentile buffer is O(sample), never O(group): the "
+    "unbounded-group formulation quantiles_by_priority warns about is "
+    "structurally impossible here. Both engines draw the IDENTICAL "
+    "sample (same md5 key, same tie-break) and share linear-"
+    "interpolation percentile semantics, so the bounds — and therefore "
+    "every downstream clamp, mean, and clip count — remain fully "
+    "hash-gated exact values. The fact rows then shuffle once for the "
+    "final aggregate with the 5-row bound table broadcast back; at "
+    "100 TB the alternative bounds pass is the t-digest sketch "
+    "(percentile_prices_approx), traded off here to keep the full "
+    "cross-engine hash gate.",
     driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01/0.1 (verify)
 )
 def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
-        "o_orderpriority", "o_totalprice"
+        "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    bounds = o.groupBy("o_orderpriority").agg(
+    # bounded deterministic bound-estimation sample: md5-ordered
+    # row_number <= k plans as WindowGroupLimit (per-group bounded heap
+    # on the map side), so no executor ever buffers a whole group
+    key = md5_long(F.concat(F.lit("win-"), F.col("o_orderkey").cast("string")))
+    sw = W.partitionBy("o_orderpriority").orderBy(key.asc(), F.col("o_orderkey").asc())
+    samp = (
+        o.withColumn("rn", F.row_number().over(sw))
+        .filter(F.col("rn") <= WIN_SAMPLE)
+        .select("o_orderpriority", "o_totalprice")
+    )
+    bounds = samp.groupBy("o_orderpriority").agg(
         F.expr("percentile(o_totalprice, 0.05)").alias("p05"),
         F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
     )
+    o = o.select("o_orderpriority", "o_totalprice")
     clamped = o.join(F.broadcast(bounds), "o_orderpriority").withColumn(
         "w_price",
         F.least(F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95")),

@@ -726,3 +726,17 @@ def test_corpus_diff_join_moves_digests_not_text(spark):
     # every Exchange section must be free of the text column
     for seg in plan.split("Exchange ")[1:]:
         assert "text#" not in seg[:200], "text column crossed an exchange"
+
+
+def test_winsorized_bounds_pass_is_group_limited(spark):
+    """The bound-estimation pass must never buffer a whole group: the
+    rn <= WIN_SAMPLE predicate plans as WindowGroupLimit (Partial on
+    the map side BEFORE the exchange + Final after), so each task keeps
+    a bounded per-group heap, and the exact percentile then aggregates
+    only the <=WIN_SAMPLE-row sample — the unbounded O(group)
+    ObjectHashAggregate buffer the r05 review flagged is structurally
+    absent from the plan."""
+    plan = plan_of(spark, "winsorized_stats")
+    assert "WindowGroupLimit" in plan
+    # partial (pre-exchange) and final instances
+    assert plan.count("WindowGroupLimit") >= 2
