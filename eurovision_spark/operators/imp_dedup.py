@@ -87,6 +87,7 @@ def connected_components_any_key(
 def cc_edge_list(
     edges: DataFrame, src: str, dst: str, max_iter: int = 15,
     checkpoint_every: int = 3, materialized: bool = False,
+    leaf: bool = True,
 ) -> DataFrame:
     """Connected components over a global (src, dst) edge list: label
     every endpoint with the min node id reachable through the graph.
@@ -119,8 +120,31 @@ def cc_edge_list(
     ``materialized``: callers that already hand over a stored leaf
     (e.g. :func:`~eurovision_spark.operators.dedup.verified_near_edges`
     localCheckpoints its edge list) set this to skip the redundant
-    persist+count action here.
+    persist+count action here. The input must actually BE a plan leaf
+    (LogicalRDD / LocalRelation / bare relation): a non-leaf plan would
+    silently re-run its whole upstream pipeline inside every CC round's
+    union fan-out — asserted below rather than trusted.
+
+    ``leaf``: by default the returned label frame is localCheckpoint-ed
+    into a plan leaf (consumers that reference it more than once would
+    re-analyze the per-round join tree per action, and streaming
+    callers mutate stores the persisted-only plan would silently
+    re-read on recompute). A caller that consumes the labels EXACTLY
+    once, immediately, against immutable inputs (minhash_cluster's
+    single window pass) sets leaf=False to skip that one extra action —
+    the labels are already materialized in the persist cache by the
+    fixpoint-test action.
     """
+    if materialized:
+        # a leaf plan has no children; anything else re-runs upstream
+        # work per round (the 2x-cost pathology the persist+count guard
+        # below exists to prevent)
+        analyzed = edges._jdf.queryExecution().analyzed()  # noqa: SLF001
+        assert analyzed.children().isEmpty(), (
+            "cc_edge_list(materialized=True) requires a materialized plan "
+            "LEAF (localCheckpoint()/cache the edge list first); got: "
+            + analyzed.nodeName()
+        )
     # materialize the edge list ONCE before anything fans out over it:
     # the upstream pipeline is typically the expensive part (LSH +
     # verification), and both the symmetrizing union and every
@@ -131,6 +155,26 @@ def cc_edge_list(
     if not materialized:
         edges = edges.persist()
         edges.count()
+    # AQE off for the propagation rounds: adaptive execution
+    # materializes EVERY exchange of every round as its own stage-job
+    # to re-plan on runtime stats — on an iterative id-only graph the
+    # stats never change anything, and the per-stage scheduling
+    # round-trips dominate (measured 18 jobs / 1.3s for a 2-round
+    # solve whose actual compute is <0.3s; the same reason GraphFrames
+    # documents disabling AQE for iterative algorithms). Restored in
+    # the finally below; the caller's own plans are unaffected.
+    spark = edges.sparkSession
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # the round frames are ids-only (8-16 bytes/row): with AQE's
+    # coalescing off, pin the loop's exchanges to a few partitions so
+    # each of the ~4 shuffle stages per round launches 8 tasks instead
+    # of spark.sql.shuffle.partitions — per-task launch overhead is the
+    # entire cost at this row width. At cluster scale against a
+    # billion-edge graph, size this to cores as usual; the label frame
+    # is still only ~16 B x nodes.
+    sp_was = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     sym = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")).unionByName(
         edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
     )
@@ -172,44 +216,48 @@ def cc_edge_list(
         )
 
     converged = False
-    for i in range(max_iter):
-        # two hops per action; the mid-hop label rides along as _mid so
-        # the fixpoint test costs nothing extra (measured: ONE-hop
-        # first rounds lose — template-generated near-dup clusters have
-        # diameter >= 2, so a single hop rarely converges and the
-        # second round costs a whole extra action)
-        h2 = hop(hop(labels).withColumnRenamed("comp", "_mid").withColumn(
-            "comp", F.col("_mid")
-        ))
-        if i > 0:
-            # pointer-doubling jump: every comp value is itself a node
-            # id (labels are always reachable node ids), so one id-only
-            # self-join halves remaining path lengths. Skipped in round
-            # 1: shallow graphs converge there and the jump would spend
-            # a shuffle buying nothing.
-            parent = h2.select(F.col("node").alias("_pn"), F.col("comp").alias("_pc"))
-            h2 = h2.join(parent, h2["comp"] == parent["_pn"], "left").select(
-                "node", "_mid", F.coalesce("_pc", "comp").alias("comp")
-            )
-        new_labels = h2.persist()
-        if (i + 1) % checkpoint_every == 0:
-            # truncate lineage: without this each round nests more join
-            # levels into the logical plan (O(rounds) plan depth,
-            # O(rounds^2) analysis cost, ~10k-line explain output)
-            new_labels = new_labels.localCheckpoint()
-        # ONE action: count rows this round's hop(s) (or the jump)
-        # changed. Zero changes == hop fixpoint (at which point the
-        # jump is the identity); type-agnostic, so node ids may be
-        # structs (the any-key reduction uses (group, entry) nodes).
-        # NULL (empty edge list) counts as converged.
-        n_changed = new_labels.agg(
-            F.sum(F.when(F.col("_mid") != F.col("comp"), 1).otherwise(0))
-        ).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels.select("node", "comp")
-        if not n_changed:
-            converged = True
-            break
+    try:
+        for i in range(max_iter):
+            # two hops per action; the mid-hop label rides along as _mid so
+            # the fixpoint test costs nothing extra (measured: ONE-hop
+            # first rounds lose — template-generated near-dup clusters have
+            # diameter >= 2, so a single hop rarely converges and the
+            # second round costs a whole extra action)
+            h2 = hop(hop(labels).withColumnRenamed("comp", "_mid").withColumn(
+                "comp", F.col("_mid")
+            ))
+            if i > 0:
+                # pointer-doubling jump: every comp value is itself a node
+                # id (labels are always reachable node ids), so one id-only
+                # self-join halves remaining path lengths. Skipped in round
+                # 1: shallow graphs converge there and the jump would spend
+                # a shuffle buying nothing.
+                parent = h2.select(F.col("node").alias("_pn"), F.col("comp").alias("_pc"))
+                h2 = h2.join(parent, h2["comp"] == parent["_pn"], "left").select(
+                    "node", "_mid", F.coalesce("_pc", "comp").alias("comp")
+                )
+            new_labels = h2.persist()
+            if (i + 1) % checkpoint_every == 0:
+                # truncate lineage: without this each round nests more join
+                # levels into the logical plan (O(rounds) plan depth,
+                # O(rounds^2) analysis cost, ~10k-line explain output)
+                new_labels = new_labels.localCheckpoint()
+            # ONE action: count rows this round's hop(s) (or the jump)
+            # changed. Zero changes == hop fixpoint (at which point the
+            # jump is the identity); type-agnostic, so node ids may be
+            # structs (the any-key reduction uses (group, entry) nodes).
+            # NULL (empty edge list) counts as converged.
+            n_changed = new_labels.agg(
+                F.sum(F.when(F.col("_mid") != F.col("comp"), 1).otherwise(0))
+            ).collect()[0][0]
+            labels.unpersist()
+            labels = new_labels.select("node", "comp")
+            if not n_changed:
+                converged = True
+                break
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        spark.conf.set("spark.sql.shuffle.partitions", sp_was)
     if not materialized:
         edges.unpersist()
     if not converged:
@@ -223,8 +271,9 @@ def cc_edge_list(
     # would re-analyze that tree per action (and an evictable
     # persisted-only frame could silently recompute against stores a
     # streaming caller mutates next — the leaf is a correctness fence
-    # there, not just a speedup)
-    return labels.localCheckpoint()
+    # there, not just a speedup). leaf=False callers (see docstring)
+    # read the persist cache directly.
+    return labels.localCheckpoint() if leaf else labels
 
 
 def cc_bounded_groups_array(

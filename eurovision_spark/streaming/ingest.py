@@ -937,7 +937,9 @@ def stream_span_dedup(
 
     from eurovision_spark.operators.dedup import (
         apply_block_removals,
+        block_removals,
         block_rows,
+        block_survivors,
         doc_blocks,
     )
     from eurovision_spark.sinks import upsert_parquet
@@ -967,15 +969,14 @@ def stream_span_dedup(
             .select("doc_id", "bi")
         )
         # in-batch decision among store MISSES: first (doc_id, bi) owns
-        misses = rows.join(ex.select("bh"), "bh", "left_anti")
-        w = W.partitionBy("bh").orderBy("doc_id", "bi")
-        ranked = misses.withColumn("rn", F.row_number().over(w))
+        # — the SAME skew-safe groupBy-min survivor core as the batch op
+        # (block_survivors/block_removals: map-side partial aggregation,
+        # no per-hash window sort)
+        misses = rows.join(ex.select("bh"), "bh", "left_anti").localCheckpoint()
+        new_owners = block_survivors(misses).localCheckpoint()
         removed = (
-            store_hit.unionByName(ranked.filter(F.col("rn") > 1).select("doc_id", "bi"))
+            store_hit.unionByName(block_removals(misses, new_owners))
             .localCheckpoint()
-        )
-        new_owners = (
-            ranked.filter(F.col("rn") == 1).select("bh", "doc_id", "bi").localCheckpoint()
         )
         cleaned = apply_block_removals(blk, removed).localCheckpoint()
         upsert_parquet(cleaned, landed_dir, ["doc_id"], keep="existing")

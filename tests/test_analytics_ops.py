@@ -127,3 +127,49 @@ def test_ohlc_hour_bucket_integer_exact_at_edges(spark):
     # the old double-divide formulation genuinely diverges past 2^53
     # (this is what the fix buys, beyond the float-margin nit)
     assert float(2**53 + 1) / HOUR_US * HOUR_US != 2**53 + 1
+
+
+def test_typo_blocking_finds_substitutions_and_indels(spark):
+    """Planted typo fixture for the entity-resolution blocking core:
+    every edit-distance-1 pair — substitution, INSERTION, and DELETION
+    (the r05-flagged len±1 gap) — must surface through the lossless
+    blocks, pairs at distance >= 2 must not survive the verify, and
+    the brute-force all-pairs answer is matched exactly."""
+    from eurovision_spark.operators.entity import typo_pair_candidates
+
+    names = {
+        1: "Customer#000000001",
+        2: "Customer#000000002",   # substitution of 1 (last char)
+        3: "Customer#00000001",    # DELETION from 1 (one '0' dropped)
+        4: "Customer#0000000011",  # INSERTION into 1 (extra '1')
+        5: "Customer#000900001",   # substitution of 1 (middle char)
+        6: "Xustomer#111111111",   # far from everything
+        7: "Customer#000000001",   # exact duplicate of 1 (distance 0)
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in names.items()], "c_custkey bigint, c_name string"
+    )
+    got = {
+        (r.custkey_a, r.custkey_b): r.edit_dist
+        for r in typo_pair_candidates(df).filter("edit_dist <= 1").collect()
+    }
+
+    def lev(a, b):  # exact reference implementation
+        m = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, m[0] = m[0], i
+            for j, cb in enumerate(b, 1):
+                prev, m[j] = m[j], min(m[j] + 1, m[j - 1] + 1, prev + (ca != cb))
+        return m[len(b)]
+
+    want = {
+        (a, b): lev(names[a], names[b])
+        for a in names
+        for b in names
+        if a < b and lev(names[a], names[b]) <= 1
+    }
+    assert got == want
+    # the gap class specifically: both indel directions present
+    assert (1, 3) in got and got[(1, 3)] == 1  # deletion
+    assert (1, 4) in got and got[(1, 4)] == 1  # insertion
+    assert (3, 7) in got  # deletion pair via the duplicate too

@@ -765,3 +765,51 @@ def test_corpus_diff_emits_exactly_the_planted_delta(spark):
         assert (r.new_digest is None) == (r.status == "removed")
         if r.status == "changed":
             assert r.old_digest != r.new_digest
+
+
+def test_span_dedup_hot_boilerplate_block(spark):
+    """The C4 motivating case: one boilerplate block shared by >50% of
+    documents (a hot key for any per-hash window sort). The groupBy-min
+    survivor must keep exactly the globally-first occurrence and cut
+    every other one, with per-doc rewrites intact — same semantics the
+    skew-safe formulation is required to preserve."""
+    from pyspark.sql import functions as F
+
+    from eurovision_spark.operators.dedup import (
+        BLK_W,
+        apply_block_removals,
+        block_removals,
+        block_rows,
+        block_survivors,
+        doc_blocks,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(BLK_W))  # one exact block
+    rows = []
+    for d in range(40):
+        uniq = " ".join(f"u{d}x{i}" for i in range(BLK_W))
+        if d % 4 == 0:  # 3/4 of docs lead with the boilerplate block
+            rows.append((d, uniq + " " + uniq.replace("x", "y")))
+        else:
+            rows.append((d, boiler + " " + uniq))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    br = block_rows(docs).persist()
+    out = {
+        r.doc_id: r
+        for r in apply_block_removals(
+            doc_blocks(docs), block_removals(br, block_survivors(br))
+        ).collect()
+    }
+    br.unpersist()
+    first_owner = min(d for d in range(40) if d % 4 != 0)
+    for d, text in rows:
+        r = out[d]
+        toks = text.split()
+        assert r.n_tokens == len(toks)
+        if d % 4 == 0 or d == first_owner:
+            assert r.removed_blocks == 0, f"doc {d}"
+            assert r.clean_text == text
+        else:
+            assert r.removed_blocks == 1, f"doc {d}"
+            assert r.clean_text == " ".join(toks[BLK_W:])
+            assert r.kept_tokens == len(toks) - BLK_W

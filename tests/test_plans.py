@@ -697,11 +697,10 @@ def test_knn_classify_broadcasts_probes_and_votes_on_ids(spark):
 
 
 def test_span_dedup_exchanges_are_hash_or_id_keyed(spark):
-    """Block text lives in-row: the survivor window shuffles (doc_id,
-    bi, 60-bit block hash) rows keyed on the hash, removal lists and
-    the single rewrite join key on doc_id — no cross product, no other
-    shuffle keys, and the window exchange's output never carries the
-    block-text column (only the rewrite join moves text, once)."""
+    """Block text lives in-row: the survivor aggregate and removal
+    probe shuffle (doc_id, bi, 60-bit block hash) rows keyed on the
+    hash, removal lists and the single rewrite join key on doc_id — no
+    cross product, no other shuffle keys."""
     import re
 
     plan = plan_of(spark, "span_dedup")
@@ -709,12 +708,12 @@ def test_span_dedup_exchanges_are_hash_or_id_keyed(spark):
     for m in re.finditer(r"Exchange hashpartitioning\(([^,)]+)", plan):
         key = m.group(1).split("#")[0].strip()
         assert key in ("bh", "doc_id"), f"unexpected shuffle key {key!r}"
-    # the row_number window (partitioned on bh) runs over id+hash rows:
-    # its windowspec must not mention the block-text columns
-    win = plan.split("windowspecdefinition(")
-    assert len(win) >= 2, "expected a window operator in the plan"
-    for seg in win[1:]:
-        assert "_blks" not in seg[:300] and "_toks" not in seg[:300]
+    # the survivor choice must be a partial+final min aggregate (map-
+    # side combine collapses a hot boilerplate hash BEFORE the
+    # exchange), never a row_number window (which would sort every
+    # occurrence of one hash on a single task)
+    assert "partial_min" in plan
+    assert "windowspecdefinition" not in plan
 
 
 def test_corpus_diff_join_moves_digests_not_text(spark):
