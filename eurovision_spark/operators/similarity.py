@@ -598,9 +598,27 @@ def _ivf_oracle(sf_dir: str) -> str:
     "time with the same codebook inlined as literals.",
 )
 def cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    topk = ivf_topk_candidates(spark, sf_dir, with_labels=False)
+    return topk.select(
+        "probe_id", "neighbor_id", F.round("cos", 6).alias("cosine_sim")
+    )
+
+
+def ivf_topk_candidates(
+    spark: SparkSession, sf_dir: str, with_labels: bool = False
+) -> DataFrame:
+    """The IVF candidate generator, shared verbatim by ``cosine_ivf``
+    and ``knn_classify_ivf``: sample-trained k-means codebook as a
+    one-row broadcast LocalRelation, per-row argmax cell assignment,
+    nprobe probe-side explode, exact-cosine scoring within probed
+    cells, top-TOP_K per probe. Returns (probe_id, neighbor_id, cos)
+    plus (true_label, nbr_label) when ``with_labels`` — the label
+    columns ride the existing rows, so composing the kNN vote tail
+    adds zero extra shuffles to the ANN stage."""
+    cols = ["vec_id", "label"] if with_labels else ["vec_id"]
     raw = (
         load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .select(*cols, as_double(F.col("embedding")).alias("v"))
         # zero-norm exclusion before sampling AND search: see cosine_topk
         .filter(l2norm(F.col("v")) > 0)
     )
@@ -642,7 +660,7 @@ def cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     best = F.array_max(sims)
     cells = e.select(
-        "vec_id", "v", "nv", (-best.neg_cent).cast("bigint").alias("cent_id")
+        *cols, "v", "nv", (-best.neg_cent).cast("bigint").alias("cent_id")
     )
     # nprobe: each probe explodes to its top-N_PROBE cells (slice of the
     # SORTED sims array — ascending (sim, -cent_id) reversed is exactly
@@ -656,20 +674,28 @@ def cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         -F.least(F.lit(N_PROBE), F.size(sims)),
         F.lit(N_PROBE),
     )
+    probe_cols = (
+        [F.col("label").alias("true_label")] if with_labels else []
+    )
     probes = (
         e.filter(F.col("vec_id") % PROBE_MOD == 0)
         .select(
             F.col("vec_id").alias("probe_id"),
+            *probe_cols,
             F.col("v").alias("pv"),
             F.col("nv").alias("np"),
             F.explode(top_cells).alias("pc"),
         )
         .select(
             "probe_id",
+            *(["true_label"] if with_labels else []),
             "pv",
             "np",
             (-F.col("pc.neg_cent")).cast("bigint").alias("cent_id"),
         )
+    )
+    nbr_cols = (
+        [F.col("label").alias("nbr_label")] if with_labels else []
     )
     cand = (
         cells.join(
@@ -678,16 +704,16 @@ def cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "probe_id",
+            *(["true_label"] if with_labels else []),
             F.col("vec_id").alias("neighbor_id"),
+            *nbr_cols,
             (dot(F.col("pv"), F.col("v")) / (F.col("np") * F.col("nv"))).alias("cos"),
         )
     )
     w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .select("probe_id", "neighbor_id", F.round("cos", 6).alias("cosine_sim"))
-    )
+    return cand.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= TOP_K
+    ).drop("rn")
 
 
 # ---------------------------------------------------------------------------
@@ -1569,6 +1595,16 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     topk = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K)
+    return knn_vote(topk)
+
+
+def knn_vote(topk: DataFrame) -> DataFrame:
+    """The kNN majority-vote tail over a (probe_id, true_label,
+    nbr_label, ...) top-k candidate frame: most votes wins, ties break
+    to the smallest label — deterministic. Composes UNCHANGED over any
+    candidate generator (brute-force in ``knn_classify``, the IVF
+    index in ``knn_classify_ivf``): everything here is id+label-only
+    aggregation, so the tail shuffles bytes, not vectors."""
     votes = topk.groupBy("probe_id", "true_label", "nbr_label").agg(
         F.count("*").cast("bigint").alias("n_votes")
     )
@@ -1584,6 +1620,88 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("true_label") == F.col("nbr_label")).cast("int").alias("correct"),
         )
     )
+
+
+_KNN_VOTE_TAIL_SQL = f"""
+    votes AS (
+        SELECT probe_id, true_label, nbr_label,
+               CAST(count(*) AS BIGINT) AS n_votes
+        FROM scored WHERE rn <= {TOP_K}
+        GROUP BY probe_id, true_label, nbr_label),
+    ranked AS (
+        SELECT probe_id, true_label, nbr_label AS pred_label, n_votes,
+               row_number() OVER (
+                   PARTITION BY probe_id
+                   ORDER BY n_votes DESC, nbr_label) AS vr
+        FROM votes)
+    SELECT probe_id, CAST(true_label AS INT) AS true_label,
+           CAST(pred_label AS INT) AS pred_label, n_votes,
+           CAST(true_label = pred_label AS INT) AS correct
+    FROM ranked WHERE vr = 1
+"""
+
+
+def _knn_ivf_oracle(sf_dir: str) -> str:
+    """Dynamic oracle: the IVF assignment/probe stages of
+    :func:`_ivf_oracle` (same inlined centroid literals) with labels
+    carried through, then the shared vote tail."""
+    cents = ivf_codebook(sf_dir)
+    values = ",\n          ".join(
+        f"({i}, [{', '.join(repr(v) for v in row)}]::DOUBLE[])"
+        for i, row in enumerate(cents)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nv
+               FROM embeddings
+               WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+    cent_vals(cent_id, cv) AS (
+        VALUES {values}),
+    cents AS (SELECT cent_id, cv, sqrt(list_dot_product(cv, cv)) AS ncv
+              FROM cent_vals),
+    assigned AS (
+        SELECT e.vec_id, e.label, e.v, e.nv, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.cv) / (e.nv * c.ncv) DESC,
+                            c.cent_id) AS rn
+        FROM e CROSS JOIN cents c),
+    cells AS (SELECT vec_id, label, v, nv, cent_id FROM assigned WHERE rn = 1),
+    probe_cells AS (
+        SELECT vec_id AS probe_id, label AS true_label, v AS pv, nv AS np, cent_id
+        FROM assigned WHERE vec_id % {PROBE_MOD} = 0 AND rn <= {N_PROBE}),
+    scored AS (
+        SELECT p.probe_id, p.true_label, s.label AS nbr_label,
+               row_number() OVER (
+                   PARTITION BY p.probe_id
+                   ORDER BY list_dot_product(p.pv, s.v) / (p.np * s.nv) DESC,
+                            s.vec_id) AS rn
+        FROM probe_cells p JOIN cells s
+          ON s.cent_id = p.cent_id AND s.vec_id <> p.probe_id),
+    {_KNN_VOTE_TAIL_SQL}
+    """
+
+
+@register(
+    "knn_classify_ivf",
+    _knn_ivf_oracle,
+    "kNN classification over the IVF index — the scale path the "
+    "brute-force knn_classify documents: the SAME vote/rank tail "
+    "(knn_vote) composed over cosine_ivf's candidate generator "
+    "(ivf_topk_candidates, labels riding the existing rows), proving "
+    "the r05-claimed composition in the catalog instead of asserting "
+    "it. Per probe: nprobe-cell candidate search (~nprobe/k of the "
+    "corpus), exact cosine within probed cells, majority label of the "
+    f"top {TOP_K} (ties -> most votes then smallest label). The "
+    "prediction can differ from brute-force exactly where IVF recall "
+    "loses a neighbor — agreement on clustered data is gated in "
+    "tests/test_similarity_recall.py (planted 3-cluster fixture: "
+    "accuracy 1.0 AND per-probe agreement with knn_classify). Oracle "
+    "inlines the identical codebook literals, as cosine_ivf.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_vote(ivf_topk_candidates(spark, sf_dir, with_labels=True))
 
 
 # ---------------------------------------------------------------------------

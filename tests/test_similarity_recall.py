@@ -322,3 +322,44 @@ def test_seq_norm_matches_jvm_fold_and_duckdb(spark):
         f"SELECT sqrt(list_dot_product({v!r}::DOUBLE[], {v!r}::DOUBLE[]))"
     ).fetchone()[0]
     assert py == jvm and py == duck  # exact, not approx: bitwise contract
+
+
+def test_knn_classify_ivf_agrees_with_brute_force_on_clusters(spark, tmp_path):
+    """The IVF-composed kNN (r05 item #5: claimed composition, now a
+    registered operator) on the same planted 3-cluster fixture: every
+    probe must be classified perfectly AND agree per-probe with the
+    brute-force knn_classify — on clustered data the probed cells
+    contain the whole neighborhood, so the two candidate generators
+    feed the shared vote tail identical label multisets."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eurovision_spark.catalog import registry
+
+    dim, per = 16, 50
+    rows = []
+    for c in range(3):
+        for i in range(per):
+            v = np.zeros(dim, dtype=np.float32)
+            v[c] = 1.0
+            v[(c + 3 + i % 5) % dim] = 0.05 + 0.001 * i
+            rows.append((c * per + i, v.tolist(), c))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+                "label": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    sf = str(tmp_path)
+    ivf = {r.probe_id: r for r in registry()["knn_classify_ivf"].fn(spark, sf).collect()}
+    bf = {r.probe_id: r for r in registry()["knn_classify"].fn(spark, sf).collect()}
+    assert set(ivf) == set(bf) == {0, 50, 100}
+    for pid, r in ivf.items():
+        assert r.correct == 1 and r.pred_label == r.true_label
+        assert r.pred_label == bf[pid].pred_label
+        assert r.n_votes == bf[pid].n_votes == 5
