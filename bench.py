@@ -87,6 +87,9 @@ HEADLINE = [
     "winsorized_stats",
     "embed_pca",
     "id_typo_pairs",
+    # round 6: the IVF-composed kNN (the registered scale path of
+    # knn_classify — benched so the composition's cost is visible)
+    "knn_classify_ivf",
 ]
 
 

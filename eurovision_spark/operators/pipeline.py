@@ -808,8 +808,21 @@ def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # digest IN-ROW on each side: the join moves (doc_id, digest) only
-    d1 = v1.select("doc_id", md5_long(F.col("text")).alias("old_digest"))
-    d2 = v2.select("doc_id", md5_long(F.col("text")).alias("new_digest"))
+    return digest_delta(
+        v1.select("doc_id", md5_long(F.col("text")).alias("old_digest")),
+        v2.select("doc_id", md5_long(F.col("text")).alias("new_digest")),
+    )
+
+
+def digest_delta(d1: DataFrame, d2: DataFrame) -> DataFrame:
+    """The snapshot-diff CORE, digest-type-agnostic: (doc_id,
+    old_digest) vs (doc_id, new_digest) -> one (doc_id, status,
+    old_digest, new_digest) row per added / removed / changed doc,
+    nothing for the unchanged bulk. Shared by the ``corpus_diff``
+    catalog query (60-bit md5_long digests) and the incremental-store
+    refresh (streaming/ingest.refresh_corpus, full-md5 strings — the
+    digest the landed index already keys on). The only exchange moves
+    (id, digest) rows."""
     j = d1.withColumnRenamed("doc_id", "_id1").join(
         d2.withColumnRenamed("doc_id", "_id2"),
         F.col("_id1") == F.col("_id2"),

@@ -133,6 +133,23 @@ def upsert_parquet(
     spark.read.parquet(path + "_next").write.mode("overwrite").parquet(path)
 
 
+def delete_keys(spark, path: str, key: str, victims: DataFrame) -> None:
+    """Keyed DELETE from a parquet directory — the retirement edge of
+    the incremental stores (refresh_corpus): rewrite ``path`` without
+    the rows whose ``key`` appears in ``victims``. One left-anti join,
+    same staging-swap mechanics (and the same honest scale note) as
+    :func:`upsert_parquet`; a missing store or an empty victim set is a
+    no-op."""
+    import os
+
+    if not os.path.exists(path):
+        return
+    existing = spark.read.parquet(path)
+    kept = existing.join(victims.select(key), key, "left_anti")
+    kept.write.mode("overwrite").parquet(path + "_next")
+    spark.read.parquet(path + "_next").write.mode("overwrite").parquet(path)
+
+
 def write_sqlite(tables: dict[str, DataFrame], db_path: str) -> None:
     """Reference-format SQLite sink — full S5 parity (scan.py:46-132).
 

@@ -597,6 +597,41 @@ def stream_incremental_dedup(
     At 100 TB the stores are partitioned tables keyed like their probes
     (digest / band signature / cluster id).
     """
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(docs_dir)
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", "text")
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        intake_batch(spark, store_dir, batch_df)
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def _read_store_or_empty(spark: SparkSession, path: str, ddl: str) -> DataFrame:
+    import os
+
+    if os.path.exists(path):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], ddl)
+
+
+def intake_batch(spark: SparkSession, store_dir: str, batch_df: DataFrame) -> None:
+    """ONE intake step of the incremental-dedup store (the foreachBatch
+    body of :func:`stream_incremental_dedup`, module-level so the
+    recrawl refresh path — :func:`refresh_corpus` — drives the
+    identical probe/land/cluster machinery as the live stream):
+    exact-collapse within the batch, decide each representative against
+    the landed store by probing its persisted digest + signature
+    indexes, land survivors, maintain the cluster store. Semantics and
+    replay guarantees documented on stream_incremental_dedup."""
     import os
 
     from eurovision_spark.operators.dedup import (
@@ -614,123 +649,231 @@ def stream_incremental_dedup(
     sigindex_dir = os.path.join(store_dir, "sigindex")
     decisions_dir = os.path.join(store_dir, "decisions")
     clusters_dir = os.path.join(store_dir, "clusters")
-    schema = spark.read.parquet(docs_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(docs_dir)
-        .filter(F.col("n_chars") > 0)
-        .select("doc_id", "text")
-    )
 
     def _read_or_empty(path: str, ddl: str) -> DataFrame:
-        if os.path.exists(path):
-            return spark.read.parquet(path)
-        return spark.createDataFrame([], ddl)
+        return _read_store_or_empty(spark, path, ddl)
 
-    def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        grouped = batch_df.groupBy(F.md5("text").alias("_d")).agg(
-            F.min_by(F.struct("doc_id", "text"), F.col("doc_id")).alias("_r")
-        ).select("_r.doc_id", "_r.text")
-        # the collapsed members' ledger rows: exact_dup of the in-batch
-        # survivor (they never probe the store — their text already did)
-        rep_of = batch_df.select("doc_id", F.md5("text").alias("_d")).join(
-            grouped.select(F.col("doc_id").alias("_rep"), F.md5("text").alias("_d")),
-            "_d",
-        )
-        collapsed = rep_of.filter(F.col("doc_id") != F.col("_rep")).select(
-            "doc_id",
-            F.lit("exact_dup").alias("decision"),
-            F.col("_rep").cast("bigint").alias("matched_id"),
-        )
-        batch = grouped.localCheckpoint()  # decisions + landing + index share it
-        ex_idx = _read_or_empty(index_dir, "doc_id bigint, _d string, sh array<string>")
-        ex_bands = _read_or_empty(
-            sigindex_dir, "doc_id bigint, band_id int, band_sig string"
-        )
-        inc_idx = doc_index(batch).localCheckpoint()
-        inc_bands = banded_signatures(_minhash_signatures(batch)).localCheckpoint()
-        exact, near_pairs = incremental_probe(inc_idx, inc_bands, ex_idx, ex_bands)
-        near_pairs = near_pairs.localCheckpoint()
-        exact = exact.localCheckpoint()
-        decisions = assemble_decisions(batch, exact, near_pairs).unionByName(collapsed)
-        # decisions FIRST, survivors second — and survivors re-read the
-        # decisions STORE rather than the in-flight plan. Order matters:
-        # the decisions plan lazily scans the index stores, and
-        # rewriting them first would invalidate any cache of the plan
-        # (the file listing changes), silently re-deciding the batch
-        # against a store that already contains it (every 'new' doc
-        # would then exact-dup itself).
-        upsert_parquet(decisions, decisions_dir, ["doc_id"], keep="existing")
-        new_ids = (
-            spark.read.parquet(decisions_dir)
-            .filter(F.col("decision") == "new")
-            .select("doc_id")
-        )
-        upsert_parquet(batch.join(new_ids, "doc_id"), landed_dir, ["doc_id"], keep="existing")
-        upsert_parquet(inc_idx.join(new_ids, "doc_id"), index_dir, ["doc_id"], keep="existing")
-        upsert_parquet(
-            inc_bands.join(new_ids, "doc_id"),
-            sigindex_dir,
-            ["doc_id", "band_id"],
-            keep="existing",
-        )
-        # --- cluster maintenance (batch-sized + touched clusters only) ---
-        # edges: verified near pairs + exact matches vs the landed store
-        # + the in-batch exact collapses (batch CC on the union would see
-        # the identical-text edge, so the twin must too — the chain
-        # member -> in-batch rep -> landed match resolves transitively in
-        # the same mini-CC). Self-pairs only arise on REPLAY (the batch
-        # is already in the index and matches itself) — filtered so a
-        # replay can't fabricate self-cluster rows.
-        dup_pairs = (
-            near_pairs.unionByName(
-                exact.select(
-                    F.col("doc_id").alias("inc_id"), F.col("exact_id").alias("ex_id")
-                )
-            )
-            .unionByName(
-                collapsed.select(
-                    F.col("doc_id").alias("inc_id"), F.col("matched_id").alias("ex_id")
-                )
-            )
-            .filter(F.col("inc_id") != F.col("ex_id"))
-            .distinct()
-        )
-        if dup_pairs.isEmpty():
-            return
-        cl = _read_or_empty(clusters_dir, "doc_id bigint, cluster_id bigint")
-        # current label of each matched landed doc (itself if unlabeled)
-        old = dup_pairs.join(
-            cl.select(F.col("doc_id").alias("ex_id"), "cluster_id"), "ex_id", "left"
-        ).select(
-            "inc_id",
-            "ex_id",
-            F.coalesce("cluster_id", F.col("ex_id")).alias("old_cid"),
-        )
-        edges = old.select(F.col("inc_id").alias("a"), F.col("old_cid").alias("b")).unionByName(
-            old.select(F.col("ex_id").alias("a"), F.col("old_cid").alias("b"))
-        )
-        labels = cc_edge_list(edges, "a", "b")  # (node, comp): min member id
-        # relabel every existing member of a touched cluster, then add
-        # rows for the nodes themselves (incoming docs + newly-labeled
-        # landed docs). Deterministic under replay: same edges -> same
-        # labels, so incoming-wins upserts are idempotent.
-        relabeled = cl.join(
-            labels.select(F.col("node").alias("cluster_id"), "comp"), "cluster_id"
-        ).select("doc_id", F.col("comp").alias("cluster_id"))
-        node_rows = labels.select(
-            F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
-        )
-        updates = relabeled.unionByName(node_rows).groupBy("doc_id").agg(
-            F.min("cluster_id").alias("cluster_id")
-        )
-        upsert_parquet(updates, clusters_dir, ["doc_id"], keep="updates")
-
-    return (
-        stream.writeStream.foreachBatch(_process)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    grouped = batch_df.groupBy(F.md5("text").alias("_d")).agg(
+        F.min_by(F.struct("doc_id", "text"), F.col("doc_id")).alias("_r")
+    ).select("_r.doc_id", "_r.text")
+    # the collapsed members' ledger rows: exact_dup of the in-batch
+    # survivor (they never probe the store — their text already did)
+    rep_of = batch_df.select("doc_id", F.md5("text").alias("_d")).join(
+        grouped.select(F.col("doc_id").alias("_rep"), F.md5("text").alias("_d")),
+        "_d",
     )
+    collapsed = rep_of.filter(F.col("doc_id") != F.col("_rep")).select(
+        "doc_id",
+        F.lit("exact_dup").alias("decision"),
+        F.col("_rep").cast("bigint").alias("matched_id"),
+    )
+    batch = grouped.localCheckpoint()  # decisions + landing + index share it
+    ex_idx = _read_or_empty(index_dir, "doc_id bigint, _d string, sh array<string>")
+    ex_bands = _read_or_empty(
+        sigindex_dir, "doc_id bigint, band_id int, band_sig string"
+    )
+    inc_idx = doc_index(batch).localCheckpoint()
+    inc_bands = banded_signatures(_minhash_signatures(batch)).localCheckpoint()
+    exact, near_pairs = incremental_probe(inc_idx, inc_bands, ex_idx, ex_bands)
+    near_pairs = near_pairs.localCheckpoint()
+    exact = exact.localCheckpoint()
+    decisions = assemble_decisions(batch, exact, near_pairs).unionByName(collapsed)
+    # decisions FIRST, survivors second — and survivors re-read the
+    # decisions STORE rather than the in-flight plan. Order matters:
+    # the decisions plan lazily scans the index stores, and
+    # rewriting them first would invalidate any cache of the plan
+    # (the file listing changes), silently re-deciding the batch
+    # against a store that already contains it (every 'new' doc
+    # would then exact-dup itself).
+    upsert_parquet(decisions, decisions_dir, ["doc_id"], keep="existing")
+    new_ids = (
+        spark.read.parquet(decisions_dir)
+        .filter(F.col("decision") == "new")
+        .select("doc_id")
+    )
+    upsert_parquet(batch.join(new_ids, "doc_id"), landed_dir, ["doc_id"], keep="existing")
+    upsert_parquet(inc_idx.join(new_ids, "doc_id"), index_dir, ["doc_id"], keep="existing")
+    upsert_parquet(
+        inc_bands.join(new_ids, "doc_id"),
+        sigindex_dir,
+        ["doc_id", "band_id"],
+        keep="existing",
+    )
+    # --- cluster maintenance (batch-sized + touched clusters only) ---
+    # edges: verified near pairs + exact matches vs the landed store
+    # + the in-batch exact collapses (batch CC on the union would see
+    # the identical-text edge, so the twin must too — the chain
+    # member -> in-batch rep -> landed match resolves transitively in
+    # the same mini-CC). Self-pairs only arise on REPLAY (the batch
+    # is already in the index and matches itself) — filtered so a
+    # replay can't fabricate self-cluster rows.
+    dup_pairs = (
+        near_pairs.unionByName(
+            exact.select(
+                F.col("doc_id").alias("inc_id"), F.col("exact_id").alias("ex_id")
+            )
+        )
+        .unionByName(
+            collapsed.select(
+                F.col("doc_id").alias("inc_id"), F.col("matched_id").alias("ex_id")
+            )
+        )
+        .filter(F.col("inc_id") != F.col("ex_id"))
+        .distinct()
+    )
+    if dup_pairs.isEmpty():
+        return
+    cl = _read_or_empty(clusters_dir, "doc_id bigint, cluster_id bigint")
+    # current label of each matched landed doc (itself if unlabeled)
+    old = dup_pairs.join(
+        cl.select(F.col("doc_id").alias("ex_id"), "cluster_id"), "ex_id", "left"
+    ).select(
+        "inc_id",
+        "ex_id",
+        F.coalesce("cluster_id", F.col("ex_id")).alias("old_cid"),
+    )
+    edges = old.select(F.col("inc_id").alias("a"), F.col("old_cid").alias("b")).unionByName(
+        old.select(F.col("ex_id").alias("a"), F.col("old_cid").alias("b"))
+    )
+    labels = cc_edge_list(edges, "a", "b")  # (node, comp): min member id
+    # relabel every existing member of a touched cluster, then add
+    # rows for the nodes themselves (incoming docs + newly-labeled
+    # landed docs). Deterministic under replay: same edges -> same
+    # labels, so incoming-wins upserts are idempotent.
+    relabeled = cl.join(
+        labels.select(F.col("node").alias("cluster_id"), "comp"), "cluster_id"
+    ).select("doc_id", F.col("comp").alias("cluster_id"))
+    node_rows = labels.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+    updates = relabeled.unionByName(node_rows).groupBy("doc_id").agg(
+        F.min("cluster_id").alias("cluster_id")
+    )
+    upsert_parquet(updates, clusters_dir, ["doc_id"], keep="updates")
+
+
+def snapshot_digests(docs: DataFrame) -> DataFrame:
+    """(doc_id, digest) of a corpus snapshot — the per-crawl artifact a
+    production pipeline persists so the NEXT refresh can diff against
+    it without re-reading old text (16-ish bytes/doc). Full md5, the
+    same digest the landed index keys on."""
+    return docs.select("doc_id", F.md5("text").alias("digest"))
+
+
+def refresh_corpus(
+    spark: SparkSession,
+    store_dir: str,
+    old_digests: DataFrame,
+    v2: DataFrame,
+) -> DataFrame:
+    """Recrawl refresh of the incremental-dedup store — corpus_diff
+    composed into the intake tier (r05 item #6): diff the new snapshot
+    against the previous snapshot's digest artifact, retire what
+    disappeared, and feed ONLY the delta through the SAME probe path as
+    :func:`stream_incremental_dedup` (:func:`intake_batch`). The
+    unchanged bulk is never re-tokenized, re-hashed, or re-decided —
+    per-refresh cost tracks the delta, the property that matters when
+    the corpus is 100 TB and the recrawl touches 1%.
+
+    Steps:
+
+    1. ``delta`` = :func:`~eurovision_spark.operators.pipeline.
+       digest_delta` (old_digests vs v2's in-row digests) — (id, digest)
+       rows only through the full outer join;
+    2. retire ``removed`` + ``changed`` ids from landed/index/sigindex
+       and their decision rows; also un-decide ORPHANS — docs whose
+       decision's matched_id was retired (their text is unchanged and
+       still in v2, but their duplicate target is gone, so they must
+       re-probe: a dup member whose landed representative disappeared
+       gets re-landed — the promotion case);
+    3. cluster store: drop retired members, relabel touched clusters to
+       their new min member id, drop clusters reduced to one member.
+       (Conservative: a cluster bridged ONLY by a retired doc is not
+       split — edge history isn't stored; the batch sweep
+       minhash_cluster is the exact re-derivation.)
+    4. one :func:`intake_batch` over v2 ⋉ (added ∪ changed ∪ orphans).
+
+    Store-state equality with a from-scratch intake of v2 (pinned in
+    tests/test_streaming.py) holds under the stream's documented
+    arrival-order semantics: ids monotone with arrival (min-id
+    representatives), and near-dup pairs resolve against the EARLIER-
+    landed member — a doc whose refresh makes it a near-dup of an
+    already-landed doc is decided 'near_dup' here, where a from-scratch
+    single batch (both docs arriving together, in-batch near pass
+    elided by design) would land both.
+
+    Returns the materialized delta frame (doc_id, status, old_digest,
+    new_digest)."""
+    import os
+
+    from eurovision_spark.operators.pipeline import digest_delta
+    from eurovision_spark.sinks import delete_keys
+
+    landed_dir = os.path.join(store_dir, "landed")
+    index_dir = os.path.join(store_dir, "index")
+    sigindex_dir = os.path.join(store_dir, "sigindex")
+    decisions_dir = os.path.join(store_dir, "decisions")
+    clusters_dir = os.path.join(store_dir, "clusters")
+
+    v2 = v2.select("doc_id", "text")
+    delta = digest_delta(
+        old_digests.select("doc_id", F.col("digest").alias("old_digest")),
+        v2.select("doc_id", F.md5("text").alias("new_digest")),
+    ).localCheckpoint()  # frozen BEFORE any store mutation below
+    retired = (
+        delta.filter(F.col("status").isin("removed", "changed"))
+        .select("doc_id")
+        .localCheckpoint()
+    )
+    dec = _read_store_or_empty(
+        spark, decisions_dir, "doc_id bigint, decision string, matched_id bigint"
+    )
+    # orphans: decision targets retired, the doc itself survives in v2
+    orphans = (
+        dec.join(
+            retired.withColumnRenamed("doc_id", "matched_id"), "matched_id"
+        )
+        .join(retired, "doc_id", "left_anti")
+        .join(v2.select("doc_id"), "doc_id", "left_semi")
+        .select("doc_id")
+        .localCheckpoint()
+    )
+    undecided = retired.unionByName(orphans).localCheckpoint()
+    for path in (landed_dir, index_dir, sigindex_dir):
+        delete_keys(spark, path, "doc_id", retired)
+    delete_keys(spark, decisions_dir, "doc_id", undecided)
+    # cluster retirement: drop retired members, relabel to the new min
+    # member, drop singletons (a cluster is a >=2-member dup relation)
+    cl = _read_store_or_empty(
+        spark, clusters_dir, "doc_id bigint, cluster_id bigint"
+    )
+    if os.path.exists(clusters_dir):
+        kept = cl.join(retired, "doc_id", "left_anti")
+        relabeled = (
+            kept.withColumn(
+                "cluster_id",
+                F.min("doc_id").over(W.partitionBy("cluster_id")),
+            )
+            .withColumn("_n", F.count("*").over(W.partitionBy("cluster_id")))
+            .filter(F.col("_n") >= 2)
+            .drop("_n")
+            .localCheckpoint()
+        )
+        relabeled.write.mode("overwrite").parquet(clusters_dir + "_next")
+        spark.read.parquet(clusters_dir + "_next").write.mode("overwrite").parquet(
+            clusters_dir
+        )
+    # re-intake the delta (plus orphans) through the live probe path
+    batch_ids = (
+        delta.filter(F.col("status").isin("added", "changed"))
+        .select("doc_id")
+        .unionByName(orphans)
+        .distinct()
+    )
+    batch = v2.join(batch_ids, "doc_id").localCheckpoint()
+    if not batch.isEmpty():
+        intake_batch(spark, store_dir, batch)
+    return delta
 
 
 def stream_vector_dedup(

@@ -1016,3 +1016,92 @@ def test_stream_span_dedup_matches_batch_core_on_union(spark, tmp_path):
     )
     batch_out = {r.doc_id: tuple(r) for r in apply_block_removals(blk, removed).collect()}
     assert batch_out == landed
+
+
+def test_refresh_corpus_matches_from_scratch_intake(spark, tmp_path):
+    """refresh(v1 -> v2) must leave the landed / index / sigindex /
+    decisions / clusters stores EQUAL to a from-scratch intake of v2
+    (r05 item #6), on a fixture exercising every delta class the
+    equality contract covers: an unchanged doc, an unchanged exact-dup
+    member whose landed representative is REMOVED (promotion), a
+    removed dup member, a doc CHANGED into an exact dup of a landed
+    doc, an added exact dup, and an added fresh doc. A second refresh
+    then pins the documented arrival-order divergence: a doc added as
+    a NEAR-dup of landed text is decided 'near_dup' against the store
+    (where a from-scratch single batch would land both)."""
+    import os
+
+    from eurovision_spark.streaming.ingest import (
+        intake_batch,
+        refresh_corpus,
+        snapshot_digests,
+    )
+
+    t1 = "alpha bravo charlie delta echo foxtrot golf"
+    t3 = "hotel india juliet kilo lima mike november"
+    t4 = "oscar papa quebec romeo sierra tango uniform"
+    t5 = "whiskey xray yankee zulu one two three"
+    t8 = "fresh document eight with wholly new text here"
+    v1 = [(1, t1), (2, t1), (3, t3), (4, t4), (5, t5), (6, t5)]
+    v2 = [(2, t1), (3, t3), (4, t3), (5, t5), (7, t5), (8, t8)]
+
+    def mkdf(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def store_state(d):
+        out = {}
+        for name in ("landed", "index", "sigindex", "decisions", "clusters"):
+            p = os.path.join(d, name)
+            if not os.path.exists(p):
+                out[name] = None
+                continue
+            df = spark.read.parquet(p)
+            if "sh" in df.columns:
+                from pyspark.sql import functions as F
+
+                df = df.withColumn("sh", F.array_sort("sh"))
+            out[name] = sorted(map(tuple, df.collect()))
+        return out
+
+    refreshed = str(tmp_path / "refreshed")
+    scratch = str(tmp_path / "scratch")
+    intake_batch(spark, refreshed, mkdf(v1))
+    delta = {
+        (r.doc_id, r.status)
+        for r in refresh_corpus(
+            spark, refreshed, snapshot_digests(mkdf(v1)), mkdf(v2)
+        ).collect()
+    }
+    assert delta == {
+        (1, "removed"), (6, "removed"), (4, "changed"),
+        (7, "added"), (8, "added"),
+    }
+    intake_batch(spark, scratch, mkdf(v2))
+    assert store_state(refreshed) == store_state(scratch)
+    dec = {
+        r.doc_id: (r.decision, r.matched_id)
+        for r in spark.read.parquet(os.path.join(refreshed, "decisions")).collect()
+    }
+    # the promotion case: 2 (orphaned by 1's removal) re-landed as new
+    assert dec[2] == ("new", None)
+    assert dec[4] == ("exact_dup", 3) and dec[7] == ("exact_dup", 5)
+
+    # second refresh: near-dup arrival against the landed store
+    t9 = t3 + " perturbed"
+    v3 = v2 + [(9, t9)]
+    refresh_corpus(spark, refreshed, snapshot_digests(mkdf(v2)), mkdf(v3))
+    dec = {
+        r.doc_id: (r.decision, r.matched_id)
+        for r in spark.read.parquet(os.path.join(refreshed, "decisions")).collect()
+    }
+    assert dec[9] == ("near_dup", 3)
+    landed = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(refreshed, "landed")).collect()
+    }
+    assert landed == {2, 3, 5, 8}
+    clusters = {
+        (r.doc_id, r.cluster_id)
+        for r in spark.read.parquet(os.path.join(refreshed, "clusters")).collect()
+    }
+    assert (9, 3) in clusters and (3, 3) in clusters

@@ -87,6 +87,54 @@ def main() -> None:
         OUT / "documents.parquet",
     )
 
+    # orders + customer at x10 (round 6: the temporal/robust-stats/
+    # entity queries deserve the same 1000x lever). Replica k shifts
+    # every key by k * (base key range), so per-customer order counts —
+    # the window-partition and join-group sizes that drive those
+    # queries' cost — keep the base distribution exactly, while all
+    # keys and names are FRESH (no planted duplicate inflation).
+    # Customer names keep the fixed-width 'Customer#%09d' format the
+    # typo blocking is designed around.
+    con = duckdb.connect()
+    ob = con.execute(
+        f"SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+        f"o_orderdate, o_orderpriority FROM '{SRC}/orders.parquet' ORDER BY o_orderkey"
+    ).fetch_arrow_table()
+    cb = con.execute(
+        f"SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment "
+        f"FROM '{SRC}/customer.parquet' ORDER BY c_custkey"
+    ).fetch_arrow_table()
+    con.close()
+    ck_span = 10 ** (len(str(max(cb["c_custkey"].to_pylist()))))
+    ok_span = 10 ** (len(str(max(ob["o_orderkey"].to_pylist()))))
+    o_cols = {n: ob[n].to_pylist() * FACTOR for n in ob.column_names}
+    n_o = ob.num_rows
+    o_cols["o_orderkey"] = [
+        k + (i // n_o) * ok_span for i, k in enumerate(o_cols["o_orderkey"])
+    ]
+    o_cols["o_custkey"] = [
+        k + (i // n_o) * ck_span for i, k in enumerate(o_cols["o_custkey"])
+    ]
+    pq.write_table(pa.table(o_cols, schema=ob.schema), OUT / "orders.parquet")
+    c_cols = {n: cb[n].to_pylist() * FACTOR for n in cb.column_names}
+    n_c = cb.num_rows
+    c_cols["c_custkey"] = [
+        k + (i // n_c) * ck_span for i, k in enumerate(c_cols["c_custkey"])
+    ]
+    c_cols["c_name"] = [f"Customer#{k:09d}" for k in c_cols["c_custkey"]]
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(c_cols["c_custkey"], pa.int64()),
+                "c_name": c_cols["c_name"],
+                "c_nationkey": pa.array(c_cols["c_nationkey"], pa.int32()),
+                "c_acctbal": c_cols["c_acctbal"],
+                "c_mktsegment": c_cols["c_mktsegment"],
+            }
+        ),
+        OUT / "customer.parquet",
+    )
+
     rng = np.random.default_rng(4242)
     x = rng.normal(size=(FACTOR * n_vecs, 64))
     x /= np.linalg.norm(x, axis=1, keepdims=True)
