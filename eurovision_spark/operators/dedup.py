@@ -509,7 +509,7 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON a.band_id = b.band_id AND a.band_sig = b.band_sig
              AND a.doc_id < b.doc_id),
     sets AS (
-        SELECT doc_id, list_distinct({SH_SQL}) AS sh FROM docs)
+        SELECT doc_id, list_distinct(list_transform({SH_SQL}, s -> {md5_long_sql('s')})) AS sh FROM docs)
     SELECT p.doc_id_1, p.doc_id_2,
            round(CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
                  / len(list_distinct(list_concat(s1.sh, s2.sh))), 6) AS jaccard
@@ -562,7 +562,7 @@ MINHASH_CLUSTER_ORACLE = MINHASH_SIG_SQL.replace(
         FROM bands a JOIN bands b
           ON a.band_id = b.band_id AND a.band_sig = b.band_sig
              AND a.doc_id < b.doc_id),
-    sets AS (SELECT doc_id, list_distinct({SH_SQL}) AS sh FROM docs),
+    sets AS (SELECT doc_id, list_distinct(list_transform({SH_SQL}, s -> {md5_long_sql('s')})) AS sh FROM docs),
     verified AS (
         SELECT d1, d2
         FROM cand
@@ -591,9 +591,10 @@ MINHASH_CLUSTER_ORACLE = MINHASH_SIG_SQL.replace(
 
 
 def minhash_from_hashes(hs: Column) -> Column:
-    """array<bigint> pre-hashed shingles (md5_long % P31) ->
+    """array<bigint> pre-hashed shingles (60-bit md5_long values) ->
     array<bigint>[N_PERM] minhash signature, as 16 independent
-    array_min passes. ``hs`` MUST be a materialized column (the shared
+    array_min passes, each reducing mod P31 inline ((2i+1)*(h % P31)
+    stays well under 2^63). ``hs`` MUST be a materialized column (the shared
     shingle-set frame below), never an inline expression: each of the
     16 array_min terms references it once, so an embedded md5
     transform would be re-evaluated 16x (the reason
@@ -603,7 +604,7 @@ def minhash_from_hashes(hs: Column) -> Column:
     0.92s vs 1.28s at sf0.1, bit-identical output)."""
     def perm_min(i: int) -> Column:
         a, b = 2 * i + 1, 17 * i + 1
-        return F.array_min(F.transform(hs, lambda h: (a * h + b) % P31))
+        return F.array_min(F.transform(hs, lambda h: (a * (h % P31) + b) % P31))
 
     return F.array(*[perm_min(i) for i in range(N_PERM)])
 
@@ -627,22 +628,25 @@ def minhash_from_shingles(sh: Column) -> Column:
 def copies_shingle_sets(
     spark: SparkSession, sf_dir: str, persist: bool = True
 ) -> DataFrame:
-    """(doc_id, sh, hs) shingle-set frame for the docs_with_copies
+    """(doc_id, hs) hashed-shingle-set frame for the docs_with_copies
     corpus — the shared input of the minhash family — computed with ONE
-    tokenize/shingle/md5 pass per ORIGINAL document.
+    tokenize/shingle/md5 pass per ORIGINAL document. ``hs`` holds the
+    DISTINCT 60-bit md5_long of each word-3-gram: signatures reduce it
+    mod P31 (identical values to hashing strings directly), and the
+    Jaccard verify intersects the hash sets — set identity is preserved
+    exactly up to a 60-bit collision (~2^-61 per pair, and BOTH engines
+    hash identically, so even a collision cannot split the gate).
 
     The planted perturbed copy appends exactly one token, so its
     word-3-gram set is the original's plus ONE new cross-boundary gram
     (t[n-1], t[n], 'perturbed'): both rows are derived IN-ROW from the
-    original's materialized arrays (array_union adds the new gram and
-    its hash), instead of re-tokenizing and re-hashing the copy's full
+    original's materialized arrays (array_union adds the new gram's
+    hash), instead of re-tokenizing and re-hashing the copy's full
     text. Halves the two dominant costs of the LSH pipeline (tokenize+
     shingle and md5-per-shingle — measured ~0.8s + ~0.9s of the 2.9s
-    edge materialization at sf0.1) with bit-identical output: the
-    shingle STRING sets are equal by construction, so candidate pairs,
-    exact Jaccard values, and the oracle are unchanged, and ``hs``
-    (md5_long % P31 per distinct shingle) feeds the signature fold the
-    exact values :func:`minhash_from_shingles` would recompute.
+    edge materialization at sf0.1): the hashed sets are equal to
+    hashing the copy's own text by construction, so candidate pairs,
+    Jaccard values, and the oracle agree bit-for-bit.
 
     At 100 TB this frame IS the persisted shingle index a dedup pass
     materializes to parquet (incremental_dedup's doc_index adds the
@@ -672,27 +676,20 @@ def copies_shingle_sets(
     )
     withh = base.select(
         "doc_id",
-        "sh",
-        F.transform(F.col("sh"), lambda s: md5_long(s) % P31).alias("hs"),
-        "_ng",
-        (md5_long(F.col("_ng")) % P31).alias("_ngh"),
+        F.transform(F.col("sh"), md5_long).alias("hs"),
+        (md5_long(F.col("_ng"))).alias("_ngh"),
     )
     pair = F.array(
-        F.struct(
-            F.col("doc_id").alias("doc_id"),
-            F.col("sh").alias("sh"),
-            F.col("hs").alias("hs"),
-        ),
+        F.struct(F.col("doc_id").alias("doc_id"), F.col("hs").alias("hs")),
         F.struct(
             (F.col("doc_id") + NEAR_COPY_OFFSET).alias("doc_id"),
-            F.array_union(F.col("sh"), F.array(F.col("_ng"))).alias("sh"),
             F.array_union(F.col("hs"), F.array(F.col("_ngh"))).alias("hs"),
         ),
     )
     out = (
         withh.select(F.explode(pair).alias("r"))
-        .select("r.doc_id", "r.sh", "r.hs")
-        .filter(F.size("sh") >= 1)
+        .select("r.doc_id", "r.hs")
+        .filter(F.size("hs") >= 1)
     )
     return out.persist() if persist else out
 
@@ -713,10 +710,18 @@ def near_edges_plan(
     ``minhash_lsh_jaccard`` (no threshold, value emitted) shares the
     one-tokenize machinery.
 
-    ``sets``: a prebuilt persisted (doc_id, sh[, hs]) shingle frame
-    (e.g. :func:`copies_shingle_sets`) — when given, ``docs`` is
-    ignored and the signature fold consumes the pre-hashed ``hs``
-    column instead of re-running md5 per shingle."""
+    Shingle sets live as DISTINCT 60-bit md5_long arrays (``hs``):
+    signatures reduce them mod P31 (same values as hashing strings),
+    and the Jaccard verify intersects hash sets. Locally the long-vs-
+    string intersect is a wash (shuffle/task overhead dominates at
+    sf0.1 — measured A/B); the reason to ship hashes is the SHUFFLE
+    payload: 8 bytes/shingle instead of ~25-char strings through the
+    verify exchange and the persisted frame, which is what matters at
+    corpus scale. Exact up to a 2^-61-per-pair collision that BOTH
+    engines share (the oracles hash with the identical md5_long).
+    ``sets``: a prebuilt persisted (doc_id, hs) frame
+    (:func:`copies_shingle_sets`) — when given, ``docs`` is
+    ignored."""
     if sets is None:
         spark = docs.sparkSession
         sets = (
@@ -725,28 +730,28 @@ def near_edges_plan(
             # docs with < 3 tokens have no shingles, hence no signature
             # and no candidate membership — dropping them is semantics-free
             .filter(F.size("_toks") >= 3)
-            .select("doc_id", F.array_distinct(shingles(F.col("_toks"))).alias("sh"))
+            .select(
+                "doc_id",
+                F.array_distinct(
+                    F.transform(shingles(F.col("_toks")), md5_long)
+                ).alias("hs"),
+            )
             .persist()
         )
     # no eager materialization: the signature stage (which feeds the
     # broadcast candidate set) runs before the verify-side scans within
     # the one checkpoint job, so the cache is warm when s1/s2 read it —
     # an extra count() action here measured slower than the lazy fill
-    sig_col = (
-        minhash_from_hashes(F.col("hs"))
-        if "hs" in sets.columns
-        else minhash_from_shingles(F.col("sh"))
-    )
-    sig = sets.select("doc_id", sig_col.alias("minhashes"))
+    sig = sets.select("doc_id", minhash_from_hashes(F.col("hs")).alias("minhashes"))
     pairs = _lsh_candidate_pairs(sig)
-    s1 = sets.select(F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1"))
-    s2 = sets.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2"))
+    s1 = sets.select(F.col("doc_id").alias("doc_id_1"), F.col("hs").alias("hs1"))
+    s2 = sets.select(F.col("doc_id").alias("doc_id_2"), F.col("hs").alias("hs2"))
     # both sides are DISTINCT sets, so |union| = n1 + n2 - |intersect|:
     # one hash-set build per pair instead of two (the old
     # array_distinct(concat(...)) recomputed the union explicitly —
     # measured ~2x the verify-stage arithmetic for identical values)
-    isect = F.size(F.array_intersect("sh1", "sh2"))
-    union_size = F.size("sh1") + F.size("sh2") - isect
+    isect = F.size(F.array_intersect("hs1", "hs2"))
+    union_size = F.size("hs1") + F.size("hs2") - isect
     jaccard = isect.cast("double") / union_size
     verified = (
         s1.join(F.broadcast(pairs), "doc_id_1")
@@ -1106,7 +1111,7 @@ DEDUP_PIPELINE_ORACLE = f"""
         FROM s_bands a JOIN s_bands b
           ON a.band_id = b.band_id AND a.band_sig = b.band_sig
              AND a.doc_id < b.doc_id),
-    sets AS (SELECT doc_id, list_distinct({SH_SQL}) AS sh FROM surv),
+    sets AS (SELECT doc_id, list_distinct(list_transform({SH_SQL}, s -> {md5_long_sql('s')})) AS sh FROM surv),
     verified AS (
         SELECT d1, d2
         FROM cand
