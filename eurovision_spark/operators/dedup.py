@@ -1010,8 +1010,11 @@ def incremental_probe(
     )
     si = inc_idx.select(F.col("doc_id").alias("inc_id"), F.col("sh").alias("sh_inc_id"))
     se = ex_idx.select(F.col("doc_id").alias("ex_id"), F.col("sh").alias("sh_ex_id"))
-    union_size = F.size(F.array_distinct(F.concat("sh_inc_id", "sh_ex_id")))
-    jac = F.size(F.array_intersect("sh_inc_id", "sh_ex_id")).cast("double") / union_size
+    # doc_index emits DISTINCT sets, so |union| = n1 + n2 - |intersect|
+    # (one hash-set build per candidate instead of two; same values)
+    isect = F.size(F.array_intersect("sh_inc_id", "sh_ex_id"))
+    union_size = F.size("sh_inc_id") + F.size("sh_ex_id") - isect
+    jac = isect.cast("double") / union_size
     near_pairs = (
         si.join(F.broadcast(cand), "inc_id")
         .join(se.hint("shuffle_hash"), "ex_id")
