@@ -88,8 +88,11 @@ HEADLINE = [
     "embed_pca",
     "id_typo_pairs",
     # round 6: the IVF-composed kNN (the registered scale path of
-    # knn_classify — benched so the composition's cost is visible)
+    # knn_classify — benched so the composition's cost is visible),
+    # the simhash Hamming join, and per-stratum quota sampling
     "knn_classify_ivf",
+    "simhash_pairs",
+    "stratified_sample",
 ]
 
 

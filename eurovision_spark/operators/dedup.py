@@ -494,6 +494,135 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SimHash Hamming-neighborhood join: the signature op APPLIED — the
+# Charikar/Manku-Jain-Sarma web-dedup formulation (pairs within Hamming
+# distance k via exact-match band blocking)
+# ---------------------------------------------------------------------------
+
+SIM_BITS = 60  # signature width (md5_long supplies 60 hash bits per token)
+SIM_BANDS = 4  # 4 bands x 15 bits; <= 3 flipped bits leave >= 1 band intact
+SIM_HAM_K = SIM_BANDS - 1  # Hamming acceptance radius (pigeonhole-lossless)
+_SIM_BAND_W = SIM_BITS // SIM_BANDS
+_SIM_BAND_MASK = (1 << _SIM_BAND_W) - 1
+
+# Spark-side 60-bit simhash over a materialized hashed-token array
+# column named _hs: ONE fold maintains all 60 vote counters (a
+# per-bit-expression form, as the 16-bit `simhash` op uses, would emit
+# 60 independent folds — measured codegen blow-up risk), then one pass
+# turns votes into bits. Shift amounts are lambda-bound columns, which
+# the SQL `>>`/shiftleft operators accept (the pyspark functions API
+# restricts to literal ints — hence F.expr).
+_SIMHASH60_EXPR = f"""
+    aggregate(
+      transform(
+        aggregate(_hs,
+                  array_repeat(CAST(0 AS BIGINT), {SIM_BITS}),
+                  (acc, h) -> transform(acc, (v, i) ->
+                      v + CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)),
+        (v, i) -> CASE WHEN v >= 0 THEN shiftleft(CAST(1 AS BIGINT), i)
+                       ELSE CAST(0 AS BIGINT) END),
+      CAST(0 AS BIGINT), (a, x) -> a + x)
+"""
+
+
+def simhash60(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig) — 60-bit per-bit-majority simhash over the distinct
+    lowercased tokens, md5_long token hashes supplying the bits. Zero
+    shuffles; the hashed-token array is materialized behind a
+    projection boundary so the vote fold reads it once."""
+    hashed = docs.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(tokens(F.lower(F.col("text")))), md5_long
+        ).alias("_hs"),
+    )
+    return hashed.select("doc_id", F.expr(_SIMHASH60_EXPR).alias("sig"))
+
+
+@register(
+    "simhash_pairs",
+    f"""
+    WITH docs AS ({DOCS_WITH_COPIES_SQL}),
+    t AS (SELECT doc_id,
+                 unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS tok
+          FROM docs),
+    th AS (SELECT doc_id, {md5_long_sql('tok')} AS h FROM t),
+    bits AS (
+        SELECT doc_id, bit,
+               sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        FROM th CROSS JOIN (SELECT unnest(generate_series(0, {SIM_BITS - 1})) AS bit)
+        GROUP BY doc_id, bit),
+    sig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN vote >= 0 THEN CAST(1 AS BIGINT) << bit
+                             ELSE 0 END) AS BIGINT) AS sig
+        FROM bits GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, b AS band_id,
+               (sig >> (b * {_SIM_BAND_W})) & {_SIM_BAND_MASK} AS band_sig
+        FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {SIM_BANDS - 1})) AS b)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id)
+    SELECT c.doc_id_1, c.doc_id_2,
+           CAST(bit_count(xor(s1.sig, s2.sig)) AS INT) AS hamming
+    FROM cand c
+    JOIN sig s1 ON s1.doc_id = c.doc_id_1
+    JOIN sig s2 ON s2.doc_id = c.doc_id_2
+    WHERE bit_count(xor(s1.sig, s2.sig)) <= {SIM_HAM_K}
+    """,
+    f"SimHash Hamming-neighborhood join (Charikar signatures applied "
+    "the Manku-Jain-Sarma web-dedup way): {SIM_BITS}-bit per-bit-"
+    f"majority signatures, pairs within Hamming distance {SIM_HAM_K}. "
+    f"Blocking is exact-match on {SIM_BANDS} disjoint {_SIM_BAND_W}-bit "
+    f"bands — <= {SIM_HAM_K} flipped bits leave at least one band "
+    "intact (pigeonhole, lossless), so candidates come from the SAME "
+    "bucket equi-join machinery as the MinHash tier (pairs_in_buckets) "
+    "and cost tracks collision density, never n². Verification is one "
+    "xor + bit_count per candidate over the broadcast-joined 8-byte "
+    "signatures — the cheapest verify of any dedup family here, the "
+    "reason web-scale systems keep simhash alongside minhash. "
+    "Signatures shuffle as single longs; the complement (Jaccard "
+    "granularity) is minhash_lsh_jaccard. Planted perturbed copies "
+    "flip only bits whose token-vote margin is <= 1, so a measured "
+    "fraction lands inside the radius — pinned as a recall floor in "
+    "tests/test_pipeline_ops.py.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = docs_with_copies(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sigs = simhash60(docs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col("sig"), b * _SIM_BAND_W)
+                .bitwiseAND(F.lit(_SIM_BAND_MASK))
+                .alias("band_sig"),
+            )
+            for b in range(SIM_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band_id", "b.band_sig"
+    )
+    pairs = pairs_in_buckets(bands, "doc_id", dedup_pairs=True)
+    s1 = sigs.select(F.col("doc_id").alias("doc_id_1"), F.col("sig").alias("sig1"))
+    s2 = sigs.select(F.col("doc_id").alias("doc_id_2"), F.col("sig").alias("sig2"))
+    ham = F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2")))
+    return (
+        s1.join(F.broadcast(pairs), "doc_id_1")
+        .join(s2.hint("shuffle_hash"), "doc_id_2")
+        .filter(ham <= SIM_HAM_K)
+        .select("doc_id_1", "doc_id_2", ham.cast("int").alias("hamming"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash-LSH candidates + Jaccard verification — the production near-dup
 # composition (driver-facing twin of minhash_lsh_pairs + ngram_jaccard)
 # ---------------------------------------------------------------------------

@@ -14,7 +14,7 @@ ratios are single divisions of integer counts (deterministic doubles).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from eurovision_spark.catalog import register
@@ -749,6 +749,56 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("_p").desc(), "doc_id")
         .limit(WSAMPLE_K)
         .select("doc_id", "lang", "weight", F.round("_p", 9).alias("priority"))
+    )
+
+
+# Per-stratum quota sampling: exactly min(K, |stratum|) docs per
+# (lang, source) cell by deterministic md5 order — the training-mix
+# builder's "equal representation" selector (weighted_sample picks
+# globally BY weight; this picks per-cell WITHOUT size bias). K kept
+# <= spark.sql.optimizer.windowGroupLimitThreshold (1000) so the
+# rn <= K predicate plans as Partial+Final WindowGroupLimit: every map
+# task holds a bounded per-stratum heap, nothing ever buffers a
+# stratum (the winsorized_stats bounds-pass machinery, reused).
+STRAT_K = 100
+_STRAT_KEY_SQL = md5_long_sql("concat('strat-', CAST(doc_id AS VARCHAR))")
+
+
+@register(
+    "stratified_sample",
+    f"""
+    SELECT lang, source, doc_id,
+           CAST(rn AS BIGINT) AS rank_in_stratum
+    FROM (
+        SELECT lang, source, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY {_STRAT_KEY_SQL}, doc_id) AS rn
+        FROM documents WHERE n_chars > 0)
+    WHERE rn <= {STRAT_K}
+    """,
+    f"stratified quota sampling: exactly min({STRAT_K}, |stratum|) "
+    "documents per (lang, source) stratum by deterministic md5 order — "
+    "the mixture builder's equal-representation selector (eval-set "
+    "construction, per-domain caps, minority-source upsampling input). "
+    "Rerun- and growth-stable: a doc's sort key never changes, so "
+    "adding documents can only displace from the quota boundary. The "
+    "rn <= k predicate plans as Partial+Final WindowGroupLimit (pinned "
+    "in tests/test_plans.py) — each map task keeps a bounded "
+    "per-stratum heap BEFORE the exchange, so per-executor memory is "
+    "O(strata x k) regardless of corpus size, and only ~k rows per "
+    "stratum per task ever shuffle.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01/0.1 (verify)
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    key = md5_long(F.concat(F.lit("strat-"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("lang", "source").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        d.select("lang", "source", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= STRAT_K)
+        .select("lang", "source", "doc_id", F.col("rn").cast("bigint").alias("rank_in_stratum"))
     )
 
 

@@ -739,3 +739,11 @@ def test_winsorized_bounds_pass_is_group_limited(spark):
     assert "WindowGroupLimit" in plan
     # partial (pre-exchange) and final instances
     assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_stratified_sample_is_group_limited(spark):
+    """Per-stratum quota must never buffer a stratum: rn <= STRAT_K
+    plans as Partial+Final WindowGroupLimit (bounded per-stratum heap
+    map-side), same machinery as winsorized_stats' bounds pass."""
+    plan = plan_of(spark, "stratified_sample")
+    assert plan.count("WindowGroupLimit") >= 2
