@@ -505,17 +505,27 @@ SIM_HAM_K = SIM_BANDS - 1  # Hamming acceptance radius (pigeonhole-lossless)
 _SIM_BAND_W = SIM_BITS // SIM_BANDS
 _SIM_BAND_MASK = (1 << _SIM_BAND_W) - 1
 
-# Spark-side 60-bit simhash over a materialized hashed-token array
-# column named _hs: ONE fold maintains all 60 vote counters (a
-# per-bit-expression form, as the 16-bit `simhash` op uses, would emit
-# 60 independent folds — measured codegen blow-up risk), then one pass
-# turns votes into bits. Shift amounts are lambda-bound columns, which
-# the SQL `>>`/shiftleft operators accept (the pyspark functions API
-# restricts to literal ints — hence F.expr).
+# Spark-side 60-bit simhash over the materialized hashed-SHINGLE array
+# column (the copies_shingle_sets frame): ONE fold maintains all 60
+# vote counters (a per-bit-expression form, as the 16-bit `simhash` op
+# uses, would emit 60 independent folds — codegen blow-up risk), then
+# one pass turns votes into bits. Shift amounts are lambda-bound
+# columns, which the SQL `>>`/shiftleft operators accept (the pyspark
+# functions API restricts to literal ints — hence F.expr).
+#
+# SHINGLE features, not unigram tokens, on a measurement: this corpus
+# draws every doc's tokens from one shared vocabulary, so token-level
+# majority votes converge to near-identical signatures — the top
+# 15-bit band bucket held 2,452 of 10,000 docs at sf0.1 and the
+# "pairs within Hamming<=3" relation exploded to ~700k genuinely-
+# close signatures (11s). Word-3-gram shingles are near-unique per
+# doc (the same reason the MinHash tier shingles), signatures spread,
+# and buckets track true near-dups — also exactly Manku-Jain-Sarma's
+# feature choice.
 _SIMHASH60_EXPR = f"""
     aggregate(
       transform(
-        aggregate(_hs,
+        aggregate(hs,
                   array_repeat(CAST(0 AS BIGINT), {SIM_BITS}),
                   (acc, h) -> transform(acc, (v, i) ->
                       v + CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)),
@@ -525,28 +535,21 @@ _SIMHASH60_EXPR = f"""
 """
 
 
-def simhash60(docs: DataFrame) -> DataFrame:
-    """(doc_id, sig) — 60-bit per-bit-majority simhash over the distinct
-    lowercased tokens, md5_long token hashes supplying the bits. Zero
-    shuffles; the hashed-token array is materialized behind a
-    projection boundary so the vote fold reads it once."""
-    hashed = docs.select(
-        "doc_id",
-        F.transform(
-            F.array_distinct(tokens(F.lower(F.col("text")))), md5_long
-        ).alias("_hs"),
-    )
-    return hashed.select("doc_id", F.expr(_SIMHASH60_EXPR).alias("sig"))
+def simhash60_from_hashes(sets: DataFrame) -> DataFrame:
+    """(doc_id, sig) — 60-bit per-bit-majority simhash over a
+    (doc_id, hs) hashed-shingle frame (:func:`copies_shingle_sets`):
+    the md5_long shingle hashes supply the bits directly, so the
+    signature costs one arithmetic fold over an already-materialized
+    column — zero additional hashing, zero shuffles."""
+    return sets.select("doc_id", F.expr(_SIMHASH60_EXPR).alias("sig"))
 
 
 @register(
     "simhash_pairs",
     f"""
     WITH docs AS ({DOCS_WITH_COPIES_SQL}),
-    t AS (SELECT doc_id,
-                 unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS tok
-          FROM docs),
-    th AS (SELECT doc_id, {md5_long_sql('tok')} AS h FROM t),
+    sh AS (SELECT DISTINCT doc_id, unnest({SH_SQL}) AS shingle FROM docs),
+    th AS (SELECT doc_id, {md5_long_sql('shingle')} AS h FROM sh),
     bits AS (
         SELECT doc_id, bit,
                sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
@@ -574,8 +577,11 @@ def simhash60(docs: DataFrame) -> DataFrame:
     WHERE bit_count(xor(s1.sig, s2.sig)) <= {SIM_HAM_K}
     """,
     f"SimHash Hamming-neighborhood join (Charikar signatures applied "
-    "the Manku-Jain-Sarma web-dedup way): {SIM_BITS}-bit per-bit-"
-    f"majority signatures, pairs within Hamming distance {SIM_HAM_K}. "
+    f"the Manku-Jain-Sarma web-dedup way): {SIM_BITS}-bit per-bit-"
+    f"majority signatures over word-3-gram shingle hashes (the shared "
+    f"copies_shingle_sets frame — unigram-token features measured "
+    f"degenerate on this shared-vocab corpus: 25%-of-corpus buckets), "
+    f"pairs within Hamming distance {SIM_HAM_K}. "
     f"Blocking is exact-match on {SIM_BANDS} disjoint {_SIM_BAND_W}-bit "
     f"bands — <= {SIM_HAM_K} flipped bits leave at least one band "
     "intact (pigeonhole, lossless), so candidates come from the SAME "
@@ -592,10 +598,14 @@ def simhash60(docs: DataFrame) -> DataFrame:
     driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
 )
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = docs_with_copies(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    sigs = simhash60(docs)
+    sets = copies_shingle_sets(spark, sf_dir)
+    # materialize the 8-byte signatures as a leaf: the band explode and
+    # BOTH verify sides read them, and re-running the vote fold (60 x
+    # shingles arithmetic) per scan would triple the op's real work
+    # (fn-eager, inside bench's timed window — the jaccard twin's
+    # pattern)
+    sigs = simhash60_from_hashes(sets).localCheckpoint()
+    sets.unpersist()
     band_structs = F.array(
         *[
             F.struct(

@@ -818,28 +818,29 @@ def test_span_dedup_hot_boilerplate_block(spark):
 def test_simhash_pairs_radius_and_planted_floor(spark):
     """Every emitted pair must genuinely sit within the Hamming radius
     (recomputed from the signatures), the pair list must be candidate-
-    deduped (a <= b ordering, no duplicates), and a measured floor of
-    planted perturbed copies must surface — one appended token flips
-    only margin<=1 bits, so SHORT docs land outside the radius (the
-    MinHash tier is the short-doc path; simhash's economy is the
-    8-byte verify)."""
+    deduped (a < b ordering, no duplicates), and a measured floor of
+    planted perturbed copies must surface (the MinHash tier is the
+    high-recall path; simhash's economy is the 8-byte verify)."""
     from eurovision_spark.operators.dedup import (
         NEAR_COPY_OFFSET,
         SIM_HAM_K,
-        docs_with_copies,
-        simhash60,
+        copies_shingle_sets,
+        simhash60_from_hashes,
     )
 
     rows = registry()["simhash_pairs"].fn(spark, SF).collect()
     pairs = {(r.doc_id_1, r.doc_id_2): r.hamming for r in rows}
     assert len(pairs) == len(rows), "duplicate pairs emitted"
     assert all(a < b for a, b in pairs)
-    sigs = {
-        r.doc_id: r.sig for r in simhash60(docs_with_copies(spark, SF)).collect()
-    }
+    sets = copies_shingle_sets(spark, SF)
+    sigs = {r.doc_id: r.sig for r in simhash60_from_hashes(sets).collect()}
+    sets.unpersist()
     for (a, b), h in pairs.items():
         assert h == bin(sigs[a] ^ sigs[b]).count("1")
         assert h <= SIM_HAM_K
     planted = sum(1 for (a, b) in pairs if b == a + NEAR_COPY_OFFSET)
     n_src = len([d for d in sigs if d < NEAR_COPY_OFFSET])
-    assert planted / n_src >= 0.1, (planted, n_src)
+    # shingle-feature recall measures 0.53 at sf0.001 AND sf0.1 (one
+    # appended token flips only margin<=1 vote bits; short docs fall
+    # outside the radius); gate at 0.4 with headroom for corpus drift
+    assert planted / n_src >= 0.4, (planted, n_src)

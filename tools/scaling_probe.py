@@ -63,6 +63,8 @@ QUERIES = [
     ("winsorized_stats", "WindowGroupLimit sample bounds + clustered agg", True),
     ("embed_pca", "literal-axes dot products, zero shuffle", True),
     ("id_typo_pairs", "masked-position + deletion-nbhd keys; output-bound (x10 data has 12.6x true pairs)", True),
+    ("simhash_pairs", "60-bit simhash bands + xor/bit_count verify", True),
+    ("stratified_sample", "per-stratum WindowGroupLimit quota", True),
 ]
 
 
