@@ -7,8 +7,29 @@ identifiers that differ by one typo. All-pairs Levenshtein is O(n²) and
 dead at scale, so the engine ships the lossless blocked formulation
 instead.
 
-Blocking scheme — the one-character EDIT NEIGHBORHOOD, covering all
-three edit kinds with candidate volume proportional to TRUE pairs:
+The pipeline runs in TWO granularities, which is what makes it safe on
+real entity-resolution corpora where the DOMINANT duplicate class is
+the exact one (most "matches" are byte-identical identifiers):
+
+1. NAME CLASSES. Blocking, candidate joins, and the Levenshtein verify
+   all run over DISTINCT names — one row per distinct identifier, so a
+   name occurring a million times costs the blocking exactly one row.
+   (Round 6 keyed the blocking on raw rows: g copies of one identifier
+   collided on every masked key, materializing |s|·g(g−1)/2 hot-keyed
+   join rows per exact-duplicate group — quadratic in precisely the
+   case that dominates real data. The TPC-H unique-name fixture could
+   never exhibit it; the planted high-multiplicity fixture in
+   tests/test_analytics_ops.py now pins the class-level candidate
+   count.)
+2. ID EXPANSION, at the edge only. Verified name pairs expand to id
+   pairs through two equi-joins back to the id frame, and the
+   distance-0 family (identical names) is ONE self-equi-join on the
+   name — both output-bound: they produce exactly the result rows,
+   through AQE-splittable equi-joins, with no intermediate blowup.
+
+Blocking scheme over the distinct names — the one-character EDIT
+NEIGHBORHOOD, covering all three edit kinds with candidate volume
+proportional to TRUE distinct-name pairs:
 
 - SUBSTITUTION (equal lengths): a distance-1 pair differing at
   position i agrees EXACTLY on "the name with position i masked".
@@ -28,16 +49,19 @@ three edit kinds with candidate volume proportional to TRUE pairs:
 - INSERTION / DELETION (lengths differ by 1): ``a`` shorter, ``b``
   longer, distance 1 means ``a`` IS one of b's one-character-DELETION
   variants. Each name emits its |s| deletion-variant keys; candidates
-  are one equi-join of full-name hashes against variant hashes.
+  are one equi-join of full-name hashes against variant hashes. The
+  empty name emits no keys (both engines: a zero-length sequence) but
+  still participates as the SHORTER side, so ''-vs-single-char pairs
+  surface through the single-char name's deletion variant.
 
-Both families verify with exact levenshtein <= 1 — the same
-candidates-then-verify shape as the MinHash LSH tier
-(operators/dedup.py). At 100 TB: the explode is |s| (id, 8-byte hash)
-rows per identifier, every shuffle is an equi-key shuffle of those
-rows, and candidate count tracks the true-duplicate density — the
-property the scaling probe's x10 tier gates (planted substitution,
-insert, AND delete fixtures pinned against brute force in
-tests/test_analytics_ops.py).
+Both families verify with exact levenshtein <= 1, ONCE per distinct
+name pair — the same candidates-then-verify shape as the MinHash LSH
+tier (operators/dedup.py). At 100 TB: the explode is |s| (name-hash
+key) rows per DISTINCT identifier, every shuffle is an equi-key
+shuffle of those rows, the verified name-pair list is a materialized
+leaf whose known (small) size lets Catalyst broadcast the expansion
+joins when density permits and fall back to shuffled joins when it
+does not, and the only quadratic term left is the output itself.
 """
 
 from __future__ import annotations
@@ -63,70 +87,95 @@ _DEL_KEY_SQL = md5_long_sql(
 @register(
     "id_typo_pairs",
     rf"""
-    WITH c AS (SELECT c_custkey, c_name, length(c_name) AS ln FROM customer),
+    WITH c AS (SELECT c_custkey, c_name FROM customer),
+    n AS (SELECT DISTINCT c_name, length(c_name) AS ln FROM c),
+    g AS (SELECT c_name, ln FROM n WHERE ln >= 1),
     sub AS (
-        SELECT c_custkey, c_name,
+        SELECT c_name,
                unnest(list_transform(generate_series(1, ln),
                                      i -> {_SUB_KEY_SQL})) AS sk
-        FROM c),
+        FROM g),
     dv AS (
-        SELECT c_custkey, c_name, ln,
+        SELECT c_name, ln,
                unnest(list_transform(generate_series(1, ln),
                                      i -> {_DEL_KEY_SQL})) AS dk
-        FROM c),
-    cand AS (
-        SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
-               a.c_name AS name_a, b.c_name AS name_b
+        FROM g),
+    ncand AS (
+        SELECT a.c_name AS name_a, b.c_name AS name_b
         FROM sub a JOIN sub b
-          ON a.sk = b.sk AND a.c_custkey < b.c_custkey
+          ON a.sk = b.sk AND a.c_name < b.c_name
         UNION
-        SELECT least(s.c_custkey, l.c_custkey),
-               greatest(s.c_custkey, l.c_custkey),
-               CASE WHEN s.c_custkey < l.c_custkey THEN s.c_name ELSE l.c_name END,
-               CASE WHEN s.c_custkey < l.c_custkey THEN l.c_name ELSE s.c_name END
-        FROM c s JOIN dv l
-          ON s.ln + 1 = l.ln AND {md5_long_sql("s.c_name")} = l.dk)
-    SELECT custkey_a, custkey_b, name_a, name_b,
-           CAST(levenshtein(name_a, name_b) AS INT) AS edit_dist
-    FROM cand
-    WHERE levenshtein(name_a, name_b) <= 1
+        SELECT least(s.c_name, l.c_name), greatest(s.c_name, l.c_name)
+        FROM n s JOIN dv l
+          ON s.ln + 1 = l.ln AND {md5_long_sql("s.c_name")} = l.dk),
+    np AS (
+        SELECT name_a, name_b, levenshtein(name_a, name_b) AS ed
+        FROM ncand
+        WHERE levenshtein(name_a, name_b) <= 1),
+    cross_pairs AS (
+        SELECT least(ca.c_custkey, cb.c_custkey) AS custkey_a,
+               greatest(ca.c_custkey, cb.c_custkey) AS custkey_b,
+               CASE WHEN ca.c_custkey < cb.c_custkey
+                    THEN np.name_a ELSE np.name_b END AS name_a,
+               CASE WHEN ca.c_custkey < cb.c_custkey
+                    THEN np.name_b ELSE np.name_a END AS name_b,
+               CAST(np.ed AS INT) AS edit_dist
+        FROM np
+        JOIN c ca ON ca.c_name = np.name_a
+        JOIN c cb ON cb.c_name = np.name_b),
+    eq_pairs AS (
+        SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+               a.c_name AS name_a, b.c_name AS name_b,
+               CAST(0 AS INT) AS edit_dist
+        FROM c a JOIN c b
+          ON a.c_name = b.c_name AND a.c_custkey < b.c_custkey)
+    SELECT * FROM cross_pairs UNION ALL SELECT * FROM eq_pairs
     """,
-    "identifier-typo similarity join (entity resolution): customer-name "
-    "pairs within edit distance 1, covering ALL three edit kinds via "
-    "one-character edit-neighborhood blocking. Substitutions: each name "
-    "emits |s| masked-position keys (position + name-with-that-char-"
-    "masked, as 60-bit hashes), so equal-length distance-1 pairs "
-    "collide on exactly one key and candidate volume tracks TRUE pair "
-    "density even on low-entropy zero-padded ids (the parity-projection "
-    "scheme this replaced measured 248x-over-1000x on the x10 tier; "
-    "this one is output-bound). Insertions/deletions: shorter names' "
-    "full-name hashes equi-join longer names' deletion-variant hashes. "
-    "Exact Levenshtein verifies candidates only — hash collisions add "
-    "candidates, never results. Same candidates-then-verify shape as "
-    "the MinHash LSH tier; every shuffle moves (id, 8-byte key) rows.",
+    "identifier-typo similarity join (entity resolution): customer-id "
+    "pairs whose names are within edit distance 1, covering ALL three "
+    "edit kinds via one-character edit-neighborhood blocking — run over "
+    "DISTINCT names, never raw rows, so exact-duplicate identifiers "
+    "(the dominant class on real data) cost the blocking one row per "
+    "distinct name instead of a quadratic hot-key collision. "
+    "Substitutions: each distinct name emits |s| masked-position keys "
+    "(position + name-with-that-char-masked, as 60-bit hashes); "
+    "insertions/deletions: shorter names' full-name hashes equi-join "
+    "longer names' deletion-variant hashes. Exact Levenshtein verifies "
+    "ONCE per distinct name pair; verified pairs expand to id pairs "
+    "through two output-bound equi-joins, and identical-name (distance "
+    "0) pairs come from one AQE-splittable self-equi-join on the name. "
+    "Hash collisions add candidates, never results. Same candidates-"
+    "then-verify shape as the MinHash LSH tier; every blocking shuffle "
+    "moves (name-hash, 8-byte key) rows.",
     driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01/0.1 (verify)
 )
 def id_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    return typo_pair_candidates(c).filter(F.col("edit_dist") <= 1)
+    return typo_pair_candidates(c, max_dist=1)
 
 
-def typo_pair_candidates(c: DataFrame) -> DataFrame:
-    """(custkey_a < custkey_b, name_a, name_b, edit_dist) candidate
-    pairs from a (c_custkey, c_name) frame, blocked losslessly for
-    edit distance <= 1 (module docstring) — split from the registered
-    query so the planted indel/substitution fixtures can drive the
-    blocking core directly. ``edit_dist`` is UNFILTERED here; the
-    caller applies the <= 1 gate (candidates at larger distance are
-    hash-collision noise).
-
-    The keyed frame is persisted once: the substitution self-join and
-    both indel sides read it (r05 advice — hold the tiny projected
-    frame, don't recompute it per branch)."""
-    keyed = c.select(
-        "c_custkey", "c_name", F.length("c_name").alias("ln")
+def typo_name_pairs(names: DataFrame) -> DataFrame:
+    """(name_a < name_b, edit_dist) candidate pairs over a DISTINCT
+    (c_name) frame, blocked losslessly for edit distance <= 1 (module
+    docstring) and verified with one exact Levenshtein per pair.
+    ``edit_dist`` is UNFILTERED: candidates at distance >= 2 are
+    hash-collision noise the caller gates out. Returns a materialized
+    leaf (localCheckpoint) — the verified pair list is the small edge
+    set every downstream join reuses, and the leaf's known size lets
+    Catalyst choose broadcast vs shuffled expansion joins from real
+    stats instead of a guess. The keyed working frame is persisted for
+    the three branch scans and released before returning (the minhash
+    tier's cache discipline)."""
+    keyed = names.select(
+        "c_name", F.length("c_name").alias("ln")
     ).persist()
     n = F.col("ln")
+    # names with ln >= 1 generate keys; F.sequence(1, 0) would yield a
+    # DESCENDING [1, 0] (Spark reverses when start > stop) while the
+    # oracle's generate_series(1, 0) is empty — so the empty name is
+    # excluded from key GENERATION on both engines, but stays in
+    # ``keyed`` as a potential shorter indel side.
+    gen = keyed.filter(n >= 1)
 
     def masked(i):
         # name with character i replaced by a placeholder outside the
@@ -149,59 +198,98 @@ def typo_pair_candidates(c: DataFrame) -> DataFrame:
             )
         )
 
-    sub = keyed.select(
-        "c_custkey",
+    sub = gen.select(
         "c_name",
         F.explode(F.transform(F.sequence(F.lit(1), n), masked)).alias("sk"),
     )
-    a_sub = sub.select(
-        F.col("c_custkey").alias("custkey_a"),
-        F.col("c_name").alias("name_a"),
-        "sk",
+    subs = (
+        sub.select(F.col("c_name").alias("name_a"), "sk")
+        .join(
+            sub.select(F.col("c_name").alias("name_b"), F.col("sk").alias("sk_b")),
+            (F.col("sk") == F.col("sk_b")) & (F.col("name_a") < F.col("name_b")),
+        )
+        .select("name_a", "name_b")
     )
-    b_sub = sub.select(
-        F.col("c_custkey").alias("custkey_b"),
-        F.col("c_name").alias("name_b"),
-        F.col("sk").alias("sk_b"),
-    )
-    subs = a_sub.join(
-        b_sub,
-        (F.col("sk") == F.col("sk_b")) & (F.col("custkey_a") < F.col("custkey_b")),
-    ).select("custkey_a", "custkey_b", "name_a", "name_b")
 
     # len±1: deletion-variant hashes of the longer side vs full-name
     # hashes of the shorter
-    longer = keyed.select(
-        F.col("c_custkey").alias("ck_l"),
+    longer = gen.select(
         F.col("c_name").alias("nm_l"),
         F.col("ln").alias("ln_l"),
         F.explode(F.transform(F.sequence(F.lit(1), n), deleted)).alias("dk"),
     )
     shorter = keyed.select(
-        F.col("c_custkey").alias("ck_s"),
         F.col("c_name").alias("nm_s"),
         F.col("ln").alias("ln_s"),
         md5_long(F.col("c_name")).alias("nk"),
     )
-    a_first = F.col("ck_s") < F.col("ck_l")
     indel = (
         shorter.join(
             longer,
             (F.col("ln_s") + 1 == F.col("ln_l")) & (F.col("nk") == F.col("dk")),
         )
         .select(
-            F.least("ck_s", "ck_l").alias("custkey_a"),
-            F.greatest("ck_s", "ck_l").alias("custkey_b"),
-            F.when(a_first, F.col("nm_s")).otherwise(F.col("nm_l")).alias("name_a"),
-            F.when(a_first, F.col("nm_l")).otherwise(F.col("nm_s")).alias("name_b"),
+            F.least("nm_s", "nm_l").alias("name_a"),
+            F.greatest("nm_s", "nm_l").alias("name_b"),
         )
     )
-    cand = subs.unionByName(indel).dropDuplicates(["custkey_a", "custkey_b"])
-    lev = F.levenshtein(F.col("name_a"), F.col("name_b"))
-    return cand.select(
-        "custkey_a",
-        "custkey_b",
+    cand = subs.unionByName(indel).dropDuplicates(["name_a", "name_b"])
+    out = cand.select(
         "name_a",
         "name_b",
-        lev.cast("int").alias("edit_dist"),
+        F.levenshtein(F.col("name_a"), F.col("name_b")).cast("int").alias("edit_dist"),
+    ).localCheckpoint()
+    keyed.unpersist()
+    return out
+
+
+def typo_pair_candidates(c: DataFrame, max_dist: int | None = None) -> DataFrame:
+    """(custkey_a < custkey_b, name_a, name_b, edit_dist) pairs from a
+    (c_custkey, c_name) frame whose names are within the one-character
+    edit neighborhood. Blocking and verification run on DISTINCT names
+    (:func:`typo_name_pairs`); this function only performs the two
+    output-bound expansions:
+
+    - identical names (distance 0): one self-equi-join on the name with
+      custkey_a < custkey_b — exactly the result rows, on an equi-key
+      AQE can split when a name is hot;
+    - distinct-name pairs: two equi-joins of the verified name-pair
+      leaf back to the id frame, with ids reordered per pair.
+
+    ``max_dist`` prunes the name-pair list BEFORE expansion (the
+    registered query passes 1, so hash-collision noise pairs are never
+    expanded); None preserves the historical contract of emitting
+    unfiltered candidates for the planted-fixture tests."""
+    ids = c.select("c_custkey", "c_name")
+    np = typo_name_pairs(ids.select("c_name").distinct())
+    if max_dist is not None:
+        np = np.filter(F.col("edit_dist") <= max_dist)
+    ca = ids.select(F.col("c_custkey").alias("ck_a"), F.col("c_name").alias("name_a"))
+    cb = ids.select(F.col("c_custkey").alias("ck_b"), F.col("c_name").alias("name_b"))
+    a_first = F.col("ck_a") < F.col("ck_b")
+    cross = (
+        np.join(ca, "name_a")
+        .join(cb, "name_b")
+        .select(
+            F.least("ck_a", "ck_b").alias("custkey_a"),
+            F.greatest("ck_a", "ck_b").alias("custkey_b"),
+            F.when(a_first, F.col("name_a")).otherwise(F.col("name_b")).alias("name_a"),
+            F.when(a_first, F.col("name_b")).otherwise(F.col("name_a")).alias("name_b"),
+            F.col("edit_dist"),
+        )
     )
+    eq = (
+        ids.select(F.col("c_custkey").alias("custkey_a"), F.col("c_name").alias("name_a"))
+        .join(
+            ids.select(
+                F.col("c_custkey").alias("custkey_b"), F.col("c_name").alias("name_b")
+            ),
+            (F.col("name_a") == F.col("name_b"))
+            & (F.col("custkey_a") < F.col("custkey_b")),
+        )
+        .select(
+            "custkey_a", "custkey_b", "name_a", "name_b",
+            F.lit(0).cast("int").alias("edit_dist"),
+        )
+    )
+    return cross.unionByName(eq)

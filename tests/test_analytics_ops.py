@@ -173,3 +173,63 @@ def test_typo_blocking_finds_substitutions_and_indels(spark):
     assert (1, 3) in got and got[(1, 3)] == 1  # deletion
     assert (1, 4) in got and got[(1, 4)] == 1  # insertion
     assert (3, 7) in got  # deletion pair via the duplicate too
+
+
+def test_typo_blocking_duplicate_groups_stay_class_level(spark):
+    """The r06 scale flaw, pinned: g copies of one identifier — the
+    DOMINANT case in real entity resolution — must cost the blocking
+    one distinct-name row, not |s|·g²/2 hot-keyed join rows. The
+    candidate stage (typo_name_pairs) runs over name classes, so its
+    row count is bounded by distinct-name pairs regardless of
+    multiplicity; the id-level output still reproduces the full
+    brute-force pair count (built analytically from class sizes +
+    exact pairwise Levenshtein over the FOUR distinct names)."""
+    from itertools import combinations
+
+    from eurovision_spark.operators.entity import (
+        typo_name_pairs,
+        typo_pair_candidates,
+    )
+
+    classes = {
+        "Customer#000001000": 1000,  # the hot exact-duplicate group
+        "Customer#000001001": 5,     # substitution neighbor of the hot name
+        "Customer#00001000": 2,      # deletion neighbor of the hot name
+        "Zed": 1,                    # far from everything
+    }
+
+    def lev(a, b):
+        m = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, m[0] = m[0], i
+            for j, cb in enumerate(b, 1):
+                prev, m[j] = m[j], min(m[j] + 1, m[j - 1] + 1, prev + (ca != cb))
+        return m[len(b)]
+
+    rows, next_id = [], 0
+    for name, g in classes.items():
+        for _ in range(g):
+            rows.append((next_id, name))
+            next_id += 1
+    df = spark.createDataFrame(rows, "c_custkey bigint, c_name string")
+
+    # the candidate gate: class-level, multiplicity-free. 4 distinct
+    # names bound the verified-pair list at C(4,2)=6 rows no matter how
+    # hot the duplicate group is (raw-row blocking would have put
+    # ~|s|·C(1000,2) ≈ 9M rows through the substitution join here).
+    n_name_pairs = typo_name_pairs(
+        df.select("c_name").distinct()
+    ).count()
+    assert n_name_pairs <= len(classes) * (len(classes) - 1) // 2
+
+    # id-level output: exact analytic expectation from class sizes
+    exp = sum(g * (g - 1) // 2 for g in classes.values())  # distance 0
+    exp += sum(
+        classes[a] * classes[b]
+        for a, b in combinations(classes, 2)
+        if lev(a, b) == 1
+    )
+    got = typo_pair_candidates(df, max_dist=1).count()
+    assert got == exp
+    # sanity: the hot group alone contributes C(1000,2) distance-0 pairs
+    assert exp > 499500

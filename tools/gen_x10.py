@@ -135,6 +135,44 @@ def main() -> None:
         OUT / "customer.parquet",
     )
 
+    # duplicate-heavy customer variant (own subdir so load_table reads it
+    # as `customer`): real entity-resolution corpora are dominated by
+    # EXACT-duplicate identifiers, the case the unique-name tier above
+    # structurally cannot exhibit (r06 found the raw-row typo blocking
+    # quadratic exactly there). Name classes: one hot name at ~1% of
+    # rows (1,500 copies), 40% of rows in classes of 10, the rest
+    # unique — the id_typo_pairs dup-heavy SCALING row runs against
+    # this. Deterministic and idempotent like everything else here.
+    dup_dir = OUT / "dup"
+    dup_dir.mkdir(exist_ok=True)
+    n_cust = len(c_cols["c_custkey"])
+    hot_every = 100          # 1% of rows -> one shared hot name
+    class10_until = int(n_cust * 0.4)  # first 40% -> classes of 10
+    dup_names = []
+    for i in range(n_cust):
+        if i % hot_every == 0:
+            dup_names.append("Customer#DUPLICATE")
+        elif i < class10_until:
+            # spread class ids (x7919, injective below 1e8) so
+            # neighboring classes are not accidental distance-1
+            # names — the dup tier measures the EXACT-duplicate
+            # path, not extra planted typos
+            dup_names.append(f"Customer#C{(i // 10) * 7919:08d}")
+        else:
+            dup_names.append(f"Customer#{c_cols['c_custkey'][i]:09d}")
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(c_cols["c_custkey"], pa.int64()),
+                "c_name": dup_names,
+                "c_nationkey": pa.array(c_cols["c_nationkey"], pa.int32()),
+                "c_acctbal": c_cols["c_acctbal"],
+                "c_mktsegment": c_cols["c_mktsegment"],
+            }
+        ),
+        dup_dir / "customer.parquet",
+    )
+
     rng = np.random.default_rng(4242)
     x = rng.normal(size=(FACTOR * n_vecs, 64))
     x /= np.linalg.norm(x, axis=1, keepdims=True)
