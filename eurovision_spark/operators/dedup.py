@@ -493,6 +493,41 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.select("doc_id", sig.cast("bigint").alias("simhash16"))
 
 
+# Broadcast-safety bound for LSH candidate-pair lists: pairs are two
+# 8-byte ids, so 2M rows is ~32 MB serialized — comfortably under
+# executor broadcast budgets, far above any observed candidate count
+# at the tested scales (thousands). A 40-60%-duplicate crawl corpus at
+# 100 TB materializes BILLIONS of candidates; broadcasting that kills
+# the driver, so the verify joins flip to shuffled-hash past the bound.
+PAIR_BROADCAST_LIMIT = 2_000_000
+
+
+def adaptive_verify_join(
+    s1: DataFrame, pairs: DataFrame, s2: DataFrame, limit: int | None = None
+) -> DataFrame:
+    """Join the per-doc verify sides onto a candidate pair list with a
+    DENSITY-ADAPTIVE strategy: the pair list is materialized once
+    (localCheckpoint — callers were already paying this to truncate
+    lineage) and counted; below the broadcast-safe bound the (small)
+    candidate set broadcasts so the corpus never reshuffles for
+    verification, above it BOTH joins run shuffled-hash with the
+    per-doc side as build (bounded rows per partition; candidate rows
+    stream as probes). ``s1`` must carry ``doc_id_1``, ``s2``
+    ``doc_id_2``, ``pairs`` both. The sparse branch is the common case
+    at any realistic dup density over distinct candidates; the dense
+    branch is the 40-60%-dup crawl case where the broadcast would die
+    at corpus scale."""
+    pairs = pairs.localCheckpoint()
+    bound = PAIR_BROADCAST_LIMIT if limit is None else limit
+    if pairs.count() <= bound:
+        return s1.join(F.broadcast(pairs), "doc_id_1").join(
+            s2.hint("shuffle_hash"), "doc_id_2"
+        )
+    return pairs.join(s1.hint("shuffle_hash"), "doc_id_1").join(
+        s2.hint("shuffle_hash"), "doc_id_2"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash Hamming-neighborhood join: the signature op APPLIED — the
 # Charikar/Manku-Jain-Sarma web-dedup formulation (pairs within Hamming
@@ -587,9 +622,11 @@ def simhash60_from_hashes(sets: DataFrame) -> DataFrame:
     "intact (pigeonhole, lossless), so candidates come from the SAME "
     "bucket equi-join machinery as the MinHash tier (pairs_in_buckets) "
     "and cost tracks collision density, never n². Verification is one "
-    "xor + bit_count per candidate over the broadcast-joined 8-byte "
-    "signatures — the cheapest verify of any dedup family here, the "
-    "reason web-scale systems keep simhash alongside minhash. "
+    "xor + bit_count per candidate over the 8-byte signatures, joined "
+    "density-adaptively (adaptive_verify_join: broadcast below the "
+    "safe bound, shuffled-hash above it) — the cheapest verify of any "
+    "dedup family here, the reason web-scale systems keep simhash "
+    "alongside minhash. "
     "Signatures shuffle as single longs; the complement (Jaccard "
     "granularity) is minhash_lsh_jaccard. Planted perturbed copies "
     "flip only bits whose token-vote margin is <= 1, so a measured "
@@ -625,8 +662,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = sigs.select(F.col("doc_id").alias("doc_id_2"), F.col("sig").alias("sig2"))
     ham = F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2")))
     return (
-        s1.join(F.broadcast(pairs), "doc_id_1")
-        .join(s2.hint("shuffle_hash"), "doc_id_2")
+        adaptive_verify_join(s1, pairs, s2)
         .filter(ham <= SIM_HAM_K)
         .select("doc_id_1", "doc_id_2", ham.cast("int").alias("hamming"))
     )
@@ -660,10 +696,13 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the full production near-dup pipeline: MinHash-LSH banded candidate "
     "generation (minhash_lsh_pairs) + exact word-3-gram Jaccard "
     "verification of each candidate (ngram_jaccard) — the driver-facing "
-    "certification twin of both. The (small) candidate set is BROADCAST "
-    "back against the corpus shingle sets, so the corpus never "
-    "reshuffles for verification; total cost stays proportional to "
-    "true-duplicate density, the only formulation that survives 100 TB.",
+    "certification twin of both. Verification is DENSITY-ADAPTIVE "
+    "(adaptive_verify_join): the materialized candidate count picks the "
+    "strategy — small sets broadcast so the corpus never reshuffles, "
+    "past the broadcast-safe bound (the 40-60%-dup crawl case, where "
+    "candidates are billions of rows at 100 TB) both verify joins flip "
+    "to shuffled-hash. Total cost stays proportional to true-duplicate "
+    "density either way.",
 )
 def minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shared one-tokenize edge machinery (near_edges_plan, defined
@@ -877,10 +916,10 @@ def near_edges_plan(
             )
             .persist()
         )
-    # no eager materialization: the signature stage (which feeds the
-    # broadcast candidate set) runs before the verify-side scans within
-    # the one checkpoint job, so the cache is warm when s1/s2 read it —
-    # an extra count() action here measured slower than the lazy fill
+    # the candidate list materializes inside adaptive_verify_join (its
+    # count picks broadcast vs shuffled-hash verification); the sets
+    # cache fills during that same candidate job, so the verify-side
+    # scans still read it warm
     sig = sets.select("doc_id", minhash_from_hashes(F.col("hs")).alias("minhashes"))
     pairs = _lsh_candidate_pairs(sig)
     s1 = sets.select(F.col("doc_id").alias("doc_id_1"), F.col("hs").alias("hs1"))
@@ -892,14 +931,10 @@ def near_edges_plan(
     isect = F.size(F.array_intersect("hs1", "hs2"))
     union_size = F.size("hs1") + F.size("hs2") - isect
     jaccard = isect.cast("double") / union_size
-    verified = (
-        s1.join(F.broadcast(pairs), "doc_id_1")
-        .join(s2.hint("shuffle_hash"), "doc_id_2")
-        .filter(
-            (union_size > 0) & (jaccard >= threshold)
-            if threshold is not None
-            else (union_size > 0)
-        )
+    verified = adaptive_verify_join(s1, pairs, s2).filter(
+        (union_size > 0) & (jaccard >= threshold)
+        if threshold is not None
+        else (union_size > 0)
     )
     cols = ["doc_id_1", "doc_id_2"]
     if with_jaccard:
@@ -1785,9 +1820,14 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # block appearing in most docs — the C4 motivating case — became a
     # single hot partition). The occurrence frame is persisted because
     # both the survivor aggregate and the removal probe scan it; the
-    # cache holds (id, int, long) rows only.
+    # cache holds (id, int, long) rows only, and is RELEASED before
+    # returning: the (small) removal list checkpoints into a leaf and
+    # the rewrite join reads that leaf, not the cache (the
+    # minhash_lsh_jaccard cache discipline — r06 advice closed the
+    # per-invocation persist leak here).
     br = block_rows(docs).persist()
-    removed = block_removals(br, block_survivors(br))
+    removed = block_removals(br, block_survivors(br)).localCheckpoint()
+    br.unpersist()
     return apply_block_removals(blk, removed)
 
 

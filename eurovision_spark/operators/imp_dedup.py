@@ -87,7 +87,7 @@ def connected_components_any_key(
 def cc_edge_list(
     edges: DataFrame, src: str, dst: str, max_iter: int = 15,
     checkpoint_every: int = 3, materialized: bool = False,
-    leaf: bool = True,
+    leaf: bool = True, loop_partitions: int | None = None,
 ) -> DataFrame:
     """Connected components over a global (src, dst) edge list: label
     every endpoint with the min node id reachable through the graph.
@@ -134,17 +134,41 @@ def cc_edge_list(
     single window pass) sets leaf=False to skip that one extra action —
     the labels are already materialized in the persist cache by the
     fixpoint-test action.
+
+    ``loop_partitions``: partition count for the propagation rounds'
+    exchanges; None derives it from the edge count (~250k id rows per
+    partition, floored at 8 — the measured local sweet spot — and
+    capped at defaultParallelism), so a billion-edge cluster graph
+    gets thousands of partitions instead of a hardcoded constant.
+
+    CONCURRENCY NOTE: the AQE toggle and shuffle-partition pin are
+    SESSION-GLOBAL confs (Spark has no per-query scope for them);
+    both are restored in a ``finally``, but a query planned
+    CONCURRENTLY on the same SparkSession during the loop inherits
+    the degraded settings. The engine's own call sites are serialized
+    (foreachBatch batches; single-query batch ops); callers embedding
+    this in a multi-threaded session should serialize around it or
+    use a dedicated session.
     """
     if materialized:
         # a leaf plan has no children; anything else re-runs upstream
         # work per round (the 2x-cost pathology the persist+count guard
-        # below exists to prevent)
-        analyzed = edges._jdf.queryExecution().analyzed()  # noqa: SLF001
-        assert analyzed.children().isEmpty(), (
-            "cc_edge_list(materialized=True) requires a materialized plan "
-            "LEAF (localCheckpoint()/cache the edge list first); got: "
-            + analyzed.nodeName()
-        )
+        # below exists to prevent). Explicit raise, not assert (advice
+        # r06: asserts vanish under python -O); plan introspection goes
+        # through Py4J internals that Spark Connect does not expose —
+        # skip the fence gracefully there rather than crash.
+        try:
+            analyzed = edges._jdf.queryExecution().analyzed()  # noqa: SLF001
+            is_leaf = analyzed.children().isEmpty()
+            node_name = analyzed.nodeName()
+        except Exception:  # pragma: no cover - Connect/remote sessions
+            is_leaf, node_name = True, "<unavailable>"
+        if not is_leaf:
+            raise ValueError(
+                "cc_edge_list(materialized=True) requires a materialized "
+                "plan LEAF (localCheckpoint()/cache the edge list first); "
+                "got: " + node_name
+            )
     # materialize the edge list ONCE before anything fans out over it:
     # the upstream pipeline is typically the expensive part (LSH +
     # verification), and both the symmetrizing union and every
@@ -154,7 +178,11 @@ def cc_edge_list(
     # The cached payload is ids-only, tiny at any corpus size.
     if not materialized:
         edges = edges.persist()
-        edges.count()
+        n_edges = edges.count()
+    else:
+        # a count on a materialized leaf is one cheap metadata-ish job;
+        # it sizes the loop's exchanges below
+        n_edges = edges.count() if loop_partitions is None else 0
     # AQE off for the propagation rounds: adaptive execution
     # materializes EVERY exchange of every round as its own stage-job
     # to re-plan on runtime stats — on an iterative id-only graph the
@@ -167,14 +195,20 @@ def cc_edge_list(
     aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     # the round frames are ids-only (8-16 bytes/row): with AQE's
-    # coalescing off, pin the loop's exchanges to a few partitions so
-    # each of the ~4 shuffle stages per round launches 8 tasks instead
-    # of spark.sql.shuffle.partitions — per-task launch overhead is the
-    # entire cost at this row width. At cluster scale against a
-    # billion-edge graph, size this to cores as usual; the label frame
-    # is still only ~16 B x nodes.
+    # coalescing off, pin the loop's exchanges to few partitions so
+    # each of the ~4 shuffle stages per round launches that many tasks
+    # instead of spark.sql.shuffle.partitions — per-task launch
+    # overhead is the entire cost at this row width. Derived from the
+    # edge count (~250k rows/partition), floored at 8 (the measured
+    # local sweet spot), capped at defaultParallelism — a billion-edge
+    # cluster graph gets thousands of partitions, not a literal 8.
+    if loop_partitions is None:
+        loop_partitions = max(
+            8,
+            min(spark.sparkContext.defaultParallelism, n_edges // 250_000),
+        )
     sp_was = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
     sym = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")).unionByName(
         edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
     )

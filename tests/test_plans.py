@@ -586,23 +586,96 @@ def test_dedup_tier_joins_stay_equi(spark, name):
 
 
 def test_verified_near_edge_pipeline_stays_equi(spark):
-    """minhash_cluster / dedup_pipeline now checkpoint the verified
-    edge list into a leaf (their end-query explain no longer shows the
-    candidate-generation joins), so the no-cartesian / broadcast-
-    candidate properties are asserted on the edge PIPELINE plan
-    itself."""
-    from eurovision_spark.operators.dedup import docs_with_copies, near_edges_plan
+    """minhash_cluster / dedup_pipeline checkpoint the verified edge
+    list into a leaf, and (round 7) the candidate pair list itself
+    materializes inside adaptive_verify_join — so the properties are
+    asserted in two pieces: the CANDIDATE plan (banded bucket
+    equi-join, no cartesian) and the VERIFY plan (broadcast of the
+    small materialized pair leaf in the default density regime)."""
+    from eurovision_spark.operators.dedup import (
+        _lsh_candidate_pairs,
+        docs_with_copies,
+        minhash_from_hashes,
+        near_edges_plan,
+    )
+    from pyspark.sql import functions as F
+
+    from eurovision_spark.operators.dedup import copies_shingle_sets  # noqa: I001
+
+    sets0 = copies_shingle_sets(spark, SF_DIR)
+    sig = sets0.select("doc_id", minhash_from_hashes(F.col("hs")).alias("minhashes"))
+    cand_plan = _fmt(_lsh_candidate_pairs(sig))
+    sets0.unpersist()
+    assert "CartesianProduct" not in cand_plan
+    assert "BroadcastNestedLoopJoin" not in cand_plan
+    assert cand_plan.count("Exchange") >= 1  # the one banded bucket shuffle
 
     edges, sets = near_edges_plan(docs_with_copies(spark, SF_DIR))
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        edges.explain("formatted")
-    plan = buf.getvalue()
+    plan = _fmt(edges)
     sets.unpersist()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "BroadcastHashJoin" in plan  # candidate set broadcasts
-    assert plan.count("Exchange") >= 1  # the one banded bucket shuffle
+    assert "BroadcastHashJoin" in plan  # candidate set broadcasts (sparse regime)
+
+
+def test_lsh_verify_flips_to_shuffled_hash_when_dense(spark, monkeypatch):
+    """r06 watch item closed: the LSH-tier verify joins broadcast the
+    candidate pair list only while it is broadcast-safe. A planted
+    high-duplication corpus slice (30 classes x 10 identical copies —
+    every class goes all-pairs in every band) pushes the materialized
+    candidate count past a lowered bound, and the verify plan must
+    flip to ShuffledHashJoin with NO broadcast — while producing
+    row-identical results to the broadcast plan. The registered ops
+    are additionally re-run against their DuckDB oracles at sf0.001
+    with the bound forced to 0 (every candidate set 'too dense'):
+    the hash gate must still match."""
+    import duckdb
+
+    import eurovision_spark.operators.dedup as dd
+    from eurovision_spark.catalog import resolve_oracle
+    from tools.verify_local import TABLES, table_hash
+
+    rows = []
+    for cls in range(30):
+        text = " ".join(f"w{cls}q{i}" for i in range(12))
+        for copy in range(10):
+            rows.append((cls * 100 + copy, text))
+    for i in range(50):  # distinct filler docs
+        rows.append((10_000 + i, " ".join(f"f{i}x{j}" for j in range(12))))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def edge_rows(limit):
+        monkeypatch.setattr(dd, "PAIR_BROADCAST_LIMIT", limit)
+        edges, sets = dd.near_edges_plan(docs, threshold=None, with_jaccard=True)
+        plan = _fmt(edges)
+        got = sorted(map(tuple, edges.collect()))
+        sets.unpersist()
+        return plan, got
+
+    dense_plan, dense_rows = edge_rows(50)  # 30 x C(10,2) = 1350 candidates > 50
+    assert "ShuffledHashJoin" in dense_plan
+    assert "BroadcastHashJoin" not in dense_plan
+    sparse_plan, sparse_rows = edge_rows(10_000_000)
+    assert "BroadcastHashJoin" in sparse_plan
+    assert len(dense_rows) >= 30 * 45  # every identical-copy pair surfaced
+    assert dense_rows == sparse_rows
+
+    # full oracle-hash gate for both registered LSH ops in dense mode
+    monkeypatch.setattr(dd, "PAIR_BROADCAST_LIMIT", 0)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    for name in ("minhash_lsh_jaccard", "simhash_pairs"):
+        spec = registry()[name]
+        sdf = spec.fn(spark, SF_DIR)
+        res = con.execute(resolve_oracle(spec, SF_DIR))
+        ocols = [d[0] for d in res.description]
+        assert table_hash(sdf.columns, [tuple(r) for r in sdf.collect()]) == table_hash(
+            ocols, res.fetchall()
+        ), name
+    con.close()
 
 
 def test_bucketed_signature_store_probe_is_exchange_free(spark, tmp_path):
@@ -700,20 +773,38 @@ def test_span_dedup_exchanges_are_hash_or_id_keyed(spark):
     """Block text lives in-row: the survivor aggregate and removal
     probe shuffle (doc_id, bi, 60-bit block hash) rows keyed on the
     hash, removal lists and the single rewrite join key on doc_id — no
-    cross product, no other shuffle keys."""
+    cross product, no other shuffle keys. The removal list now
+    checkpoints into a leaf (releasing the occurrence cache — r06
+    advice), so the survivor properties are asserted on the DECISION
+    plan and the rewrite properties on the end-query plan."""
     import re
 
-    plan = plan_of(spark, "span_dedup")
-    assert "CartesianProduct" not in plan
-    for m in re.finditer(r"Exchange hashpartitioning\(([^,)]+)", plan):
+    from eurovision_spark.operators.dedup import (
+        block_removals,
+        block_rows,
+        block_survivors,
+        docs_with_copies,
+    )
+
+    br = block_rows(docs_with_copies(spark, SF_DIR))
+    decision = _fmt(block_removals(br, block_survivors(br)))
+    assert "CartesianProduct" not in decision
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,)]+)", decision):
         key = m.group(1).split("#")[0].strip()
         assert key in ("bh", "doc_id"), f"unexpected shuffle key {key!r}"
     # the survivor choice must be a partial+final min aggregate (map-
     # side combine collapses a hot boilerplate hash BEFORE the
     # exchange), never a row_number window (which would sort every
     # occurrence of one hash on a single task)
-    assert "partial_min" in plan
+    assert "partial_min" in decision
+    assert "windowspecdefinition" not in decision
+
+    plan = plan_of(spark, "span_dedup")
+    assert "CartesianProduct" not in plan
     assert "windowspecdefinition" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,)]+)", plan):
+        key = m.group(1).split("#")[0].strip()
+        assert key in ("bh", "doc_id"), f"unexpected shuffle key {key!r}"
 
 
 def test_corpus_diff_join_moves_digests_not_text(spark):
