@@ -145,7 +145,12 @@ def delete_keys(spark, path: str, key: str, victims: DataFrame) -> None:
     if not os.path.exists(path):
         return
     existing = spark.read.parquet(path)
-    kept = existing.join(victims.select(key), key, "left_anti")
+    # a USING-column join (anti included) moves the join key to the
+    # front of the output — re-select the original order so repeated
+    # deletes on different keys never reorder the store's columns
+    kept = existing.join(victims.select(key), key, "left_anti").select(
+        *existing.columns
+    )
     kept.write.mode("overwrite").parquet(path + "_next")
     spark.read.parquet(path + "_next").write.mode("overwrite").parquet(path)
 

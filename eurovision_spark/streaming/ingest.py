@@ -24,7 +24,7 @@ Both run to completion on local parquet/text dirs via
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -558,7 +558,12 @@ def stream_incremental_dedup(
       arriving doc, including in-batch exact-collapsed members;
     - ``clusters/``  (doc_id, cluster_id) — the minhash_cluster twin: a
       row per doc that participates in any dup relation, labeled with
-      the min member id of its (transitive) cluster.
+      the min member id of its (transitive) cluster;
+    - ``edges/``     (src < dst) — the VERIFIED dup edges behind those
+      clusters (id pairs only, ~16 bytes/row): the recrawl refresh
+      (:func:`refresh_corpus`) re-derives touched components from them,
+      so retiring a bridge doc splits its cluster instead of silently
+      over-merging.
 
     Per micro-batch (foreachBatch, batch semantics inside):
 
@@ -649,6 +654,7 @@ def intake_batch(spark: SparkSession, store_dir: str, batch_df: DataFrame) -> No
     sigindex_dir = os.path.join(store_dir, "sigindex")
     decisions_dir = os.path.join(store_dir, "decisions")
     clusters_dir = os.path.join(store_dir, "clusters")
+    edges_dir = os.path.join(store_dir, "edges")
 
     def _read_or_empty(path: str, ddl: str) -> DataFrame:
         return _read_store_or_empty(spark, path, ddl)
@@ -723,6 +729,22 @@ def intake_batch(spark: SparkSession, store_dir: str, batch_df: DataFrame) -> No
     )
     if dup_pairs.isEmpty():
         return
+    dup_pairs = dup_pairs.localCheckpoint()  # edge store + CC both read it
+    # persist the VERIFIED edge list (normalized id pairs — tiny rows):
+    # the recrawl refresh re-derives components of touched clusters from
+    # these instead of guessing, so retiring a bridge doc SPLITS its
+    # cluster exactly as a from-scratch intake would (the r06
+    # conservative no-split limit is gone). keep="existing" makes
+    # replays idempotent.
+    upsert_parquet(
+        dup_pairs.select(
+            F.least("inc_id", "ex_id").alias("src"),
+            F.greatest("inc_id", "ex_id").alias("dst"),
+        ).distinct(),
+        edges_dir,
+        ["src", "dst"],
+        keep="existing",
+    )
     cl = _read_or_empty(clusters_dir, "doc_id bigint, cluster_id bigint")
     # current label of each matched landed doc (itself if unlabeled)
     old = dup_pairs.join(
@@ -786,11 +808,14 @@ def refresh_corpus(
        still in v2, but their duplicate target is gone, so they must
        re-probe: a dup member whose landed representative disappeared
        gets re-landed — the promotion case);
-    3. cluster store: drop retired members, relabel touched clusters to
-       their new min member id, drop clusters reduced to one member.
-       (Conservative: a cluster bridged ONLY by a retired doc is not
-       split — edge history isn't stored; the batch sweep
-       minhash_cluster is the exact re-derivation.)
+    3. cluster store: prune the verified-edge store of edges incident
+       to retired docs, carry untouched clusters over unchanged, and
+       RE-DERIVE the touched clusters' components from the surviving
+       edges (id-only CC over the touched subgraph) — so a cluster
+       bridged only by a retired doc SPLITS, members left without any
+       dup relation drop out, and labels stay min-member-id. This is
+       the exact re-derivation, not the r06 conservative
+       relabel-without-split.
     4. one :func:`intake_batch` over v2 ⋉ (added ∪ changed ∪ orphans).
 
     Store-state equality with a from-scratch intake of v2 (pinned in
@@ -814,6 +839,7 @@ def refresh_corpus(
     sigindex_dir = os.path.join(store_dir, "sigindex")
     decisions_dir = os.path.join(store_dir, "decisions")
     clusters_dir = os.path.join(store_dir, "clusters")
+    edges_dir = os.path.join(store_dir, "edges")
 
     v2 = v2.select("doc_id", "text")
     delta = digest_delta(
@@ -842,24 +868,54 @@ def refresh_corpus(
     for path in (landed_dir, index_dir, sigindex_dir):
         delete_keys(spark, path, "doc_id", retired)
     delete_keys(spark, decisions_dir, "doc_id", undecided)
-    # cluster retirement: drop retired members, relabel to the new min
-    # member, drop singletons (a cluster is a >=2-member dup relation)
+    # cluster retirement with SPLIT TRACKING (r06 item #5): prune the
+    # verified-edge store of edges incident to a retired doc, then
+    # re-derive components for TOUCHED clusters only from the surviving
+    # edges — a cluster bridged solely by a retired doc therefore
+    # SPLITS, exactly as a from-scratch intake of v2 would derive.
+    # Untouched clusters (the overwhelming bulk at a 1% recrawl) are
+    # carried over byte-identical; the CC runs on id-only edge rows of
+    # the touched subgraph, so refresh cost keeps tracking the delta.
+    delete_keys(spark, edges_dir, "src", retired.withColumnRenamed("doc_id", "src"))
+    delete_keys(spark, edges_dir, "dst", retired.withColumnRenamed("doc_id", "dst"))
     cl = _read_store_or_empty(
         spark, clusters_dir, "doc_id bigint, cluster_id bigint"
     )
     if os.path.exists(clusters_dir):
-        kept = cl.join(retired, "doc_id", "left_anti")
-        relabeled = (
-            kept.withColumn(
-                "cluster_id",
-                F.min("doc_id").over(W.partitionBy("cluster_id")),
-            )
-            .withColumn("_n", F.count("*").over(W.partitionBy("cluster_id")))
-            .filter(F.col("_n") >= 2)
-            .drop("_n")
+        from eurovision_spark.operators.imp_dedup import cc_edge_list
+
+        touched = (
+            cl.join(retired, "doc_id", "left_semi").select("cluster_id").distinct()
+        )
+        # re-select after the USING anti join (it fronts the join key)
+        untouched = cl.join(touched, "cluster_id", "left_anti").select(
+            "doc_id", "cluster_id"
+        )
+        # surviving edges whose endpoints sit in a touched cluster (an
+        # edge's two endpoints always share a cluster, so the src-side
+        # membership test suffices)
+        touched_members = cl.join(touched, "cluster_id", "left_semi").select(
+            "doc_id"
+        )
+        sub = (
+            _read_store_or_empty(spark, edges_dir, "src bigint, dst bigint")
+            .join(touched_members.withColumnRenamed("doc_id", "src"), "src", "left_semi")
             .localCheckpoint()
         )
-        relabeled.write.mode("overwrite").parquet(clusters_dir + "_next")
+        if sub.isEmpty():
+            rebuilt = untouched.localCheckpoint()
+        else:
+            labels = cc_edge_list(sub, "src", "dst", materialized=True)
+            # components from edges always have >= 2 members; members
+            # left with no surviving dup relation drop out — the
+            # singleton rule a from-scratch derivation applies
+            rebuilt = untouched.unionByName(
+                labels.select(
+                    F.col("node").alias("doc_id"),
+                    F.col("comp").alias("cluster_id"),
+                )
+            ).localCheckpoint()
+        rebuilt.write.mode("overwrite").parquet(clusters_dir + "_next")
         spark.read.parquet(clusters_dir + "_next").write.mode("overwrite").parquet(
             clusters_dir
         )

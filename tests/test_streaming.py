@@ -1050,7 +1050,7 @@ def test_refresh_corpus_matches_from_scratch_intake(spark, tmp_path):
 
     def store_state(d):
         out = {}
-        for name in ("landed", "index", "sigindex", "decisions", "clusters"):
+        for name in ("landed", "index", "sigindex", "decisions", "clusters", "edges"):
             p = os.path.join(d, name)
             if not os.path.exists(p):
                 out[name] = None
@@ -1105,3 +1105,66 @@ def test_refresh_corpus_matches_from_scratch_intake(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(refreshed, "clusters")).collect()
     }
     assert (9, 3) in clusters and (3, 3) in clusters
+
+
+def test_refresh_corpus_splits_cluster_when_bridge_retired(spark, tmp_path):
+    """r06 item #5: the clusters store persists its verified edges, so
+    a recrawl that retires the BRIDGE doc of a chain cluster must SPLIT
+    the cluster (here: dissolve it — both ends lose their only dup
+    relation), leaving store state equal to a from-scratch intake of v2
+    — the old relabel-without-split would have kept {A, C} merged.
+    Retiring a LEAF member instead must keep the surviving pair intact.
+
+    Fixture: B is a near-dup of BOTH A and C (Jaccard 35/40 = 0.875
+    each) while A-vs-C sits below the gate (30/40 = 0.75): A and C land
+    together in batch 1 (in-batch near pass elided by design), B
+    arrives in batch 2 and bridges them into one cluster."""
+    import os
+    import shutil
+
+    from eurovision_spark.streaming.ingest import (
+        intake_batch,
+        refresh_corpus,
+        snapshot_digests,
+    )
+
+    toks = [f"tok{i:02d}" for i in range(42)]
+    A = (101, " ".join(toks[:37]))       # first 37 tokens -> shingles 1..35
+    B = (102, " ".join(toks))            # all 42 tokens   -> shingles 1..40
+    C = (103, " ".join(toks[5:]))        # last 37 tokens  -> shingles 6..40
+
+    def mkdf(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def snap(d, name):
+        p = os.path.join(d, name)
+        if not os.path.exists(p):
+            return []
+        return sorted(map(tuple, spark.read.parquet(p).collect()))
+
+    base = str(tmp_path / "base")
+    intake_batch(spark, base, mkdf([A, C]))
+    intake_batch(spark, base, mkdf([B]))
+    # the bridge cluster formed, with its edges persisted
+    assert snap(base, "clusters") == [(101, 101), (102, 101), (103, 101)]
+    assert snap(base, "edges") == [(101, 102), (102, 103)]
+
+    # branch 1: retire the bridge -> cluster dissolves entirely
+    bridge = str(tmp_path / "bridge")
+    shutil.copytree(base, bridge)
+    v1 = [A, B, C]
+    v2 = [A, C]
+    refresh_corpus(spark, bridge, snapshot_digests(mkdf(v1)), mkdf(v2))
+    assert snap(bridge, "clusters") == []
+    assert snap(bridge, "edges") == []
+    scratch = str(tmp_path / "scratch")
+    intake_batch(spark, scratch, mkdf(v2))
+    for name in ("landed", "decisions", "clusters", "edges"):
+        assert snap(bridge, name) == snap(scratch, name), name
+
+    # branch 2: retire a leaf (C) -> the A-B pair survives as a cluster
+    leaf = str(tmp_path / "leaf")
+    shutil.copytree(base, leaf)
+    refresh_corpus(spark, leaf, snapshot_digests(mkdf(v1)), mkdf([A, B]))
+    assert snap(leaf, "clusters") == [(101, 101), (102, 101)]
+    assert snap(leaf, "edges") == [(101, 102)]
