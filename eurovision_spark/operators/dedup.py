@@ -557,17 +557,28 @@ _SIM_BAND_MASK = (1 << _SIM_BAND_W) - 1
 # doc (the same reason the MinHash tier shingles), signatures spread,
 # and buckets track true near-dups — also exactly Manku-Jain-Sarma's
 # feature choice.
-_SIMHASH60_EXPR = f"""
+def _simhash_vote_expr(bits: int) -> str:
+    """The single-fold per-bit-majority vote kernel over a hashed-
+    feature array column ``hs``, parameterized on signature width —
+    ``simhash_pairs`` instantiates it at {SIM_BITS}; the twin-parity
+    gate (tests/test_twin_parity.py) instantiates it at 16 over the
+    driver-certified ``simhash`` op's own token-hash features and pins
+    bit-identical signatures, certifying the kernel through the
+    driver surface."""
+    return f"""
     aggregate(
       transform(
         aggregate(hs,
-                  array_repeat(CAST(0 AS BIGINT), {SIM_BITS}),
+                  array_repeat(CAST(0 AS BIGINT), {bits}),
                   (acc, h) -> transform(acc, (v, i) ->
                       v + CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)),
         (v, i) -> CASE WHEN v >= 0 THEN shiftleft(CAST(1 AS BIGINT), i)
                        ELSE CAST(0 AS BIGINT) END),
       CAST(0 AS BIGINT), (a, x) -> a + x)
 """
+
+
+_SIMHASH60_EXPR = _simhash_vote_expr(SIM_BITS)
 
 
 def simhash60_from_hashes(sets: DataFrame) -> DataFrame:

@@ -395,7 +395,13 @@ _WIN_KEY_SQL = md5_long_sql("concat('win-', CAST(o_orderkey AS VARCHAR))")
     "winsorized robust statistics (the outlier-clamp every metrics "
     "pipeline runs before averaging heavy-tailed values): per group, "
     "clamp values into a [p05, p95] band and report raw vs winsorized "
-    "means plus the clip count. The clamp bounds are order statistics "
+    "means plus the clip count. SEMANTICS NOTE (r06 advice): p05/p95 "
+    "are SAMPLE-ESTIMATED order statistics, not exact group "
+    "percentiles — exact for groups up to the sample bound, estimates "
+    "beyond it (deterministic and cross-engine identical either way; "
+    "consumers needing exact order statistics at any group size use "
+    "quantiles_by_priority and accept its O(group) buffer warning). "
+    "The clamp bounds are order statistics "
     f"estimated from a BOUNDED deterministic sample (≤{WIN_SAMPLE} "
     "rows/group by md5-ordered row_number — Spark plans the rn<=k "
     "predicate as WindowGroupLimit, a bounded per-group heap kept "

@@ -162,3 +162,34 @@ def test_minhash_lsh_jaccard_pairs_match_minhash_lsh_pairs(spark):
 
     planted = [v for (a, b), v in twin.items() if b == a + NEAR_COPY_OFFSET]
     assert planted and min(planted) > 0.5
+
+
+def test_simhash_pairs_vote_kernel_certifies_against_simhash(spark):
+    """simhash_pairs is registry-gated (the 50-entry driver cap, with
+    `simhash` round-1-pinned on the surface), so its certification is
+    made STRUCTURAL here (r06 item #6): its feature frame IS
+    copies_shingle_sets — the frame behind the driver-certified
+    minhash_lsh_jaccard — and its band-bucket join is pairs_in_buckets,
+    the machinery behind the driver-certified minhash candidates. The
+    remaining private piece is the 60-bit single-fold vote kernel; this
+    test instantiates the SAME kernel at width 16 over the
+    driver-certified `simhash` op's own token-hash features and pins
+    bit-identical signatures, so the kernel is certified through the
+    driver surface."""
+    from eurovision_spark.operators.dedup import _simhash_vote_expr
+    from eurovision_spark.operators.textstats import md5_long, tokens
+    from eurovision_spark.sources import load_table
+
+    d = load_table(spark, SF_DIR, "documents").filter(F.col("n_chars") > 0)
+    hashed = d.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(tokens(F.lower(F.col("text")))), lambda t: md5_long(t)
+        ).alias("hs"),
+    )
+    fold16 = hashed.select(
+        "doc_id", F.expr(_simhash_vote_expr(16)).alias("sig")
+    ).alias("k")
+    base = _df(spark, "simhash").alias("s")
+    joined = fold16.join(base, F.col("k.doc_id") == F.col("s.doc_id"), "full_outer")
+    _assert_no_diff(joined, [("k.sig", "s.simhash16")], ["k.doc_id"])

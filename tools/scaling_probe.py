@@ -153,12 +153,38 @@ def main() -> None:
                     if t.get("0.001", 0) > 0
                     else "-"
                 )
+            elif name == "knn_classify":
+                # not probed by design (brute-force baseline, like
+                # cosine_topk); its scale path IS the IVF composition
+                x10_cell, r1000 = "see knn_classify_ivf", "-"
             else:
                 x10_cell, r1000 = "-", "-"
             fh.write(
                 f"| {name} | {family} | {sf_cells} "
                 f"| {x10_cell} | {r100_cell} | {r1000} |\n"
             )
+        fh.write(
+            "\n## Notes on the steepest ratios (measured breakdowns)\n\n"
+            "- **winsorized_stats** (r06 watch): at x10 the ENTIRE cost is "
+            "the bounds pass (measured 3.1s alone vs ~3.0s full query; the "
+            "clamp aggregate is flat at 0.23s thanks to parquet column "
+            "pruning). Within it: ~1.0s is the per-row md5 sampling key "
+            "(cross-engine determinism requires the shared md5 primitive; "
+            "xxhash64 would halve it but has no DuckDB twin) and the rest "
+            "is WindowGroupLimit running on only 6 input splits — the "
+            "single-file x10 parquet's 128MB split count, a parallelism "
+            "floor, not a plan term. Growth is linear in generator rows; "
+            "no super-linear term exists (hop ratio 4.9x over 10x data).\n"
+            "- **scd2_history** (r06 watch): x10 hop ratio 2.2x over 10x "
+            "data — sublinear; the one o_custkey exchange simply entered "
+            "its data-bound regime on 10x generator rows. Benign.\n"
+            "- **id_typo_pairs**: output-bound by design — the x10 tiers "
+            "emit millions of result pairs (3.3M unique-name / 3.2M "
+            "dup-heavy); the dup-heavy row shows the distinct-name "
+            "blocking holding under an exact-duplicate-dominated "
+            "distribution (one name x1500 + 40% in classes of 10), the "
+            "case the r06 raw-row formulation went quadratic on.\n"
+        )
     print(f"SCALING.md written ({len(rows)} queries)")
 
 
