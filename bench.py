@@ -93,6 +93,9 @@ HEADLINE = [
     "knn_classify_ivf",
     "simhash_pairs",
     "stratified_sample",
+    # round 7: conditional-LM quality scoring (join-based model
+    # application — the non-broadcast formulation)
+    "bigram_logprob",
 ]
 
 
@@ -177,14 +180,26 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["_parse_registry"] = f"{type(exc).__name__}: {exc}"[:500]
 
-    # Two lines, DETAIL first, COMPACT last: the driver records only the
-    # LAST 2000 characters of stdout, and the single-line form kept
-    # truncating the warm-query map (three rounds of judges had to re-run
-    # the bench to read the steady-state numbers). The final line is a
-    # complete, self-sufficient JSON document — warm totals + the full
-    # warm map + parse throughput — sized to survive the tail window;
-    # cold numbers, parse details, and error text live in the detail
-    # line above it.
+    for line in format_output(warm, cold, errors, n_lines, parse_sec, sf):
+        print(line)
+
+
+def format_output(
+    warm: dict[str, float],
+    cold: dict[str, float],
+    errors: dict[str, str],
+    n_lines: int,
+    parse_sec: float | None,
+    sf: float,
+) -> list[str]:
+    """Two lines, DETAIL first, COMPACT last: the driver records only
+    the LAST 2000 characters of stdout, and the single-line form kept
+    truncating the warm-query map (three rounds of judges had to re-run
+    the bench to read the steady-state numbers). The final line is a
+    complete, self-sufficient JSON document — warm totals + the full
+    warm map + parse throughput — sized to survive the tail window
+    (pinned in tests/test_driver_contract.py); cold numbers, parse
+    details, and error text live in the detail line above it."""
     detail = {
         "metric": "headline_queries_total_detail",
         "cold_queries": cold,
@@ -195,7 +210,6 @@ def main() -> None:
     }
     if errors:
         detail["errors"] = errors
-    print(json.dumps(detail))
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(warm.values()), 3),
@@ -211,7 +225,7 @@ def main() -> None:
     if len(compact) > 1900:  # never let the contract line outgrow the tail
         out["queries"] = {k: round(v, 1) for k, v in warm.items()}
         compact = json.dumps(out)
-    print(compact)
+    return [json.dumps(detail), compact]
 
 
 if __name__ == "__main__":

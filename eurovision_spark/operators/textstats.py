@@ -846,6 +846,85 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIGRAM_ALPHA = 0.5  # add-alpha smoothing for the conditional
+
+
+@register(
+    "bigram_logprob",
+    f"""
+    WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+               FROM documents WHERE n_chars > 0 AND len(string_split_regex(trim(lower(text)), '\\s+')) >= 2),
+    bg AS (
+        SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+        FROM (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(toks) - 1),
+                                           i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS b
+              FROM d)),
+    f2 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2 FROM bg GROUP BY w1, w2),
+    cx AS (SELECT w1, CAST(sum(c2) AS DOUBLE) AS c1 FROM f2 GROUP BY w1),
+    v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+          FROM (SELECT unnest(toks) AS tok FROM d))
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((f2.c2 + {BIGRAM_ALPHA}) / (cx.c1 + {BIGRAM_ALPHA} * v.v))), 4)
+               AS avg_logprob
+    FROM bg JOIN f2 USING (w1, w2) JOIN cx USING (w1) CROSS JOIN v
+    GROUP BY bg.doc_id
+    """,
+    "bigram language-model scoring — the conditional step above "
+    "unigram_logprob and the shape of the CCNet/KenLM perplexity "
+    "filter: per-doc mean ln P(w_i | w_i-1) under the corpus's own "
+    f"add-{BIGRAM_ALPHA}-smoothed bigram model (left-context counts "
+    "derived from the bigram table itself, vocabulary-size smoothing "
+    "denominator — the formula one would apply unchanged to held-out "
+    "text). THE SCALE DIFFERENCE from the unigram twin: a bigram "
+    "model table grows with the corpus and is NOT broadcastable, so "
+    "the model folds its context counts in at vocabulary scale and "
+    "the corpus-sized bigram stream makes ONE stats-driven equi-join "
+    "against it (Catalyst broadcasts while it fits, AQE degrades to "
+    "a shuffled join when it doesn't — nothing in the plan assumes "
+    "broadcastability); bigrams derive in-row from one tokenize pass, "
+    "and the per-doc mean partial-aggregates so the final exchange "
+    "moves one row per document. Docs need >= 2 tokens to score; "
+    "low scorers are gibberish, boilerplate, or vocabulary outliers.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    toked = d.select("doc_id", tokens(F.lower(F.col("text"))).alias("_toks")).filter(
+        F.size("_toks") >= 2
+    )
+    n = F.size(F.col("_toks"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(
+            F.get(F.col("_toks"), i - 1).alias("w1"),
+            F.get(F.col("_toks"), i).alias("w2"),
+        ),
+    )
+    bg = toked.select("doc_id", F.explode(pairs).alias("b")).select(
+        "doc_id", "b.w1", "b.w2"
+    )
+    f2 = bg.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c2"))
+    # left-context totals fold out of the bigram table (vocabulary
+    # scale), never a second corpus pass
+    cx = f2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    model = f2.join(cx, "w1")
+    vrow = toked.select(F.explode("_toks").alias("tok")).agg(
+        F.countDistinct("tok").cast("double").alias("v")
+    )
+    lp = F.log((F.col("c2") + BIGRAM_ALPHA) / (F.col("c1") + BIGRAM_ALPHA * F.col("v")))
+    return (
+        bg.join(model, ["w1", "w2"])
+        .crossJoin(F.broadcast(vrow))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(lp), 4).alias("avg_logprob"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE subword tokenization: train merges on a bounded sample, apply at scale
 # ---------------------------------------------------------------------------

@@ -91,3 +91,28 @@ def test_every_driver_query_runs_under_bare_session():
     assert line is not None, proc.stdout[-3000:]
     failures = json.loads(line[len("RESULT:"):])
     assert failures == {}, json.dumps(failures, indent=2)
+
+
+def test_bench_compact_line_survives_driver_tail():
+    """r06 item #2: the driver keeps only the LAST 2000 chars of
+    bench.py's stdout and tries to parse them — three rounds of BENCH
+    artifacts lost the warm map to truncation. The LAST emitted line
+    must therefore be a complete contract document (metric/value/unit/
+    queries/sf) carrying the FULL warm map for every headline query,
+    inside the tail window — simulated here with worst-case widths."""
+    import bench
+
+    warm = {name: 99.999 for name in bench.HEADLINE}  # widest floats
+    cold = {name: 123.456 for name in bench.HEADLINE}
+    errors = {"some_query": "E" * 400}
+    lines = bench.format_output(warm, cold, errors, 868008, 13.58, 0.1)
+    last = lines[-1]
+    assert len(last) <= 2000 - len("\n"), len(last)
+    doc = json.loads(last)
+    assert doc["metric"] == "headline_queries_total"
+    assert {"value", "unit", "queries", "sf"} <= set(doc)
+    assert set(doc["queries"]) == set(bench.HEADLINE)
+    # and the tail of the WHOLE output still parses: the last line is
+    # what survives, and it is valid JSON on its own
+    tail = "\n".join(lines)[-2000:]
+    assert json.loads(tail.splitlines()[-1]) == doc

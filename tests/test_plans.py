@@ -838,3 +838,27 @@ def test_stratified_sample_is_group_limited(spark):
     map-side), same machinery as winsorized_stats' bounds pass."""
     plan = plan_of(spark, "stratified_sample")
     assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_bigram_logprob_model_join_is_stats_driven_and_bounded(spark):
+    """The bigram model table is NOT assumed broadcastable (it grows
+    with the corpus): the plan may broadcast it at this sf because the
+    STATS say so, but every hash exchange must be keyed on bounded
+    shapes only — the model keys (w1[, w2]) or doc_id (one row per doc
+    after the in-partition partial mean). No cartesian products; the
+    single-row vocabulary frame rides a broadcast."""
+    plan = plan_of(spark, "bigram_logprob")
+    assert "CartesianProduct" not in plan
+    keys = [
+        line for line in plan.splitlines() if "Arguments: hashpartitioning" in line
+    ]
+    assert any("doc_id" in line for line in keys), keys
+    # bounded keys only: model keys (w1[, w2]), the vocabulary
+    # countDistinct's partially-deduped token key, and doc_id — the raw
+    # per-position bigram stream never shuffles unaggregated except
+    # through the model equi-join itself
+    assert all(
+        ("doc_id" in line) or ("w1" in line) or ("tok" in line) for line in keys
+    ), keys
+    # partial+final pairs for the model counts and the per-doc mean
+    assert plan.count("HashAggregate") >= 4
