@@ -503,7 +503,12 @@ PAIR_BROADCAST_LIMIT = 2_000_000
 
 
 def adaptive_verify_join(
-    s1: DataFrame, pairs: DataFrame, s2: DataFrame, limit: int | None = None
+    s1: DataFrame,
+    pairs: DataFrame,
+    s2: DataFrame,
+    limit: int | None = None,
+    k1: str = "doc_id_1",
+    k2: str = "doc_id_2",
 ) -> DataFrame:
     """Join the per-doc verify sides onto a candidate pair list with a
     DENSITY-ADAPTIVE strategy: the pair list is materialized once
@@ -512,19 +517,18 @@ def adaptive_verify_join(
     candidate set broadcasts so the corpus never reshuffles for
     verification, above it BOTH joins run shuffled-hash with the
     per-doc side as build (bounded rows per partition; candidate rows
-    stream as probes). ``s1`` must carry ``doc_id_1``, ``s2``
-    ``doc_id_2``, ``pairs`` both. The sparse branch is the common case
-    at any realistic dup density over distinct candidates; the dense
-    branch is the 40-60%-dup crawl case where the broadcast would die
-    at corpus scale."""
+    stream as probes). ``s1`` must carry ``k1`` (default doc_id_1),
+    ``s2`` ``k2``, ``pairs`` both — the incremental probe passes its
+    inc_id/ex_id keys. The sparse branch is the common case at any
+    realistic dup density over distinct candidates; the dense branch
+    is the 40-60%-dup crawl case where the broadcast would die at
+    corpus scale."""
     pairs = pairs.localCheckpoint()
     bound = PAIR_BROADCAST_LIMIT if limit is None else limit
     if pairs.count() <= bound:
-        return s1.join(F.broadcast(pairs), "doc_id_1").join(
-            s2.hint("shuffle_hash"), "doc_id_2"
-        )
-    return pairs.join(s1.hint("shuffle_hash"), "doc_id_1").join(
-        s2.hint("shuffle_hash"), "doc_id_2"
+        return s1.join(F.broadcast(pairs), k1).join(s2.hint("shuffle_hash"), k2)
+    return pairs.join(s1.hint("shuffle_hash"), k1).join(
+        s2.hint("shuffle_hash"), k2
     )
 
 
@@ -1200,9 +1204,12 @@ def incremental_probe(
     isect = F.size(F.array_intersect("sh_inc_id", "sh_ex_id"))
     union_size = F.size("sh_inc_id") + F.size("sh_ex_id") - isect
     jac = isect.cast("double") / union_size
+    # density-adaptive like the batch LSH tier: a live micro-batch's
+    # candidate set is tiny (broadcast branch), but refresh_corpus
+    # routes whole recrawl DELTAS through this probe — a heavy recrawl
+    # of a high-dup corpus can push candidates past broadcast safety
     near_pairs = (
-        si.join(F.broadcast(cand), "inc_id")
-        .join(se.hint("shuffle_hash"), "ex_id")
+        adaptive_verify_join(si, cand, se, k1="inc_id", k2="ex_id")
         .filter((union_size > 0) & (jac >= CLUSTER_JACCARD_T))
         .select("inc_id", "ex_id")
     )
