@@ -94,8 +94,10 @@ HEADLINE = [
     "simhash_pairs",
     "stratified_sample",
     # round 7: conditional-LM quality scoring (join-based model
-    # application — the non-broadcast formulation)
+    # application — the non-broadcast formulation) + median/MAD
+    # robust outlier gate on the shared bounded-sample machinery
     "bigram_logprob",
+    "mad_outliers",
 ]
 
 

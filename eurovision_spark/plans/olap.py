@@ -363,6 +363,22 @@ WIN_SAMPLE = 1000
 _WIN_KEY_SQL = md5_long_sql("concat('win-', CAST(o_orderkey AS VARCHAR))")
 
 
+def win_sample(o: DataFrame) -> DataFrame:
+    """The shared bounded deterministic estimation sample of the
+    robust-stats tier (winsorized_stats, mad_outliers): md5-ordered
+    row_number <= WIN_SAMPLE per o_orderpriority group. The rn <= k
+    predicate plans as Partial+Final WindowGroupLimit (per-group
+    bounded heap on the map side, pinned in tests/test_plans.py), so
+    no executor ever buffers a whole group."""
+    key = md5_long(F.concat(F.lit("win-"), F.col("o_orderkey").cast("string")))
+    sw = W.partitionBy("o_orderpriority").orderBy(key.asc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rn", F.row_number().over(sw))
+        .filter(F.col("rn") <= WIN_SAMPLE)
+        .select("o_orderpriority", "o_totalprice")
+    )
+
+
 @register(
     "winsorized_stats",
     f"""
@@ -423,16 +439,7 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    # bounded deterministic bound-estimation sample: md5-ordered
-    # row_number <= k plans as WindowGroupLimit (per-group bounded heap
-    # on the map side), so no executor ever buffers a whole group
-    key = md5_long(F.concat(F.lit("win-"), F.col("o_orderkey").cast("string")))
-    sw = W.partitionBy("o_orderpriority").orderBy(key.asc(), F.col("o_orderkey").asc())
-    samp = (
-        o.withColumn("rn", F.row_number().over(sw))
-        .filter(F.col("rn") <= WIN_SAMPLE)
-        .select("o_orderpriority", "o_totalprice")
-    )
+    samp = win_sample(o)
     bounds = samp.groupBy("o_orderpriority").agg(
         F.expr("percentile(o_totalprice, 0.05)").alias("p05"),
         F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
@@ -461,4 +468,93 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_winsor",
         "n_clipped",
         "n_orders",
+    )
+
+
+MAD_K = 3.0  # flag threshold in robust sigmas
+MAD_SCALE = 1.4826  # MAD -> sigma consistency constant (normal data)
+
+
+@register(
+    "mad_outliers",
+    f"""
+    WITH s AS (
+        SELECT o_orderpriority, o_totalprice FROM (
+            SELECT o_orderpriority, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY {_WIN_KEY_SQL}, o_orderkey) AS rn
+            FROM orders)
+        WHERE rn <= {WIN_SAMPLE}),
+    med AS (
+        SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+        FROM s GROUP BY o_orderpriority),
+    mad AS (
+        SELECT s.o_orderpriority,
+               quantile_cont(abs(s.o_totalprice - med.med), 0.5) AS mad
+        FROM s JOIN med USING (o_orderpriority)
+        GROUP BY s.o_orderpriority),
+    st AS (SELECT med.o_orderpriority, med.med, mad.mad
+           FROM med JOIN mad USING (o_orderpriority))
+    SELECT o.o_orderpriority,
+           round(st.med, 4) AS med,
+           round(st.mad, 4) AS mad,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN abs(o.o_totalprice - st.med)
+                              > {MAD_K} * {MAD_SCALE} * st.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM orders o JOIN st USING (o_orderpriority)
+    GROUP BY o.o_orderpriority, st.med, st.mad
+    """,
+    "median/MAD robust outlier detection (the data-quality gate run "
+    "on metric columns before training-data aggregation — unlike "
+    "mean/stddev z-scores, the estimators themselves cannot be pulled "
+    "by the outliers they hunt): per group, median and median-absolute-"
+    f"deviation estimated from the SAME bounded md5-ordered <={WIN_SAMPLE}"
+    "-row/group sample as winsorized_stats (WindowGroupLimit — bounded "
+    f"per-group heap map-side), rows beyond {MAD_K} robust sigmas "
+    f"(|x - med| > {MAD_K} x {MAD_SCALE} x MAD) counted per group. "
+    "SEMANTICS NOTE: med/MAD are sample estimates beyond the bound, "
+    "exact below it (deterministic and cross-engine identical either "
+    "way). The two sample passes run on the materialized bounded "
+    "sample; the 5-row stats table broadcasts back for one corpus "
+    "scan with a partial+final count aggregate.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    # the bounded sample is read twice (median, then deviations):
+    # materialize it once instead of re-running the window pass
+    samp = win_sample(o).localCheckpoint()
+    med = samp.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    stats = (
+        samp.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority", "med")
+        .agg(
+            F.expr("percentile(abs(o_totalprice - med), 0.5)").alias("mad")
+        )
+    )
+    dev = F.abs(F.col("o_totalprice") - F.col("med"))
+    return (
+        o.join(F.broadcast(stats), "o_orderpriority")
+        .groupBy("o_orderpriority", "med", "mad")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(
+                F.when(dev > MAD_K * MAD_SCALE * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "o_orderpriority",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            "n_orders",
+            "n_outliers",
+        )
     )

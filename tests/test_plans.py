@@ -862,3 +862,21 @@ def test_bigram_logprob_model_join_is_stats_driven_and_bounded(spark):
     ), keys
     # partial+final pairs for the model counts and the per-doc mean
     assert plan.count("HashAggregate") >= 4
+
+
+def test_mad_outliers_sample_is_group_limited_and_stats_broadcast(spark):
+    """Same structural claims as winsorized_stats: the sample pass
+    plans as Partial+Final WindowGroupLimit (bounded per-group heap
+    before the exchange), and the corpus scan joins the 5-row stats
+    table via broadcast — the fact table never shuffles for it."""
+    from eurovision_spark.plans.olap import win_sample
+    from eurovision_spark.sources import load_table
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    sample_plan = _fmt(win_sample(o))  # checkpointed inside the op
+    assert sample_plan.count("WindowGroupLimit") >= 2
+    plan = plan_of(spark, "mad_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

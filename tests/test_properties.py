@@ -284,3 +284,43 @@ def test_retention_matches_model_and_is_shift_equivariant(spark, ud, shift):
     # shifting every timestamp by whole days shifts cohorts, not offsets
     shifted = run([(u, d + shift) for u, d in ud])
     assert shifted == {(cd + shift, off): n for (cd, off), n in got.items()}
+
+
+NAMES = st.lists(
+    st.text(alphabet="ab", min_size=0, max_size=4), min_size=1, max_size=8
+)
+
+
+@PROP_SETTINGS
+@given(names=NAMES)
+def test_typo_blocking_is_lossless_vs_brute_force(spark, names):
+    """The id_typo_pairs LOSSLESS claim, property-tested on the worst
+    possible distribution for it: short strings over a 2-letter
+    alphabet, where every edit kind collides constantly, duplicates
+    are frequent, and the empty string exercises the sequence guard.
+    The blocked+verified pair set must equal all-pairs brute force at
+    edit distance <= 1, including distance-0 duplicate pairs."""
+    from eurovision_spark.operators.entity import typo_pair_candidates
+
+    rows = [(i, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "c_custkey bigint, c_name string")
+    got = {
+        (r.custkey_a, r.custkey_b, r.name_a, r.name_b, r.edit_dist)
+        for r in typo_pair_candidates(df, max_dist=1).collect()
+    }
+
+    def lev(a, b):
+        m = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, m[0] = m[0], i
+            for j, cb in enumerate(b, 1):
+                prev, m[j] = m[j], min(m[j] + 1, m[j - 1] + 1, prev + (ca != cb))
+        return m[len(b)]
+
+    want = {
+        (i, j, names[i], names[j], lev(names[i], names[j]))
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if lev(names[i], names[j]) <= 1
+    }
+    assert got == want
