@@ -98,6 +98,7 @@ HEADLINE = [
     # robust outlier gate on the shared bounded-sample machinery
     "bigram_logprob",
     "mad_outliers",
+    "id_typo_classes",
 ]
 
 

