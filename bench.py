@@ -99,6 +99,7 @@ HEADLINE = [
     "bigram_logprob",
     "mad_outliers",
     "id_typo_classes",
+    "ks_drift",
 ]
 
 

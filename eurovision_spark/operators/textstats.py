@@ -1306,3 +1306,108 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     w, b = train_quality_model(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     return score_documents(d, w, b)
+
+
+KS_NBINS = 64
+KS_W = 32.0  # fixed-width n_chars bins (one-scan rule: price_histogram)
+
+
+@register(
+    "ks_drift",
+    f"""
+    WITH d AS (
+        SELECT source,
+               CAST(least(greatest(floor(n_chars / {KS_W}), 0), {KS_NBINS - 1})
+                    AS BIGINT) AS bin
+        FROM documents WHERE n_chars > 0),
+    counts AS (SELECT source, bin, CAST(count(*) AS DOUBLE) AS n
+               FROM d GROUP BY source, bin),
+    srcs AS (SELECT DISTINCT source FROM d),
+    grid AS (SELECT s.source, g.bin
+             FROM srcs s CROSS JOIN
+                  (SELECT unnest(generate_series(0, {KS_NBINS - 1})) AS bin) g),
+    j AS (SELECT grid.source, grid.bin, coalesce(counts.n, 0) AS n
+          FROM grid LEFT JOIN counts USING (source, bin)),
+    c AS (SELECT source, bin, n,
+                 sum(n) OVER (PARTITION BY source ORDER BY bin) AS cum,
+                 sum(n) OVER (PARTITION BY source) AS tot
+          FROM j),
+    a AS (SELECT *, sum(cum) OVER (PARTITION BY bin) AS cum_all,
+                 sum(n) OVER () AS tot_all
+          FROM c)
+    SELECT source, CAST(tot AS BIGINT) AS n_docs,
+           round(max(abs(cum / tot - (cum_all - cum) / (tot_all - tot))), 6)
+               AS ks_vs_rest
+    FROM a GROUP BY source, tot
+    """,
+    "distribution-drift monitor (two-sample Kolmogorov-Smirnov on a "
+    f"fixed {KS_NBINS}-bin grid): per source, the KS statistic of its "
+    "document-length distribution against the REST of the corpus — "
+    "the per-ingest drift check a production pipeline runs before a "
+    "new crawl slice is allowed into the mixture. Grid-KS evaluates "
+    "both CDFs at the fixed bin edges (a lower bound of the exact D "
+    "that converges as bins refine), which is what makes it scale: "
+    "the ONLY corpus-sized work is one scan + one partial/final "
+    "(source, bin) count — at most sources x "
+    f"{KS_NBINS} rows shuffle per map task — and every cumulative/"
+    "comparison step after it runs on that bounded grid. An exact KS "
+    "would need a global value sort; the grid form is the standard "
+    "streaming/OLAP substitute (same trade as the t-digest "
+    "percentile twin). Cross-engine exact: bin counts are integral "
+    "doubles (exact sums), cumulative windows are ordered, and the "
+    "final statistic rounds at 6dp on both engines. Needs >= 2 "
+    "sources (the rest-side denominator).",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return ks_drift_frame(d)
+
+
+def ks_drift_frame(d: DataFrame) -> DataFrame:
+    """(source, n_docs, ks_vs_rest) grid-KS drift report over a
+    (source, n_chars) frame — split from the registered query so the
+    planted-drift invariant test can feed synthetic distributions."""
+    spark = d.sparkSession
+    bin_ = (
+        F.least(
+            F.greatest(F.floor(F.col("n_chars") / KS_W), F.lit(0)),
+            F.lit(KS_NBINS - 1),
+        )
+    ).cast("bigint")
+    counts = (
+        d.select("source", bin_.alias("bin"))
+        .groupBy("source", "bin")
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    srcs = counts.select("source").distinct()
+    bins = spark.range(KS_NBINS).select(F.col("id").cast("bigint").alias("bin"))
+    # sources x 64 literal grid — a bounded cross of two tiny frames,
+    # so CDFs are evaluated at every edge even where a source is absent
+    grid = srcs.crossJoin(F.broadcast(bins))
+    j = grid.join(counts, ["source", "bin"], "left").select(
+        "source", "bin", F.coalesce("n", F.lit(0.0)).alias("n")
+    )
+    c = j.select(
+        "source",
+        "bin",
+        "n",
+        F.sum("n").over(W.partitionBy("source").orderBy("bin")).alias("cum"),
+        F.sum("n").over(W.partitionBy("source")).alias("tot"),
+    )
+    # tot_all sums the per-(source, bin) counts once each — NOT the
+    # per-source totals, which repeat on every bin row of the grid
+    a = c.select(
+        "*",
+        F.sum("cum").over(W.partitionBy("bin")).alias("cum_all"),
+        F.sum("n").over(W.partitionBy()).alias("tot_all"),
+    )
+    diff = F.abs(
+        F.col("cum") / F.col("tot")
+        - (F.col("cum_all") - F.col("cum")) / (F.col("tot_all") - F.col("tot"))
+    )
+    return a.groupBy("source", "tot").agg(
+        F.round(F.max(diff), 6).alias("ks_vs_rest")
+    ).select(
+        "source", F.col("tot").cast("bigint").alias("n_docs"), "ks_vs_rest"
+    )

@@ -249,3 +249,30 @@ def test_typo_classes_pair_counts_reconcile_with_id_pairs(spark):
         r["id_typo_classes"].fn(spark, sf).agg(F.sum("n_id_pairs")).first()[0]
     )
     assert total == n_pairs
+
+
+def test_ks_drift_bounds_and_planted_shift(spark):
+    """Grid-KS invariants beyond the hash gate: the statistic lives in
+    [0, 1]; a source whose length distribution is identical to the
+    rest scores ~0; a source shifted entirely out of the others'
+    support scores ~1; and n_docs accounts for every document."""
+    from eurovision_spark.operators.textstats import ks_drift_frame
+
+    rows = registry()["ks_drift"].fn(spark, SF).collect()
+    assert rows and all(0.0 <= r.ks_vs_rest <= 1.0 for r in rows)
+    docs = (
+        load_events(spark, SF).sparkSession.read.parquet(f"{SF}/documents.parquet")
+        .filter("n_chars > 0")
+    )
+    assert sum(r.n_docs for r in rows) == docs.count()
+
+    # planted: a and b share one distribution, c sits far above it
+    data = (
+        [("a", 100 + (i % 7)) for i in range(200)]
+        + [("b", 100 + (i % 7)) for i in range(200)]
+        + [("c", 1500 + (i % 5)) for i in range(100)]
+    )
+    d = spark.createDataFrame(data, "source string, n_chars int")
+    got = {r.source: r.ks_vs_rest for r in ks_drift_frame(d).collect()}
+    assert got["c"] == 1.0  # disjoint support -> maximal drift
+    assert got["a"] < 0.35 and got["b"] < 0.35  # near-identical to rest
