@@ -24,7 +24,7 @@ Both run to completion on local parquet/text dirs via
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -1180,6 +1180,138 @@ def stream_span_dedup(
         cleaned = apply_block_removals(blk, removed).localCheckpoint()
         upsert_parquet(cleaned, landed_dir, ["doc_id"], keep="existing")
         upsert_parquet(new_owners, blockindex_dir, ["bh"], keep="existing")
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+DRIFT_KS_ALERT = 0.3  # grid-KS above this flags the arriving slice
+
+
+def stream_drift_gate(
+    spark: SparkSession,
+    docs_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming twin of ``ks_drift`` at the intake edge — the
+    production drift GATE: every arriving micro-batch's document-length
+    distribution is compared (grid two-sample KS, the operators/
+    textstats.ks_drift formulation) against the LANDED baseline before
+    the batch folds into it, and one ledger row per batch records the
+    statistic and the alert decision. This is the check that stops a
+    bad crawl slice (truncated pages, boilerplate floods, wrong
+    parser) from silently polluting a 100 TB mixture.
+
+    Stores (keyed parquet):
+
+    - ``hist_batches/`` (batch_key, bin, n) — each batch's fixed-grid
+      length histogram, keyed by a DETERMINISTIC batch digest
+      (row count + bit_xor of the doc-id hashes: order-independent,
+      replay-stable);
+    - ``drift_ledger/`` (batch_key, n_docs, ks_vs_baseline, alert) —
+      one decision row per distinct batch.
+
+    Per batch: histogram the batch (the ONLY batch-sized work — one
+    partial/final (bin) count, <= 64 rows out), compute KS against the
+    baseline = sum of all OTHER batches' stored histograms (bounded:
+    batches x 64 rows), append the ledger row, fold the histogram in.
+    Baseline exclusion is BY KEY, so an at-least-once replay recomputes
+    the identical statistic and both first-wins upserts no-op — the
+    ledger never duplicates and the baseline never double-counts. The
+    first batch has no baseline: ks is null, alert 0 (nothing to drift
+    from). At corpus scale the histogram store stays tiny (64 rows per
+    ingested batch) and the KS arithmetic never touches document
+    rows."""
+    import os
+
+    from eurovision_spark.operators.textstats import KS_NBINS, KS_W
+    from eurovision_spark.sinks import upsert_parquet
+
+    hist_dir = os.path.join(store_dir, "hist_batches")
+    ledger_dir = os.path.join(store_dir, "drift_ledger")
+
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(docs_dir)
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", "n_chars")
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        bin_ = (
+            F.least(
+                F.greatest(F.floor(F.col("n_chars") / KS_W), F.lit(0)),
+                F.lit(KS_NBINS - 1),
+            )
+        ).cast("bigint")
+        keyed = batch_df.select("doc_id", bin_.alias("bin"))
+        ident = keyed.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(" + "hash(doc_id)" + ")").alias("x"),
+        ).first()
+        if not ident or not ident.n:
+            return
+        batch_key = f"{ident.n}-{ident.x & 0xFFFFFFFFFFFFFFF:x}"
+        counts = (
+            keyed.groupBy("bin")
+            .agg(F.count("*").cast("double").alias("n"))
+            .localCheckpoint()
+        )
+        # baseline = every OTHER batch's stored histogram (by key, so a
+        # replayed batch excludes itself and recomputes identically)
+        base = _read_store_or_empty(
+            spark, hist_dir, "batch_key string, bin bigint, n double"
+        ).filter(F.col("batch_key") != batch_key)
+        base_counts = base.groupBy("bin").agg(F.sum("n").alias("n"))
+        if base_counts.isEmpty():
+            ks_val, alert = None, 0
+        else:
+            bins = spark.range(KS_NBINS).select(
+                F.col("id").cast("bigint").alias("bin")
+            )
+            wcum = W.orderBy("bin")  # 64 rows — a global window is fine
+            g = (
+                bins.join(
+                    counts.select("bin", F.col("n").alias("nb")), "bin", "left"
+                )
+                .join(base_counts.select("bin", F.col("n").alias("na")), "bin", "left")
+                .select(
+                    "bin",
+                    F.coalesce("nb", F.lit(0.0)).alias("nb"),
+                    F.coalesce("na", F.lit(0.0)).alias("na"),
+                )
+                .select(
+                    F.sum("nb").over(wcum).alias("cb"),
+                    F.sum("na").over(wcum).alias("ca"),
+                    F.sum("nb").over(W.partitionBy()).alias("tb"),
+                    F.sum("na").over(W.partitionBy()).alias("ta"),
+                )
+            )
+            ks_val = (
+                g.agg(
+                    F.round(
+                        F.max(F.abs(F.col("cb") / F.col("tb") - F.col("ca") / F.col("ta"))),
+                        6,
+                    )
+                ).first()[0]
+            )
+            alert = int(ks_val is not None and ks_val > DRIFT_KS_ALERT)
+        ledger_row = spark.createDataFrame(
+            [(batch_key, int(ident.n), ks_val, alert)],
+            "batch_key string, n_docs bigint, ks_vs_baseline double, alert int",
+        )
+        upsert_parquet(ledger_row, ledger_dir, ["batch_key"], keep="existing")
+        upsert_parquet(
+            counts.select(F.lit(batch_key).alias("batch_key"), "bin", "n"),
+            hist_dir,
+            ["batch_key", "bin"],
+            keep="existing",
+        )
 
     return (
         stream.writeStream.foreachBatch(_process)

@@ -1168,3 +1168,80 @@ def test_refresh_corpus_splits_cluster_when_bridge_retired(spark, tmp_path):
     refresh_corpus(spark, leaf, snapshot_digests(mkdf(v1)), mkdf([A, B]))
     assert snap(leaf, "clusters") == [(101, 101), (102, 101)]
     assert snap(leaf, "edges") == [(101, 102)]
+
+
+def test_stream_drift_gate_alerts_and_is_replay_stable(spark, tmp_path):
+    """The intake drift gate: same-distribution batches pass (low KS,
+    no alert), a shifted batch alarms (disjoint support -> KS 1.0),
+    the ledger statistic equals the BATCH ks_drift formulation on the
+    same split (twin parity), and an at-least-once replay changes
+    neither the ledger nor the baseline histogram."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from eurovision_spark.operators.textstats import ks_drift_frame
+    from eurovision_spark.streaming.ingest import stream_drift_gate
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    store = tmp_path / "store"
+
+    def wave(name, rows):
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, n_chars int"
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = next((tmp_path / name).glob("part-*.parquet"))
+        shutil.copy(part, docs_dir / f"{name}.parquet")
+
+    w1 = [(i, "x", 100 + (i % 7)) for i in range(300)]
+    w2 = [(1000 + i, "x", 100 + (i % 7)) for i in range(300)]
+    w3 = [(2000 + i, "x", 1500 + (i % 5)) for i in range(150)]
+
+    wave("w1", w1)
+    q = stream_drift_gate(spark, str(docs_dir), str(store), str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+        wave("w2", w2)
+        q.processAllAvailable()
+        wave("w3", w3)
+        q.processAllAvailable()
+        ledger_before = sorted(
+            map(tuple, spark.read.parquet(str(store / "drift_ledger")).collect())
+        )
+        hist_before = sorted(
+            map(tuple, spark.read.parquet(str(store / "hist_batches")).collect())
+        )
+        shutil.copy(docs_dir / "w3.parquet", docs_dir / "w3_replay.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = sorted(
+        spark.read.parquet(str(store / "drift_ledger")).collect(),
+        key=lambda r: (r.ks_vs_baseline is not None, r.ks_vs_baseline or -1),
+    )
+    first, second, third = rows
+    assert first.ks_vs_baseline is None and first.alert == 0  # no baseline yet
+    assert second.ks_vs_baseline < 0.3 and second.alert == 0  # same distribution
+    assert third.ks_vs_baseline == 1.0 and third.alert == 1  # disjoint support
+
+    # replay mutated nothing
+    assert ledger_before == sorted(
+        map(tuple, spark.read.parquet(str(store / "drift_ledger")).collect())
+    )
+    assert hist_before == sorted(
+        map(tuple, spark.read.parquet(str(store / "hist_batches")).collect())
+    )
+
+    # batch-twin parity: with exactly two labeled slices, ks_drift's
+    # source-vs-rest IS the two-sample statistic the gate computed
+    union = spark.createDataFrame(
+        [("base", n) for _, _, n in w1 + w2] + [("w3", n) for _, _, n in w3],
+        "source string, n_chars int",
+    )
+    batch_ks = {
+        r.source: r.ks_vs_rest for r in ks_drift_frame(union).collect()
+    }
+    assert batch_ks["w3"] == third.ks_vs_baseline
