@@ -1375,10 +1375,14 @@ def ks_drift_frame(d: DataFrame) -> DataFrame:
             F.lit(KS_NBINS - 1),
         )
     ).cast("bigint")
+    # the bounded (source, bin) aggregate is the ONLY corpus-sized
+    # work; it feeds both the source list and the grid join, so it is
+    # materialized once — without this the corpus scans twice
     counts = (
         d.select("source", bin_.alias("bin"))
         .groupBy("source", "bin")
         .agg(F.count("*").cast("double").alias("n"))
+        .localCheckpoint()
     )
     srcs = counts.select("source").distinct()
     bins = spark.range(KS_NBINS).select(F.col("id").cast("bigint").alias("bin"))
