@@ -1191,6 +1191,23 @@ def stream_span_dedup(
 DRIFT_KS_ALERT = 0.3  # grid-KS above this flags the arriving slice
 
 
+def drift_batch_key(batch_df: DataFrame) -> tuple[int, str]:
+    """Deterministic, order-independent batch digest: row count plus
+    bit_xor of xxhash64(doc_id) — a genuine 64-bit content key (r07
+    advice: Spark's hash() is 32-bit Murmur3, so xor'ing it left the
+    old key with ~32 bits of entropy and a plausible birthday collision
+    around tens of thousands of similar-count batches, which would have
+    silently dropped the later batch's ledger row). Returns (0, "")
+    for an empty batch."""
+    ident = batch_df.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(doc_id))").alias("x"),
+    ).first()
+    if not ident or not ident.n:
+        return 0, ""
+    return int(ident.n), f"{ident.n}-{ident.x & 0xFFFFFFFFFFFFFFFF:016x}"
+
+
 def stream_drift_gate(
     spark: SparkSession,
     docs_dir: str,
@@ -1210,8 +1227,8 @@ def stream_drift_gate(
 
     - ``hist_batches/`` (batch_key, bin, n) — each batch's fixed-grid
       length histogram, keyed by a DETERMINISTIC batch digest
-      (row count + bit_xor of the doc-id hashes: order-independent,
-      replay-stable);
+      (``drift_batch_key``: row count + bit_xor of xxhash64(doc_id),
+      a full 64-bit order-independent, replay-stable content key);
     - ``drift_ledger/`` (batch_key, n_docs, ks_vs_baseline, alert) —
       one decision row per distinct batch.
 
@@ -1250,13 +1267,9 @@ def stream_drift_gate(
             )
         ).cast("bigint")
         keyed = batch_df.select("doc_id", bin_.alias("bin"))
-        ident = keyed.agg(
-            F.count("*").alias("n"),
-            F.expr("bit_xor(" + "hash(doc_id)" + ")").alias("x"),
-        ).first()
-        if not ident or not ident.n:
+        n_docs, batch_key = drift_batch_key(keyed)
+        if not n_docs:
             return
-        batch_key = f"{ident.n}-{ident.x & 0xFFFFFFFFFFFFFFF:x}"
         counts = (
             keyed.groupBy("bin")
             .agg(F.count("*").cast("double").alias("n"))
@@ -1302,7 +1315,7 @@ def stream_drift_gate(
             )
             alert = int(ks_val is not None and ks_val > DRIFT_KS_ALERT)
         ledger_row = spark.createDataFrame(
-            [(batch_key, int(ident.n), ks_val, alert)],
+            [(batch_key, n_docs, ks_val, alert)],
             "batch_key string, n_docs bigint, ks_vs_baseline double, alert int",
         )
         upsert_parquet(ledger_row, ledger_dir, ["batch_key"], keep="existing")

@@ -1245,3 +1245,40 @@ def test_stream_drift_gate_alerts_and_is_replay_stable(spark, tmp_path):
         r.source: r.ks_vs_rest for r in ks_drift_frame(union).collect()
     }
     assert batch_ks["w3"] == third.ks_vs_baseline
+
+
+def test_drift_batch_key_is_64_bit_and_survives_32_bit_collisions(spark):
+    """r07 hardening: the gate's batch digest must have genuine 64-bit
+    entropy. Forced 32-bit collision pair: among doc_ids 0..4095,
+    Spark's 32-bit Murmur3 hash() gives hash(601)^hash(1845) ==
+    hash(2982)^hash(3865) (found by an exhaustive pairwise-xor sweep of
+    that pool — deterministic, hash() is seeded at 42; re-run the sweep
+    if this ever drifts). Under the old count+bit_xor(hash) digest the
+    two DISTINCT same-count batches {601,1845} and {2982,3865} keyed
+    identically, so the second batch's ledger row and baseline
+    histogram were silently dropped (keep=existing no-ops). The
+    xxhash64-based drift_batch_key must tell them apart."""
+    from pyspark.sql import functions as F
+
+    from eurovision_spark.streaming.ingest import drift_batch_key
+
+    b1, b2 = [601, 1845], [2982, 3865]
+
+    def h32_xor(ids):
+        df = spark.createDataFrame([(int(i),) for i in ids], "doc_id bigint")
+        return df.agg(F.expr("bit_xor(hash(doc_id))")).first()[0]
+
+    # the premise: this IS a 32-bit digest collision (same count too)
+    assert h32_xor(b1) == h32_xor(b2)
+
+    def mk(ids):
+        return spark.createDataFrame([(int(i),) for i in ids], "doc_id bigint")
+
+    n1, k1 = drift_batch_key(mk(b1))
+    n2, k2 = drift_batch_key(mk(b2))
+    assert n1 == n2 == 2
+    assert k1 != k2  # 64-bit content digest separates the collision pair
+    # replay-stable: same rows, any order/partitioning -> same key
+    assert drift_batch_key(mk(list(reversed(b1))).repartition(4))[1] == k1
+    # empty batch degrades explicitly
+    assert drift_batch_key(mk([]).filter(F.lit(False)))[0] == 0
