@@ -1327,14 +1327,20 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KS_NBINS = 64
 KS_W = 32.0  # fixed-width n_chars bins (one-scan rule: price_histogram)
+KS_TOK_W = 2.0  # fixed-width token-count bins over the same 64-bin grid
 
 
-@register(
-    "ks_drift",
-    f"""
+def _ks_drift_sql(value_expr: str, width: float) -> str:
+    """DuckDB oracle template for the grid-KS drift monitor — the
+    binned VALUE expression is the only thing that varies between the
+    registered drift queries, so both stay aligned with
+    :func:`ks_drift_frame` by construction. Single-source guard: when
+    ``tot_all = tot`` there is no rest-side to drift from, so the
+    statistic is NULL (alert semantics), never a division by zero."""
+    return f"""
     WITH d AS (
         SELECT source,
-               CAST(least(greatest(floor(n_chars / {KS_W}), 0), {KS_NBINS - 1})
+               CAST(least(greatest(floor(({value_expr}) / {width}), 0), {KS_NBINS - 1})
                     AS BIGINT) AS bin
         FROM documents WHERE n_chars > 0),
     counts AS (SELECT source, bin, CAST(count(*) AS DOUBLE) AS n
@@ -1353,10 +1359,16 @@ KS_W = 32.0  # fixed-width n_chars bins (one-scan rule: price_histogram)
                  sum(n) OVER () AS tot_all
           FROM c)
     SELECT source, CAST(tot AS BIGINT) AS n_docs,
-           round(max(abs(cum / tot - (cum_all - cum) / (tot_all - tot))), 6)
-               AS ks_vs_rest
+           round(max(CASE WHEN tot_all = tot THEN NULL
+                          ELSE abs(cum / tot - (cum_all - cum) / (tot_all - tot))
+                     END), 6) AS ks_vs_rest
     FROM a GROUP BY source, tot
-    """,
+    """
+
+
+@register(
+    "ks_drift",
+    _ks_drift_sql("n_chars", KS_W),
     "distribution-drift monitor (two-sample Kolmogorov-Smirnov on a "
     f"fixed {KS_NBINS}-bin grid): per source, the KS statistic of its "
     "document-length distribution against the REST of the corpus — "
@@ -1372,8 +1384,12 @@ KS_W = 32.0  # fixed-width n_chars bins (one-scan rule: price_histogram)
     "streaming/OLAP substitute (same trade as the t-digest "
     "percentile twin). Cross-engine exact: bin counts are integral "
     "doubles (exact sums), cumulative windows are ordered, and the "
-    "final statistic rounds at 6dp on both engines. Needs >= 2 "
-    "sources (the rest-side denominator).",
+    "final statistic rounds at 6dp on both engines. A single-source "
+    "corpus has no rest-side: the statistic degrades to NULL (alert "
+    "semantics — nothing to drift from), never a division by zero. "
+    "The grid machinery is COLUMN-GENERIC (ks_drift_frame bins any "
+    "numeric column); this registration watches document length, the "
+    "ks_drift_tokens twin watches token count.",
     driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
 )
 def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1381,14 +1397,39 @@ def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_drift_frame(d)
 
 
-def ks_drift_frame(d: DataFrame) -> DataFrame:
+@register(
+    "ks_drift_tokens",
+    _ks_drift_sql("len(string_split_regex(trim(lower(text)), '\\s+'))", KS_TOK_W),
+    "token-count drift: the same grid two-sample KS monitor bound to "
+    "a SECOND distribution — per-document whitespace token counts — "
+    "proving the drift machinery is column-generic (a production gate "
+    "watches several marginals: length, token count, quality logits, "
+    "language mix; a crawl slice can keep its length profile while "
+    "its tokenization shifts, e.g. boilerplate floods of long "
+    f"unbroken strings). Same scale shape: one corpus scan, one "
+    f"partial/final (source, bin) count onto the fixed {KS_NBINS}-bin "
+    "grid, bounded arithmetic after; same single-source NULL guard.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def ks_drift_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    toks = d.select(
+        "source", F.size(tokens(F.lower(F.col("text")))).alias("n_toks")
+    )
+    return ks_drift_frame(toks, value_col="n_toks", width=KS_TOK_W)
+
+
+def ks_drift_frame(
+    d: DataFrame, value_col: str = "n_chars", width: float = KS_W
+) -> DataFrame:
     """(source, n_docs, ks_vs_rest) grid-KS drift report over a
-    (source, n_chars) frame — split from the registered query so the
-    planted-drift invariant test can feed synthetic distributions."""
+    (source, <value_col>) frame — split from the registered queries so
+    the planted-drift invariant tests can feed synthetic distributions
+    and so any numeric column bins through the same machinery."""
     spark = d.sparkSession
     bin_ = (
         F.least(
-            F.greatest(F.floor(F.col("n_chars") / KS_W), F.lit(0)),
+            F.greatest(F.floor(F.col(value_col) / F.lit(width)), F.lit(0)),
             F.lit(KS_NBINS - 1),
         )
     ).cast("bigint")
@@ -1423,9 +1464,14 @@ def ks_drift_frame(d: DataFrame) -> DataFrame:
         F.sum("cum").over(W.partitionBy("bin")).alias("cum_all"),
         F.sum("n").over(W.partitionBy()).alias("tot_all"),
     )
-    diff = F.abs(
-        F.col("cum") / F.col("tot")
-        - (F.col("cum_all") - F.col("cum")) / (F.col("tot_all") - F.col("tot"))
+    # single-source guard: no rest-side -> NULL statistic (max over
+    # all-null is null), never a zero denominator (ANSI-fatal on Spark)
+    diff = F.when(
+        F.col("tot_all") != F.col("tot"),
+        F.abs(
+            F.col("cum") / F.col("tot")
+            - (F.col("cum_all") - F.col("cum")) / (F.col("tot_all") - F.col("tot"))
+        ),
     )
     return a.groupBy("source", "tot").agg(
         F.round(F.max(diff), 6).alias("ks_vs_rest")

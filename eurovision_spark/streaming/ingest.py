@@ -24,7 +24,7 @@ Both run to completion on local parquet/text dirs via
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -1213,15 +1213,21 @@ def stream_drift_gate(
     docs_dir: str,
     store_dir: str,
     checkpoint_dir: str,
+    value: "str | Column" = "n_chars",
+    width: float | None = None,
 ) -> StreamingQuery:
     """Streaming twin of ``ks_drift`` at the intake edge — the
-    production drift GATE: every arriving micro-batch's document-length
-    distribution is compared (grid two-sample KS, the operators/
-    textstats.ks_drift formulation) against the LANDED baseline before
-    the batch folds into it, and one ledger row per batch records the
-    statistic and the alert decision. This is the check that stops a
-    bad crawl slice (truncated pages, boilerplate floods, wrong
-    parser) from silently polluting a 100 TB mixture.
+    production drift GATE: every arriving micro-batch's distribution of
+    ``value`` (a numeric column name or expression over the document
+    schema; document length by default, token count or a quality logit
+    just as well — the grid is column-generic like ks_drift_frame) is
+    compared (grid two-sample KS, the operators/textstats.ks_drift
+    formulation) against the LANDED baseline before the batch folds
+    into it, and one ledger row per batch records the statistic and
+    the alert decision. ``width`` is the fixed bin width (defaults to
+    the n_chars KS_W). This is the check that stops a bad crawl slice
+    (truncated pages, boilerplate floods, wrong parser) from silently
+    polluting a 100 TB mixture.
 
     Stores (keyed parquet):
 
@@ -1250,19 +1256,21 @@ def stream_drift_gate(
 
     hist_dir = os.path.join(store_dir, "hist_batches")
     ledger_dir = os.path.join(store_dir, "drift_ledger")
+    val = F.col(value) if isinstance(value, str) else value
+    w = float(width) if width is not None else KS_W
 
     schema = spark.read.parquet(docs_dir).schema
     stream = (
         spark.readStream.schema(schema)
         .parquet(docs_dir)
         .filter(F.col("n_chars") > 0)
-        .select("doc_id", "n_chars")
+        .select("doc_id", val.alias("_val"))
     )
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         bin_ = (
             F.least(
-                F.greatest(F.floor(F.col("n_chars") / KS_W), F.lit(0)),
+                F.greatest(F.floor(F.col("_val") / F.lit(w)), F.lit(0)),
                 F.lit(KS_NBINS - 1),
             )
         ).cast("bigint")

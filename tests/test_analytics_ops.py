@@ -276,3 +276,53 @@ def test_ks_drift_bounds_and_planted_shift(spark):
     got = {r.source: r.ks_vs_rest for r in ks_drift_frame(d).collect()}
     assert got["c"] == 1.0  # disjoint support -> maximal drift
     assert got["a"] < 0.35 and got["b"] < 0.35  # near-identical to rest
+
+
+def test_ks_drift_single_source_degrades_to_null(spark):
+    """r07 watch item: a one-source corpus has no rest-side — the
+    statistic must degrade to NULL (alert semantics: nothing to drift
+    from), not divide by zero. The row itself still appears with its
+    document count."""
+    from eurovision_spark.operators.textstats import ks_drift_frame
+
+    d = spark.createDataFrame(
+        [("only", 100 + (i % 7)) for i in range(50)], "source string, n_chars int"
+    )
+    rows = ks_drift_frame(d).collect()
+    assert len(rows) == 1
+    assert rows[0].source == "only" and rows[0].n_docs == 50
+    assert rows[0].ks_vs_rest is None
+
+
+def test_ks_drift_tokens_planted_shift(spark):
+    """The column-generic grid: token-count drift through the same
+    machinery. Sources a and b share a token-count distribution; c's
+    documents have far more tokens at a similar char length — invisible
+    to the n_chars gate, maximal on the token gate."""
+    from pyspark.sql import functions as F2
+
+    from eurovision_spark.operators.textstats import (
+        KS_TOK_W,
+        ks_drift_frame,
+        tokens,
+    )
+
+    def doc(n_toks, tok):
+        return " ".join([tok] * n_toks)
+
+    data = (
+        [("a", doc(10 + (i % 5), "abcde")) for i in range(200)]
+        + [("b", doc(10 + (i % 5), "abcde")) for i in range(200)]
+        # c: ~same n_chars as a/b docs but ~4x the tokens
+        + [("c", doc(48 + (i % 5), "x")) for i in range(100)]
+    )
+    d = spark.createDataFrame(data, "source string, text string")
+    toks = d.select(
+        "source", F2.size(tokens(F2.lower(F2.col("text")))).alias("n_toks")
+    )
+    got = {
+        r.source: r.ks_vs_rest
+        for r in ks_drift_frame(toks, value_col="n_toks", width=KS_TOK_W).collect()
+    }
+    assert got["c"] == 1.0  # disjoint token-count support
+    assert got["a"] < 0.35 and got["b"] < 0.35
