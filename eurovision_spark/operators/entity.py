@@ -147,7 +147,10 @@ _DEL_KEY_SQL = md5_long_sql(
     "Hash collisions add candidates, never results. Same candidates-"
     "then-verify shape as the MinHash LSH tier; every blocking shuffle "
     "moves (name-hash, 8-byte key) rows.",
-    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01/0.1 (verify)
+    # driver-facing since r08 (VERDICT r07 item #6): the entity-
+    # resolution tier's flagship, promoted into the 50-entry surface;
+    # window_filldown ceded its slot (its filldown shape is pinned by
+    # window_suite's rows and its own oracle stays registry-gated)
 )
 def id_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
