@@ -523,6 +523,47 @@ def test_cc_edge_list_empty_and_single_edge(spark):
     assert got == {7: 3, 3: 3}
 
 
+def test_cc_edge_list_reliable_checkpoint_path(spark, tmp_path):
+    """VERDICT r07 item #7: the 100 TB durable-checkpoint path is a
+    FLAG. With a checkpoint dir set, reliable=True must (a) produce
+    labels identical to the default local path, (b) actually write
+    checkpoint data under the dir, and (c) refuse loudly when no
+    checkpoint dir is configured."""
+    import pytest
+
+    from eurovision_spark.operators.imp_dedup import cc_edge_list
+
+    # chain long enough to cross the checkpoint_every=3 truncation at
+    # least once under pointer doubling, plus a clique
+    chain = [(i, i + 1) for i in range(60)]
+    clique = [(a, b) for a in range(1000, 1005) for b in range(a + 1, 1005)]
+    edges = spark.createDataFrame(chain + clique, "s bigint, d bigint")
+    expected = {r.node: r.comp for r in cc_edge_list(edges, "s", "d").collect()}
+
+    sc = spark.sparkContext
+    had = sc.getCheckpointDir()
+    assert had is None, "test assumes the shared session has no ckpt dir"
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        cc_edge_list(edges, "s", "d", reliable=True)
+
+    ck = tmp_path / "ck"
+    sc.setCheckpointDir(str(ck))
+    try:
+        got = {
+            r.node: r.comp
+            for r in cc_edge_list(edges, "s", "d", reliable=True).collect()
+        }
+    finally:
+        # the shared-session fixture must not leak a checkpoint dir
+        # (no public unset API: assign the Scala field back to None)
+        scala_none = getattr(getattr(sc._jvm, "scala.None$"), "MODULE$")
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(scala_none)  # noqa: SLF001
+    assert got == expected
+    assert sc.getCheckpointDir() is None
+    # durable artifacts actually landed under the dir
+    assert any(ck.rglob("*")), "checkpoint() wrote nothing under the dir"
+
+
 def test_connected_components_any_key_star_reduction(spark):
     """The shared-key CC variant is now a star-edge reduction onto
     cc_edge_list: components must match a brute-force Python union-find
