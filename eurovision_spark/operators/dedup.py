@@ -509,6 +509,7 @@ def adaptive_verify_join(
     limit: int | None = None,
     k1: str = "doc_id_1",
     k2: str = "doc_id_2",
+    known_sparse: bool = False,
 ) -> DataFrame:
     """Join the per-doc verify sides onto a candidate pair list with a
     DENSITY-ADAPTIVE strategy: the pair list is materialized once
@@ -522,7 +523,16 @@ def adaptive_verify_join(
     inc_id/ex_id keys. The sparse branch is the common case at any
     realistic dup density over distinct candidates; the dense branch
     is the 40-60%-dup crawl case where the broadcast would die at
-    corpus scale."""
+    corpus scale.
+
+    ``known_sparse``: hot per-micro-batch callers whose candidate set
+    is bounded BY CONSTRUCTION (a live intake batch probing the landed
+    index: candidates <= batch x bands, thousands at most) skip the
+    materialize+count — two extra Spark jobs per foreachBatch the old
+    always-broadcast path never paid (r07 advice) — and take the
+    broadcast branch directly."""
+    if known_sparse:
+        return s1.join(F.broadcast(pairs), k1).join(s2.hint("shuffle_hash"), k2)
     pairs = pairs.localCheckpoint()
     bound = PAIR_BROADCAST_LIMIT if limit is None else limit
     if pairs.count() <= bound:
@@ -1171,6 +1181,7 @@ def incremental_probe(
     inc_bands: DataFrame,
     ex_idx: DataFrame,
     ex_bands: DataFrame,
+    known_sparse: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Probe a landed index with an incoming batch: returns
     ``(exact, near_pairs)`` where ``exact`` is (doc_id, exact_id = min
@@ -1205,11 +1216,15 @@ def incremental_probe(
     union_size = F.size("sh_inc_id") + F.size("sh_ex_id") - isect
     jac = isect.cast("double") / union_size
     # density-adaptive like the batch LSH tier: a live micro-batch's
-    # candidate set is tiny (broadcast branch), but refresh_corpus
-    # routes whole recrawl DELTAS through this probe — a heavy recrawl
-    # of a high-dup corpus can push candidates past broadcast safety
+    # candidate set is tiny (broadcast branch — callers that bound the
+    # batch by construction pass known_sparse to skip the per-batch
+    # materialize+count), but refresh_corpus routes whole recrawl
+    # DELTAS through this probe — a heavy recrawl of a high-dup corpus
+    # can push candidates past broadcast safety
     near_pairs = (
-        adaptive_verify_join(si, cand, se, k1="inc_id", k2="ex_id")
+        adaptive_verify_join(
+            si, cand, se, k1="inc_id", k2="ex_id", known_sparse=known_sparse
+        )
         .filter((union_size > 0) & (jac >= CLUSTER_JACCARD_T))
         .select("inc_id", "ex_id")
     )

@@ -680,7 +680,14 @@ def intake_batch(spark: SparkSession, store_dir: str, batch_df: DataFrame) -> No
     )
     inc_idx = doc_index(batch).localCheckpoint()
     inc_bands = banded_signatures(_minhash_signatures(batch)).localCheckpoint()
-    exact, near_pairs = incremental_probe(inc_idx, inc_bands, ex_idx, ex_bands)
+    # known_sparse: a live micro-batch's candidate set is bounded by
+    # the batch itself (<= batch x bands rows), so the probe skips the
+    # adaptive join's materialize+count — two Spark jobs per batch the
+    # always-broadcast path never paid (r07 advice); the checkpoint
+    # below still truncates lineage before the stores mutate
+    exact, near_pairs = incremental_probe(
+        inc_idx, inc_bands, ex_idx, ex_bands, known_sparse=True
+    )
     near_pairs = near_pairs.localCheckpoint()
     exact = exact.localCheckpoint()
     decisions = assemble_decisions(batch, exact, near_pairs).unionByName(collapsed)
