@@ -100,6 +100,8 @@ HEADLINE = [
     "mad_outliers",
     "id_typo_classes",
     "ks_drift",
+    # round 8: the column-generic drift grid on a second distribution
+    "ks_drift_tokens",
 ]
 
 
@@ -225,10 +227,22 @@ def format_output(
         "n_errors": len(errors),
         "sf": sf,
     }
+    # never let the contract line outgrow the driver's 2000-char tail:
+    # shrink warm-map precision until it fits, and FAIL LOUDLY if even
+    # integer seconds overflow (r07 advice: the old one-shot fallback
+    # never re-checked, so further HEADLINE growth could silently
+    # truncate in the driver again)
     compact = json.dumps(out)
-    if len(compact) > 1900:  # never let the contract line outgrow the tail
-        out["queries"] = {k: round(v, 1) for k, v in warm.items()}
+    for decimals in (1, 0):
+        if len(compact) <= 1900:
+            break
+        out["queries"] = {k: round(v, decimals) for k, v in warm.items()}
         compact = json.dumps(out)
+    if len(compact) > 1900:
+        raise RuntimeError(
+            f"bench contract line is {len(compact)} chars (> 1900): the "
+            "HEADLINE list outgrew the driver tail — split or shorten it"
+        )
     return [json.dumps(detail), compact]
 
 
