@@ -501,6 +501,18 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the driver, so the verify joins flip to shuffled-hash past the bound.
 PAIR_BROADCAST_LIMIT = 2_000_000
 
+# Tighter bound for broadcasting candidates WITH their s1 verify
+# payload (the shingle-hash array rides along): the payload is
+# per-pair a whole set (~hundreds of bytes to tens of KB for huge
+# docs), so this tier is entered only when pairs x payload stays
+# trivially inside broadcast budgets (50k pairs x ~1 KB avg = ~50 MB
+# worst-typical). Below it the verify runs with ZERO exchanges: the
+# enriched candidate list broadcasts and the corpus side streams from
+# its cache/scan — the corpus genuinely never reshuffles for
+# verification (above it, the bare id-pair broadcast keeps the s1 side
+# exchange-free and only the s2 equi-join shuffles).
+PAIR_PAYLOAD_BROADCAST_LIMIT = 50_000
+
 
 def adaptive_verify_join(
     s1: DataFrame,
@@ -530,16 +542,49 @@ def adaptive_verify_join(
     index: candidates <= batch x bands, thousands at most) skip the
     materialize+count — two extra Spark jobs per foreachBatch the old
     always-broadcast path never paid (r07 advice) — and take the
-    broadcast branch directly."""
+    payload-broadcast branch directly, so the LANDED store is never
+    reshuffled per micro-batch.
+
+    Three density tiers (r08): below PAIR_PAYLOAD_BROADCAST_LIMIT the
+    s1-enriched candidate list broadcasts — ZERO exchanges, the corpus/
+    store side streams from its own scan (the r07 two-join form still
+    shuffled the whole s2 side through the second join's shuffle-hash
+    even when candidates were tiny — measured as the single biggest
+    fixed cost of the minhash_cluster warm path); between the payload
+    and the bare-pair bound only the 16-byte id pairs broadcast and the
+    s2 equi-join shuffles; above both, everything shuffled-hash."""
+    enriched = lambda p: F.broadcast(s1.join(F.broadcast(p), k1))  # noqa: E731
     if known_sparse:
-        return s1.join(F.broadcast(pairs), k1).join(s2.hint("shuffle_hash"), k2)
-    pairs = pairs.localCheckpoint()
+        out = s2.join(enriched(pairs), k2).select(
+            *pairs.columns, *[c for c in s1.columns if c != k1],
+            *[c for c in s2.columns if c != k2],
+        )
+        out._sg_n_pairs = None  # noqa: SLF001 - sizing hint, see below
+        return out
+    # LAZY checkpoint + count = ONE Spark job (the count materializes
+    # the truncated leaf); the old eager-checkpoint-then-count shape
+    # paid two job round-trips per call — on this box each job costs
+    # ~0.2s of pure scheduling (SCALING.md floor measurement), which
+    # dominated the warm dedup queries at bench sf
+    pairs = pairs.localCheckpoint(eager=False)
     bound = PAIR_BROADCAST_LIMIT if limit is None else limit
-    if pairs.count() <= bound:
-        return s1.join(F.broadcast(pairs), k1).join(s2.hint("shuffle_hash"), k2)
-    return pairs.join(s1.hint("shuffle_hash"), k1).join(
-        s2.hint("shuffle_hash"), k2
-    )
+    n = pairs.count()
+    if n <= min(bound, PAIR_PAYLOAD_BROADCAST_LIMIT):
+        out = s2.join(enriched(pairs), k2).select(
+            *pairs.columns, *[c for c in s1.columns if c != k1],
+            *[c for c in s2.columns if c != k2],
+        )
+    elif n <= bound:
+        out = s1.join(F.broadcast(pairs), k1).join(s2.hint("shuffle_hash"), k2)
+    else:
+        out = pairs.join(s1.hint("shuffle_hash"), k1).join(
+            s2.hint("shuffle_hash"), k2
+        )
+    # the measured candidate count rides along so downstream consumers
+    # (cc_edge_list sizing) can skip their own count action — a Python
+    # attribute, invisible to the plan
+    out._sg_n_pairs = n  # noqa: SLF001
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -956,7 +1001,8 @@ def near_edges_plan(
     isect = F.size(F.array_intersect("hs1", "hs2"))
     union_size = F.size("hs1") + F.size("hs2") - isect
     jaccard = isect.cast("double") / union_size
-    verified = adaptive_verify_join(s1, pairs, s2).filter(
+    joined = adaptive_verify_join(s1, pairs, s2)
+    verified = joined.filter(
         (union_size > 0) & (jaccard >= threshold)
         if threshold is not None
         else (union_size > 0)
@@ -964,7 +1010,9 @@ def near_edges_plan(
     cols = ["doc_id_1", "doc_id_2"]
     if with_jaccard:
         cols.append(F.round(jaccard, 6).alias("jaccard"))
-    return verified.select(*cols), sets
+    out = verified.select(*cols)
+    out._sg_n_pairs = getattr(joined, "_sg_n_pairs", None)  # noqa: SLF001
+    return out, sets
 
 
 def verified_near_edges(
@@ -989,8 +1037,37 @@ def verified_near_edges(
     instead of re-analyzing the whole LSH+verify tree (driver-side
     analysis of that tree was costing more than some of the actions
     themselves) — and the shingle cache is released before returning."""
-    edges, sets = near_edges_plan(docs, threshold=CLUSTER_JACCARD_T, sets=sets)
-    edges = edges.localCheckpoint()
+    # AQE off for the edge derivation's two actions (the candidate
+    # count and the edge checkpoint) — the cc_edge_list trade, with the
+    # same session-global concurrency caveat: the build's exchanges are
+    # AGGREGATIONS over bounded row shapes (band-bucket groupBy, pair
+    # distinct — AQE's skew handling applies to joins, not aggs, and a
+    # skewed band bucket means a degenerate band one fixes by widening
+    # the signature, not re-planning), so per-exchange stage
+    # materialization buys nothing while costing one ~0.2s scheduling
+    # round-trip per exchange on the bench box (SCALING.md floor
+    # measurement; 13 -> 9 jobs, consistent interleaved A/B win). The
+    # DENSE verify tier is the exception — its shuffled-hash joins do
+    # want AQE's runtime re-plan — so adaptivity is restored before the
+    # checkpoint action when the measured count lands past the
+    # payload-broadcast bound.
+    spark = (docs if sets is None else sets).sparkSession
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan_edges, sets = near_edges_plan(
+            docs, threshold=CLUSTER_JACCARD_T, sets=sets
+        )
+        n_pairs = getattr(plan_edges, "_sg_n_pairs", None)
+        if n_pairs is not None and n_pairs > PAIR_PAYLOAD_BROADCAST_LIMIT:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        edges = plan_edges.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+    # the candidate count measured inside the adaptive verify rides
+    # along: cc_edge_list sizes its loop exchanges from it (edge count
+    # <= pair count) without paying its own count action
+    edges._sg_n_pairs = n_pairs  # noqa: SLF001
     sets.unpersist()
     return edges
 
@@ -1018,8 +1095,9 @@ def verified_near_edges(
 def minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eurovision_spark.operators.imp_dedup import cc_edge_list
 
+    edges = verified_near_edges(None, sets=copies_shingle_sets(spark, sf_dir))
     labels = cc_edge_list(
-        verified_near_edges(None, sets=copies_shingle_sets(spark, sf_dir)),
+        edges,
         "doc_id_1",
         "doc_id_2",
         materialized=True,
@@ -1027,6 +1105,9 @@ def minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         # parquet inputs: the fixpoint action already materialized the
         # labels in cache, so the extra leaf action buys nothing here
         leaf=False,
+        # the verify's candidate count bounds the edge volume: sizes
+        # the loop without cc paying its own count action
+        n_edges_hint=getattr(edges, "_sg_n_pairs", None),
     )
     return labels.select(
         F.col("node").cast("bigint").alias("doc_id"),
@@ -1405,8 +1486,10 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = dig.groupBy("_d").agg(F.min("doc_id").alias("c"))
     mapc = dig.join(canon, "_d").select("doc_id", "text", "c").persist()
     surv = mapc.filter(F.col("doc_id") == F.col("c")).select("doc_id", "text")
+    ne = verified_near_edges(surv)
     labels = cc_edge_list(
-        verified_near_edges(surv), "doc_id_1", "doc_id_2", materialized=True
+        ne, "doc_id_1", "doc_id_2", materialized=True,
+        n_edges_hint=getattr(ne, "_sg_n_pairs", None),
     )
     lab = labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
     lab_c = lab.select(F.col("doc_id").alias("c"), F.col("cluster_id").alias("c_cluster"))

@@ -88,7 +88,7 @@ def cc_edge_list(
     edges: DataFrame, src: str, dst: str, max_iter: int = 15,
     checkpoint_every: int = 3, materialized: bool = False,
     leaf: bool = True, loop_partitions: int | None = None,
-    reliable: bool = False,
+    reliable: bool = False, n_edges_hint: int | None = None,
 ) -> DataFrame:
     """Connected components over a global (src, dst) edge list: label
     every endpoint with the min node id reachable through the graph.
@@ -147,7 +147,10 @@ def cc_edge_list(
     graph gets thousands of partitions instead of a hardcoded constant.
     The parallelism read is Connect-tolerant (sparkContext raises on
     Spark Connect; falls back to spark.sql.shuffle.partitions there,
-    consistent with the leaf fence above).
+    consistent with the leaf fence above). ``n_edges_hint``: a caller
+    that already knows the edge volume (or a ceiling on it — the LSH
+    verify's measured candidate count bounds its verified edges)
+    passes it to skip the sizing count action entirely.
 
     CONCURRENCY NOTE: the AQE toggle and shuffle-partition pin are
     SESSION-GLOBAL confs (Spark has no per-query scope for them);
@@ -204,6 +207,12 @@ def cc_edge_list(
     if not materialized:
         edges = edges.persist()
         n_edges = edges.count()
+    elif n_edges_hint is not None:
+        # the caller already measured (or upper-bounded) the edge
+        # volume — e.g. the adaptive verify's candidate count rides
+        # along on verified edges — so the sizing count job is skipped
+        # (each job costs ~0.2s of pure scheduling on the bench box)
+        n_edges = n_edges_hint
     else:
         # a count on a materialized leaf is one cheap metadata-ish job;
         # it sizes the loop's exchanges below

@@ -616,6 +616,13 @@ def test_verified_near_edge_pipeline_stays_equi(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan  # candidate set broadcasts (sparse regime)
+    # r08 payload tier: below PAIR_PAYLOAD_BROADCAST_LIMIT the verify
+    # runs with ZERO shuffled joins — the enriched candidate list
+    # broadcasts and the corpus side streams from its own scan, so the
+    # corpus genuinely never reshuffles for verification (the r07
+    # two-join form still shuffled the whole s2 side)
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # pairs->s1, enriched->s2
 
 
 def test_lsh_verify_flips_to_shuffled_hash_when_dense(spark, monkeypatch):
