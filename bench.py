@@ -100,8 +100,10 @@ HEADLINE = [
     "mad_outliers",
     "id_typo_classes",
     "ks_drift",
-    # round 8: the column-generic drift grid on a second distribution
+    # round 8: the column-generic drift grid on a second distribution +
+    # data-derived temperature mixture planning
     "ks_drift_tokens",
+    "temperature_mixture",
 ]
 
 

@@ -349,6 +349,105 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(keep).select("doc_id", "lang")
 
 
+# temperature-flattened source mixture: weights ∝ n^(1/T). T=2 is the
+# standard multilingual/source rebalancing temperature (sqrt
+# flattening); budget = half the corpus.
+MIX_TEMP = 2.0
+MIX_BUDGET_FRAC = 0.5
+
+
+@register(
+    "temperature_mixture",
+    f"""
+    WITH d AS (SELECT source, doc_id FROM documents WHERE n_chars > 0),
+    c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY source),
+    z AS (SELECT sum(sqrt(n_docs)) AS z, sum(n_docs) AS total FROM c),
+    w AS (SELECT source, n_docs,
+                 round(sqrt(n_docs) / z.z, 6) AS weight,
+                 CAST(floor(z.total * {MIX_BUDGET_FRAC}) AS BIGINT) AS budget
+          FROM c CROSS JOIN z),
+    r AS (SELECT source, n_docs, weight,
+                 round(least(1.0, weight * budget / n_docs), 6) AS keep_rate
+          FROM w),
+    sc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sampled
+           FROM d JOIN r USING (source)
+           WHERE {md5_long_sql("concat('tmix-', CAST(doc_id AS VARCHAR))")} % 1000000
+                 < CAST(round(keep_rate * 1000000) AS BIGINT)
+           GROUP BY source)
+    SELECT source, n_docs, weight, keep_rate,
+           coalesce(n_sampled, 0) AS n_sampled
+    FROM r LEFT JOIN sc USING (source)
+    """,
+    "DATA-DERIVED mixture planning + sampling — the source-rebalancing "
+    f"step a pretraining pipeline runs before mixing: weights ∝ "
+    f"n^(1/T) at T={MIX_TEMP} (sqrt flattening, the standard "
+    "multilingual/source temperature-sampling rule: over-represented "
+    "sources are down-weighted, the tail is boosted, a small source "
+    "caps at keep_rate 1.0), per-source keep-rates sized to a "
+    f"{MIX_BUDGET_FRAC:.0%}-of-corpus token budget, applied as the "
+    "same content-independent md5 threshold as mixture_sample so the "
+    "realized sample is bit-reproducible for a training audit. "
+    "Complements mixture_sample (OPERATOR-SUPPLIED rates): here the "
+    "rates fold out of the corpus itself. Scale shape: two "
+    "column-pruned (source, doc_id) scans — one for the per-source "
+    "count aggregate (#sources rows out), one for the thresholded "
+    "sample count with the tiny rate table broadcast back — every "
+    "exchange is keyed on source. Cross-engine: weight rounds at 6dp "
+    "BEFORE the rate derives from it, the rate rounds again, and the "
+    "threshold is an integer, so both engines compare identical "
+    "integers per row.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("source", "doc_id")
+    )
+    return temperature_mixture_frame(d)
+
+
+def temperature_mixture_frame(d: DataFrame) -> DataFrame:
+    """(source, n_docs, weight, keep_rate, n_sampled) over a
+    (source, doc_id) frame — split from the registered query so the
+    planted-distribution tests can feed skewed source mixes."""
+    c = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    z = c.agg(
+        F.sum(F.sqrt(F.col("n_docs"))).alias("z"),
+        F.sum("n_docs").alias("total"),
+    )
+    w = c.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        F.round(F.sqrt(F.col("n_docs")) / F.col("z"), 6).alias("weight"),
+        F.floor(F.col("total") * MIX_BUDGET_FRAC).cast("bigint").alias("budget"),
+    )
+    r = w.select(
+        "source",
+        "n_docs",
+        "weight",
+        F.round(
+            F.least(F.lit(1.0), F.col("weight") * F.col("budget") / F.col("n_docs")),
+            6,
+        ).alias("keep_rate"),
+    )
+    thr = F.round(F.col("keep_rate") * 1_000_000).cast("bigint")
+    key = md5_long(F.concat(F.lit("tmix-"), F.col("doc_id").cast("string")))
+    sc = (
+        d.join(F.broadcast(r.select("source", "keep_rate")), "source")
+        .filter((key % 1_000_000) < thr)
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_sampled"))
+    )
+    return r.join(sc, "source", "left").select(
+        "source",
+        "n_docs",
+        "weight",
+        "keep_rate",
+        F.coalesce("n_sampled", F.lit(0)).cast("bigint").alias("n_sampled"),
+    )
+
+
 TFIDF_TOPK = 3
 
 

@@ -326,3 +326,46 @@ def test_ks_drift_tokens_planted_shift(spark):
     }
     assert got["c"] == 1.0  # disjoint token-count support
     assert got["a"] < 0.35 and got["b"] < 0.35
+
+
+def test_temperature_mixture_flattens_and_caps(spark):
+    """Temperature sampling invariants on a planted skewed mix (1000 /
+    100 / 10 docs): the weight share of the small source EXCEEDS its
+    proportional share and the big source's sits below it (sqrt
+    flattening), the small source's keep_rate caps at 1.0 so every one
+    of its docs lands in the sample, the big source keeps roughly
+    weight*budget docs, and the plan accounts for every document."""
+    import math
+
+    from eurovision_spark.operators.textstats import (
+        MIX_BUDGET_FRAC,
+        temperature_mixture_frame,
+    )
+
+    sizes = {"big": 1000, "mid": 100, "small": 10}
+    rows = [(s, i + off * 1_000_000) for off, (s, n) in enumerate(sizes.items())
+            for i in range(n)]
+    d = spark.createDataFrame(rows, "source string, doc_id bigint")
+    got = {r.source: r for r in temperature_mixture_frame(d).collect()}
+
+    total = sum(sizes.values())
+    assert {s: got[s].n_docs for s in sizes} == sizes
+    # sqrt flattening: small boosted above, big pulled below proportional
+    assert got["small"].weight > sizes["small"] / total
+    assert got["big"].weight < sizes["big"] / total
+    # expected exact weights (same arithmetic, 6dp)
+    z = sum(math.sqrt(n) for n in sizes.values())
+    for s, n in sizes.items():
+        assert abs(got[s].weight - round(math.sqrt(n) / z, 6)) < 1e-9, s
+    # the small source caps: rate 1.0 -> all 10 docs sampled exactly
+    assert got["small"].keep_rate == 1.0
+    assert got["small"].n_sampled == sizes["small"]
+    # the big source realizes ~keep_rate of its docs via the hash
+    # threshold (binomial-ish tolerance, deterministic given the ids)
+    exp_big = got["big"].keep_rate * sizes["big"]
+    assert abs(got["big"].n_sampled - exp_big) < 0.15 * exp_big
+    # budget check: realized sample lands near the configured fraction
+    realized = sum(got[s].n_sampled for s in sizes)
+    budget = math.floor(total * MIX_BUDGET_FRAC)
+    assert realized <= total
+    assert abs(realized - min(budget + sizes["small"], total)) < 0.2 * budget
