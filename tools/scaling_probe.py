@@ -65,6 +65,9 @@ QUERIES = [
     ("id_typo_pairs", "distinct-name blocking + output-bound id expansion", True),
     ("simhash_pairs", "60-bit simhash bands + xor/bit_count verify", True),
     ("stratified_sample", "per-stratum WindowGroupLimit quota", True),
+    # round 8: the drift grid + data-derived mixture planning
+    ("ks_drift", "grid two-sample KS: one (source, bin) count", True),
+    ("temperature_mixture", "count agg + broadcast-rate hash sample", True),
 ]
 
 
