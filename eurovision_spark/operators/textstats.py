@@ -355,10 +355,10 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIX_TEMP = 2.0
 MIX_BUDGET_FRAC = 0.5
 
-
-@register(
-    "temperature_mixture",
-    f"""
+# shared oracle CTEs: corpus -> per-source counts -> temperature
+# weights -> capped keep-rates (single source of truth for the plan
+# query and the applied sampler)
+_TMIX_RATES_SQL = f"""
     WITH d AS (SELECT source, doc_id FROM documents WHERE n_chars > 0),
     c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY source),
     z AS (SELECT sum(sqrt(n_docs)) AS z, sum(n_docs) AS total FROM c),
@@ -368,7 +368,13 @@ MIX_BUDGET_FRAC = 0.5
           FROM c CROSS JOIN z),
     r AS (SELECT source, n_docs, weight,
                  round(least(1.0, weight * budget / n_docs), 6) AS keep_rate
-          FROM w),
+          FROM w)"""
+
+
+@register(
+    "temperature_mixture",
+    _TMIX_RATES_SQL
+    + f""",
     sc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sampled
            FROM d JOIN r USING (source)
            WHERE {md5_long_sql("concat('tmix-', CAST(doc_id AS VARCHAR))")} % 1000000
@@ -411,6 +417,25 @@ def temperature_mixture_frame(d: DataFrame) -> DataFrame:
     """(source, n_docs, weight, keep_rate, n_sampled) over a
     (source, doc_id) frame — split from the registered query so the
     planted-distribution tests can feed skewed source mixes."""
+    r = temperature_mixture_rates(d)
+    sc = (
+        _tmix_selected(d, r)
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_sampled"))
+    )
+    return r.join(sc, "source", "left").select(
+        "source",
+        "n_docs",
+        "weight",
+        "keep_rate",
+        F.coalesce("n_sampled", F.lit(0)).cast("bigint").alias("n_sampled"),
+    )
+
+
+def temperature_mixture_rates(d: DataFrame) -> DataFrame:
+    """(source, n_docs, weight, keep_rate) — the derived mixture plan
+    over a (source, doc_id) frame; shared by the plan query and the
+    applied sampler."""
     c = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
     z = c.agg(
         F.sum(F.sqrt(F.col("n_docs"))).alias("z"),
@@ -422,7 +447,7 @@ def temperature_mixture_frame(d: DataFrame) -> DataFrame:
         F.round(F.sqrt(F.col("n_docs")) / F.col("z"), 6).alias("weight"),
         F.floor(F.col("total") * MIX_BUDGET_FRAC).cast("bigint").alias("budget"),
     )
-    r = w.select(
+    return w.select(
         "source",
         "n_docs",
         "weight",
@@ -431,21 +456,43 @@ def temperature_mixture_frame(d: DataFrame) -> DataFrame:
             6,
         ).alias("keep_rate"),
     )
+
+
+def _tmix_selected(d: DataFrame, rates: DataFrame) -> DataFrame:
+    """The docs of ``d`` passing their source's derived hash threshold
+    (the rates table broadcasts; the corpus never shuffles)."""
     thr = F.round(F.col("keep_rate") * 1_000_000).cast("bigint")
     key = md5_long(F.concat(F.lit("tmix-"), F.col("doc_id").cast("string")))
-    sc = (
-        d.join(F.broadcast(r.select("source", "keep_rate")), "source")
-        .filter((key % 1_000_000) < thr)
-        .groupBy("source")
-        .agg(F.count("*").cast("bigint").alias("n_sampled"))
+    return d.join(F.broadcast(rates.select("source", "keep_rate")), "source").filter(
+        (key % 1_000_000) < thr
     )
-    return r.join(sc, "source", "left").select(
-        "source",
-        "n_docs",
-        "weight",
-        "keep_rate",
-        F.coalesce("n_sampled", F.lit(0)).cast("bigint").alias("n_sampled"),
+
+
+@register(
+    "temperature_mixture_sample",
+    _TMIX_RATES_SQL
+    + f"""
+    SELECT doc_id, source
+    FROM d JOIN r USING (source)
+    WHERE {md5_long_sql("concat('tmix-', CAST(doc_id AS VARCHAR))")} % 1000000
+          < CAST(round(keep_rate * 1000000) AS BIGINT)
+    """,
+    "the temperature_mixture plan APPLIED: the (doc_id, source) rows "
+    "selected by the data-derived per-source thresholds — the actual "
+    "rebalanced corpus a training run reads, bit-reproducible from the "
+    "raw corpus alone (derive rates, hash ids, compare integers — no "
+    "state to persist, so a re-run of the audit reproduces the sample "
+    "exactly). One count aggregate + one thresholded scan with the "
+    "rate table broadcast back; the corpus never shuffles.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("source", "doc_id")
     )
+    return _tmix_selected(d, temperature_mixture_rates(d)).select("doc_id", "source")
 
 
 TFIDF_TOPK = 3
