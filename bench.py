@@ -235,10 +235,13 @@ def format_output(
     # never re-checked, so further HEADLINE growth could silently
     # truncate in the driver again)
     compact = json.dumps(out)
-    for decimals in (1, 0):
+    for shrink in (
+        lambda v: round(v, 1),
+        lambda v: int(round(v)),  # true ints: "12", never "12.0"
+    ):
         if len(compact) <= 1900:
             break
-        out["queries"] = {k: round(v, decimals) for k, v in warm.items()}
+        out["queries"] = {k: shrink(v) for k, v in warm.items()}
         compact = json.dumps(out)
     if len(compact) > 1900:
         raise RuntimeError(

@@ -521,7 +521,6 @@ def adaptive_verify_join(
     limit: int | None = None,
     k1: str = "doc_id_1",
     k2: str = "doc_id_2",
-    known_sparse: bool = False,
 ) -> DataFrame:
     """Join the per-doc verify sides onto a candidate pair list with a
     DENSITY-ADAPTIVE strategy: the pair list is materialized once
@@ -537,14 +536,6 @@ def adaptive_verify_join(
     is the 40-60%-dup crawl case where the broadcast would die at
     corpus scale.
 
-    ``known_sparse``: hot per-micro-batch callers whose candidate set
-    is bounded BY CONSTRUCTION (a live intake batch probing the landed
-    index: candidates <= batch x bands, thousands at most) skip the
-    materialize+count — two extra Spark jobs per foreachBatch the old
-    always-broadcast path never paid (r07 advice) — and take the
-    payload-broadcast branch directly, so the LANDED store is never
-    reshuffled per micro-batch.
-
     Three density tiers (r08): below PAIR_PAYLOAD_BROADCAST_LIMIT the
     s1-enriched candidate list broadcasts — ZERO exchanges, the corpus/
     store side streams from its own scan (the r07 two-join form still
@@ -552,20 +543,23 @@ def adaptive_verify_join(
     even when candidates were tiny — measured as the single biggest
     fixed cost of the minhash_cluster warm path); between the payload
     and the bare-pair bound only the 16-byte id pairs broadcast and the
-    s2 equi-join shuffles; above both, everything shuffled-hash."""
+    s2 equi-join shuffles; above both, everything shuffled-hash.
+
+    The count is NEVER skipped, even for per-micro-batch probes whose
+    batch side is small: candidate volume is batch x matching STORE
+    bucket sizes, and a hot landed band bucket (boilerplate that keeps
+    landing as 'new' below the Jaccard threshold) makes that product
+    unbounded — an uncounted broadcast there is a driver OOM waiting
+    for the wrong corpus. The per-call cost of the valve is ONE Spark
+    job (see below), which is what hot callers actually pay."""
     enriched = lambda p: F.broadcast(s1.join(F.broadcast(p), k1))  # noqa: E731
-    if known_sparse:
-        out = s2.join(enriched(pairs), k2).select(
-            *pairs.columns, *[c for c in s1.columns if c != k1],
-            *[c for c in s2.columns if c != k2],
-        )
-        out._sg_n_pairs = None  # noqa: SLF001 - sizing hint, see below
-        return out
     # LAZY checkpoint + count = ONE Spark job (the count materializes
     # the truncated leaf); the old eager-checkpoint-then-count shape
     # paid two job round-trips per call — on this box each job costs
     # ~0.2s of pure scheduling (SCALING.md floor measurement), which
-    # dominated the warm dedup queries at bench sf
+    # dominated the warm dedup queries at bench sf. This fusion is also
+    # the r07-advice fix for per-micro-batch probe overhead: the count
+    # stays (it is the density safety valve) but costs half what it did
     pairs = pairs.localCheckpoint(eager=False)
     bound = PAIR_BROADCAST_LIMIT if limit is None else limit
     n = pairs.count()
@@ -1262,7 +1256,6 @@ def incremental_probe(
     inc_bands: DataFrame,
     ex_idx: DataFrame,
     ex_bands: DataFrame,
-    known_sparse: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Probe a landed index with an incoming batch: returns
     ``(exact, near_pairs)`` where ``exact`` is (doc_id, exact_id = min
@@ -1296,16 +1289,14 @@ def incremental_probe(
     isect = F.size(F.array_intersect("sh_inc_id", "sh_ex_id"))
     union_size = F.size("sh_inc_id") + F.size("sh_ex_id") - isect
     jac = isect.cast("double") / union_size
-    # density-adaptive like the batch LSH tier: a live micro-batch's
-    # candidate set is tiny (broadcast branch — callers that bound the
-    # batch by construction pass known_sparse to skip the per-batch
-    # materialize+count), but refresh_corpus routes whole recrawl
-    # DELTAS through this probe — a heavy recrawl of a high-dup corpus
-    # can push candidates past broadcast safety
+    # density-adaptive like the batch LSH tier — the count valve is
+    # NOT skippable here: candidate volume is batch x matching STORE
+    # bucket sizes (a hot landed band bucket makes it unbounded even
+    # for a tiny batch), and refresh_corpus additionally routes whole
+    # recrawl DELTAS through this probe. The valve costs one fused
+    # checkpoint+count job per call (adaptive_verify_join).
     near_pairs = (
-        adaptive_verify_join(
-            si, cand, se, k1="inc_id", k2="ex_id", known_sparse=known_sparse
-        )
+        adaptive_verify_join(si, cand, se, k1="inc_id", k2="ex_id")
         .filter((union_size > 0) & (jac >= CLUSTER_JACCARD_T))
         .select("inc_id", "ex_id")
     )

@@ -117,7 +117,14 @@ def cc_edge_list(
     ``spark.sparkContext.setCheckpointDir`` at reliable storage first
     (raises a clear ValueError when unset), and a lost executor replays
     from the checkpoint instead of recomputing every round; local mode's
-    default keeps blocks on executors. With max_iter=15 the doubling
+    default keeps blocks on executors. CHECKPOINT LIFECYCLE: Spark does
+    not reclaim durable checkpoints unless
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` is set at
+    session build (and the final label leaf is returned to the caller,
+    so it outlives this function regardless) — a long-running service
+    calling reliable=True per batch owns the checkpoint root's
+    retention: enable the cleaner conf or prune the directory on its
+    own schedule, or the reliable store grows without bound. With max_iter=15 the doubling
     covers component diameters into the tens of thousands of hops; the
     residual non-convergence guard exists only for graphs beyond that.
 

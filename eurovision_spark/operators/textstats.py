@@ -349,19 +349,30 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(keep).select("doc_id", "lang")
 
 
-# temperature-flattened source mixture: weights ∝ n^(1/T). T=2 is the
-# standard multilingual/source rebalancing temperature (sqrt
-# flattening); budget = half the corpus.
-MIX_TEMP = 2.0
+# temperature-flattened source mixture: weights ∝ sqrt(n) — i.e. the
+# standard multilingual/source rebalancing at temperature T=2, wired
+# as sqrt in BOTH engines (an exponent constant here would be dead
+# config: pow() rounding is not guaranteed identical cross-engine, so
+# the formula is deliberately the shared correctly-rounded sqrt);
+# budget = half the corpus.
 MIX_BUDGET_FRAC = 0.5
 
 # shared oracle CTEs: corpus -> per-source counts -> temperature
 # weights -> capped keep-rates (single source of truth for the plan
-# query and the applied sampler)
+# query and the applied sampler). The normalizer z folds the SORTED
+# sqrt list left-to-right (list_reduce / F.aggregate are both
+# sequential left folds, and 0.0+x == x exactly, so the float adds
+# happen in one bit-identical order on both engines) — a bare sum()
+# would re-associate partition-dependently and could flip a 6dp weight
+# boundary, breaking the bit-reproducibility claim.
 _TMIX_RATES_SQL = f"""
     WITH d AS (SELECT source, doc_id FROM documents WHERE n_chars > 0),
     c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY source),
-    z AS (SELECT sum(sqrt(n_docs)) AS z, sum(n_docs) AS total FROM c),
+    z AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                          list_sort(list(sqrt(n_docs)))),
+                             (a, x) -> a + x) AS z,
+                 sum(n_docs) AS total
+          FROM c),
     w AS (SELECT source, n_docs,
                  round(sqrt(n_docs) / z.z, 6) AS weight,
                  CAST(floor(z.total * {MIX_BUDGET_FRAC}) AS BIGINT) AS budget
@@ -386,7 +397,8 @@ _TMIX_RATES_SQL = f"""
     """,
     "DATA-DERIVED mixture planning + sampling — the source-rebalancing "
     f"step a pretraining pipeline runs before mixing: weights ∝ "
-    f"n^(1/T) at T={MIX_TEMP} (sqrt flattening, the standard "
+    "n^(1/T) at T=2 (sqrt flattening — wired as the shared correctly-"
+    "rounded sqrt in both engines, the standard "
     "multilingual/source temperature-sampling rule: over-represented "
     "sources are down-weighted, the tail is boosted, a small source "
     "caps at keep_rate 1.0), per-source keep-rates sized to a "
@@ -437,9 +449,14 @@ def temperature_mixture_rates(d: DataFrame) -> DataFrame:
     over a (source, doc_id) frame; shared by the plan query and the
     applied sampler."""
     c = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    # deterministic normalizer: sorted left fold, not a re-associating
+    # sum — bit-identical to the oracle's list_reduce (see _TMIX_RATES_SQL)
     z = c.agg(
-        F.sum(F.sqrt(F.col("n_docs"))).alias("z"),
+        F.array_sort(F.collect_list(F.sqrt(F.col("n_docs")))).alias("_zs"),
         F.sum("n_docs").alias("total"),
+    ).select(
+        F.aggregate("_zs", F.lit(0.0), lambda a, x: a + x).alias("z"),
+        "total",
     )
     w = c.crossJoin(F.broadcast(z)).select(
         "source",

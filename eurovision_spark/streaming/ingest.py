@@ -680,14 +680,15 @@ def intake_batch(spark: SparkSession, store_dir: str, batch_df: DataFrame) -> No
     )
     inc_idx = doc_index(batch).localCheckpoint()
     inc_bands = banded_signatures(_minhash_signatures(batch)).localCheckpoint()
-    # known_sparse: a live micro-batch's candidate set is bounded by
-    # the batch itself (<= batch x bands rows), so the probe skips the
-    # adaptive join's materialize+count — two Spark jobs per batch the
-    # always-broadcast path never paid (r07 advice); the checkpoint
-    # below still truncates lineage before the stores mutate
-    exact, near_pairs = incremental_probe(
-        inc_idx, inc_bands, ex_idx, ex_bands, known_sparse=True
-    )
+    # the probe keeps the adaptive join's density count: per-batch
+    # candidate volume is batch x matching STORE bucket sizes — NOT
+    # bounded by the batch alone (a hot landed band bucket of
+    # below-threshold boilerplate fans a tiny batch into an unbounded
+    # pair list), so skipping the valve risks an uncounted broadcast
+    # of the enriched candidates. The r07-advice overhead concern is
+    # addressed inside adaptive_verify_join instead: the lazy-
+    # checkpoint+count fusion makes the valve ONE Spark job per batch
+    exact, near_pairs = incremental_probe(inc_idx, inc_bands, ex_idx, ex_bands)
     near_pairs = near_pairs.localCheckpoint()
     exact = exact.localCheckpoint()
     decisions = assemble_decisions(batch, exact, near_pairs).unionByName(collapsed)
@@ -1198,21 +1199,41 @@ def stream_span_dedup(
 DRIFT_KS_ALERT = 0.3  # grid-KS above this flags the arriving slice
 
 
+DRIFT_KEY_VERSION = "v2"  # bump whenever the digest formula changes
+
+
 def drift_batch_key(batch_df: DataFrame) -> tuple[int, str]:
     """Deterministic, order-independent batch digest: row count plus
-    bit_xor of xxhash64(doc_id) — a genuine 64-bit content key (r07
-    advice: Spark's hash() is 32-bit Murmur3, so xor'ing it left the
-    old key with ~32 bits of entropy and a plausible birthday collision
-    around tens of thousands of similar-count batches, which would have
-    silently dropped the later batch's ledger row). Returns (0, "")
-    for an empty batch."""
-    ident = batch_df.agg(
-        F.count("*").alias("n"),
-        F.expr("bit_xor(xxhash64(doc_id))").alias("x"),
+    bit_xor of xxhash64(doc_id, multiplicity) — a genuine 64-bit
+    content key over the doc-id MULTISET. Two r07/r08 fixes live here:
+    (a) Spark's hash() is 32-bit Murmur3, so xor'ing it left the old
+    key with ~32 bits of entropy and a plausible birthday collision
+    around tens of thousands of similar-count batches; (b) a bare
+    xor of per-ROW hashes self-cancels duplicate doc_ids
+    (h^h = 0, so batches {a,a,b} and {c,c,b} collided) — folding each
+    id's occurrence count into its hash makes the digest
+    duplicate-sensitive while staying order-independent. Either
+    collision silently dropped the later batch's ledger row
+    (keep='existing' no-ops).
+
+    The key carries a FORMAT VERSION: a digest-formula change makes
+    every key in an existing hist_batches/drift_ledger store
+    unmatchable, so a post-upgrade replay would re-land historic
+    batches and double-count the baseline. The version prefix makes
+    the mismatch detectable; rebuild (or retire) stores written by an
+    older version when upgrading. Returns (0, "") for an empty
+    batch."""
+    per_doc = batch_df.groupBy("doc_id").agg(F.count("*").alias("m"))
+    ident = per_doc.agg(
+        F.sum("m").alias("n"),
+        F.expr("bit_xor(xxhash64(doc_id, m))").alias("x"),
     ).first()
     if not ident or not ident.n:
         return 0, ""
-    return int(ident.n), f"{ident.n}-{ident.x & 0xFFFFFFFFFFFFFFFF:016x}"
+    return (
+        int(ident.n),
+        f"{DRIFT_KEY_VERSION}-{ident.n}-{ident.x & 0xFFFFFFFFFFFFFFFF:016x}",
+    )
 
 
 def stream_drift_gate(

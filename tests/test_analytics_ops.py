@@ -353,8 +353,11 @@ def test_temperature_mixture_flattens_and_caps(spark):
     # sqrt flattening: small boosted above, big pulled below proportional
     assert got["small"].weight > sizes["small"] / total
     assert got["big"].weight < sizes["big"] / total
-    # expected exact weights (same arithmetic, 6dp)
-    z = sum(math.sqrt(n) for n in sizes.values())
+    # expected exact weights (same arithmetic: sorted left-fold
+    # normalizer, then 6dp)
+    z = 0.0
+    for v in sorted(math.sqrt(n) for n in sizes.values()):
+        z += v
     for s, n in sizes.items():
         assert abs(got[s].weight - round(math.sqrt(n) / z, 6)) < 1e-9, s
     # the small source caps: rate 1.0 -> all 10 docs sampled exactly

@@ -1280,5 +1280,17 @@ def test_drift_batch_key_is_64_bit_and_survives_32_bit_collisions(spark):
     assert k1 != k2  # 64-bit content digest separates the collision pair
     # replay-stable: same rows, any order/partitioning -> same key
     assert drift_batch_key(mk(list(reversed(b1))).repartition(4))[1] == k1
+    # duplicate doc_ids must NOT self-cancel out of the digest: under a
+    # bare per-row xor, {7,7,9} and {8,8,9} both fold to h(9) (h^h=0)
+    # and collide at equal count — the multiplicity-folded digest keys
+    # the MULTISET, so they differ, and a reordered replay of the
+    # duplicate-carrying batch still keys identically
+    nd1, kd1 = drift_batch_key(mk([7, 7, 9]))
+    nd2, kd2 = drift_batch_key(mk([8, 8, 9]))
+    assert nd1 == nd2 == 3
+    assert kd1 != kd2
+    assert drift_batch_key(mk([9, 7, 7]).repartition(3))[1] == kd1
+    # and multiplicity matters within one id too: {7,7} vs {7} differ
+    assert drift_batch_key(mk([7, 7]))[1] != drift_batch_key(mk([7]))[1]
     # empty batch degrades explicitly
     assert drift_batch_key(mk([]).filter(F.lit(False)))[0] == 0
