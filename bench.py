@@ -104,6 +104,8 @@ HEADLINE = [
     # data-derived temperature mixture planning
     "ks_drift_tokens",
     "temperature_mixture",
+    "psi_drift",
+    "chisq_lang_drift",
 ]
 
 

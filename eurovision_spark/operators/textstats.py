@@ -1647,3 +1647,217 @@ def ks_drift_frame(
     ).select(
         "source", F.col("tot").cast("bigint").alias("n_docs"), "ks_vs_rest"
     )
+
+
+PSI_EPS = 0.5  # Laplace smoothing per bin: no empty-bin log blow-up
+
+
+@register(
+    "psi_drift",
+    f"""
+    WITH d AS (
+        SELECT source,
+               CAST(least(greatest(floor(n_chars / {KS_W}), 0), {KS_NBINS - 1})
+                    AS BIGINT) AS bin
+        FROM documents WHERE n_chars > 0),
+    counts AS (SELECT source, bin, CAST(count(*) AS DOUBLE) AS n
+               FROM d GROUP BY source, bin),
+    srcs AS (SELECT DISTINCT source FROM d),
+    grid AS (SELECT s.source, g.bin
+             FROM srcs s CROSS JOIN
+                  (SELECT unnest(generate_series(0, {KS_NBINS - 1})) AS bin) g),
+    j AS (SELECT grid.source, grid.bin, coalesce(counts.n, 0) AS n
+          FROM grid LEFT JOIN counts USING (source, bin)),
+    c AS (SELECT source, bin, n,
+                 sum(n) OVER (PARTITION BY source) AS tot,
+                 sum(n) OVER (PARTITION BY bin) AS bin_tot,
+                 sum(n) OVER () AS tot_all
+          FROM j)
+    SELECT source, CAST(tot AS BIGINT) AS n_docs,
+           round(sum(CASE WHEN tot_all = tot THEN NULL ELSE
+                 ((n + {PSI_EPS}) / (tot + {KS_NBINS * PSI_EPS})
+                  - (bin_tot - n + {PSI_EPS}) / (tot_all - tot + {KS_NBINS * PSI_EPS}))
+                 * ln(((n + {PSI_EPS}) / (tot + {KS_NBINS * PSI_EPS}))
+                      / ((bin_tot - n + {PSI_EPS}) / (tot_all - tot + {KS_NBINS * PSI_EPS})))
+                 END), 6) AS psi_vs_rest
+    FROM c GROUP BY source, tot
+    """,
+    "population-stability-index drift monitor on the same fixed "
+    f"{KS_NBINS}-bin length grid as ks_drift: per source, "
+    "PSI = sum_i (p_i - q_i) * ln(p_i / q_i) of its binned "
+    "document-length distribution p against the rest-of-corpus "
+    "distribution q, Laplace-smoothed (+0.5 per bin) so empty bins "
+    "never blow up the log. PSI is the production monitor KS is not: "
+    "KS reports the worst single CDF gap (localized shifts), PSI "
+    "integrates mass displacement across ALL bins (diffuse drift a "
+    "max-statistic under-reports), and industry runbooks attach "
+    "action thresholds to it (<0.1 stable, 0.1-0.25 watch, >0.25 "
+    "re-baseline). Same scale shape as its KS siblings: ONE corpus "
+    f"scan into a partial/final (source, bin) count — at most sources x "
+    f"{KS_NBINS} rows shuffle per map task — then bounded-grid "
+    "arithmetic only. Cross-engine exact: integral-double bin counts, "
+    "one ln per grid row (same libm double both engines), 6dp round "
+    "absorbing the re-associated 64-term sum. Single-source corpus "
+    "degrades to NULL (nothing to drift from), never a zero "
+    "denominator.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return psi_drift_frame(d)
+
+
+def psi_drift_frame(
+    d: DataFrame, value_col: str = "n_chars", width: float = KS_W
+) -> DataFrame:
+    """(source, n_docs, psi_vs_rest) smoothed-PSI drift report over a
+    (source, <value_col>) frame — same split as :func:`ks_drift_frame`
+    so planted-distribution tests and any numeric column reuse it."""
+    spark = d.sparkSession
+    bin_ = (
+        F.least(
+            F.greatest(F.floor(F.col(value_col) / F.lit(width)), F.lit(0)),
+            F.lit(KS_NBINS - 1),
+        )
+    ).cast("bigint")
+    # one-scan rule (ks_drift pattern): the bounded (source, bin)
+    # aggregate feeds the source list AND the grid join — materialize it
+    counts = (
+        d.select("source", bin_.alias("bin"))
+        .groupBy("source", "bin")
+        .agg(F.count("*").cast("double").alias("n"))
+        .localCheckpoint()
+    )
+    srcs = counts.select("source").distinct()
+    bins = spark.range(KS_NBINS).select(F.col("id").cast("bigint").alias("bin"))
+    grid = srcs.crossJoin(F.broadcast(bins))
+    j = grid.join(counts, ["source", "bin"], "left").select(
+        "source", "bin", F.coalesce("n", F.lit(0.0)).alias("n")
+    )
+    c = j.select(
+        "source",
+        "n",
+        F.sum("n").over(W.partitionBy("source")).alias("tot"),
+        F.sum("n").over(W.partitionBy("bin")).alias("bin_tot"),
+        F.sum("n").over(W.partitionBy()).alias("tot_all"),
+    )
+    smooth = F.lit(KS_NBINS * PSI_EPS)
+    p = (F.col("n") + F.lit(PSI_EPS)) / (F.col("tot") + smooth)
+    q = (F.col("bin_tot") - F.col("n") + F.lit(PSI_EPS)) / (
+        F.col("tot_all") - F.col("tot") + smooth
+    )
+    # single-source guard: sum over all-NULL terms is NULL (alert
+    # semantics), and q's denominator is never touched at zero
+    term = F.when(F.col("tot_all") != F.col("tot"), (p - q) * F.log(p / q))
+    return (
+        c.groupBy("source", "tot")
+        .agg(F.round(F.sum(term), 6).alias("psi_vs_rest"))
+        .select(
+            "source", F.col("tot").cast("bigint").alias("n_docs"), "psi_vs_rest"
+        )
+    )
+
+
+@register(
+    "chisq_lang_drift",
+    """
+    WITH d AS (SELECT source, lang FROM documents WHERE n_chars > 0),
+    counts AS (SELECT source, lang, CAST(count(*) AS DOUBLE) AS n
+               FROM d GROUP BY source, lang),
+    srcs AS (SELECT DISTINCT source FROM d),
+    langs AS (SELECT DISTINCT lang FROM d),
+    grid AS (SELECT s.source, l.lang FROM srcs s CROSS JOIN langs l),
+    j AS (SELECT grid.source, grid.lang, coalesce(counts.n, 0) AS n
+          FROM grid LEFT JOIN counts USING (source, lang)),
+    c AS (SELECT source, lang, n,
+                 sum(n) OVER (PARTITION BY source) AS tot,
+                 sum(n) OVER (PARTITION BY lang) AS lang_tot,
+                 sum(n) OVER () AS tot_all
+          FROM j)
+    SELECT source, CAST(tot AS BIGINT) AS n_docs,
+           round(sum(CASE WHEN tot_all = tot THEN NULL ELSE
+                 (n - lang_tot * tot / tot_all)
+                     * (n - lang_tot * tot / tot_all)
+                     / (lang_tot * tot / tot_all)
+                 + ((lang_tot - n) - lang_tot * (tot_all - tot) / tot_all)
+                     * ((lang_tot - n) - lang_tot * (tot_all - tot) / tot_all)
+                     / (lang_tot * (tot_all - tot) / tot_all)
+                 END), 6) AS chisq_vs_rest,
+           CAST(count(*) - 1 AS BIGINT) AS dof
+    FROM c GROUP BY source, tot
+    """,
+    "CATEGORICAL drift monitor — the gate the numeric grid cannot "
+    "express: per source, the two-sample chi-square statistic of its "
+    "LANGUAGE MIX against the rest of the corpus (observed (source, "
+    "lang) counts vs homogeneity expectations E = lang_total x "
+    "source_share), with degrees of freedom (n_langs - 1) alongside "
+    "so the statistic is interpretable. This completes the drift "
+    "suite: ks_drift watches document length, ks_drift_tokens watches "
+    "token count, psi_drift integrates diffuse length drift, and this "
+    "watches the categorical marginal — a crawl slice that silently "
+    "flips language composition keeps every length/token profile "
+    "intact and only this gate fires. Scale shape: ONE corpus scan "
+    "into a partial/final (source, lang) count — at most sources x "
+    "languages rows shuffle per map task — then all arithmetic on "
+    "that bounded grid. Expectations are strictly positive by "
+    "construction (every grid language has corpus mass, every source "
+    "has documents), so the only degenerate case is a single-source "
+    "corpus, which degrades to a NULL statistic, never a zero "
+    "denominator.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def chisq_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return chisq_drift_frame(d)
+
+
+def chisq_drift_frame(d: DataFrame, cat_col: str = "lang") -> DataFrame:
+    """(source, n_docs, chisq_vs_rest, dof) categorical-drift report
+    over a (source, <cat_col>) frame — split out so planted-mix tests
+    and any categorical column (quality tier, script, media kind)
+    reuse the machinery."""
+    # one-scan rule: the bounded (source, cat) aggregate feeds the
+    # source list, the category list, and the grid join
+    counts = (
+        d.select("source", F.col(cat_col).alias("cat"))
+        .groupBy("source", "cat")
+        .agg(F.count("*").cast("double").alias("n"))
+        .localCheckpoint()
+    )
+    srcs = counts.select("source").distinct()
+    cats = counts.select("cat").distinct()
+    # sources x categories literal grid — bounded cross of tiny frames,
+    # so zero-count cells still contribute their expectation
+    grid = srcs.crossJoin(F.broadcast(cats))
+    j = grid.join(counts, ["source", "cat"], "left").select(
+        "source", "cat", F.coalesce("n", F.lit(0.0)).alias("n")
+    )
+    c = j.select(
+        "source",
+        "n",
+        F.sum("n").over(W.partitionBy("source")).alias("tot"),
+        F.sum("n").over(W.partitionBy("cat")).alias("cat_tot"),
+        F.sum("n").over(W.partitionBy()).alias("tot_all"),
+    )
+    e_obs = F.col("cat_tot") * F.col("tot") / F.col("tot_all")
+    e_rest = F.col("cat_tot") * (F.col("tot_all") - F.col("tot")) / F.col("tot_all")
+    term = F.when(
+        F.col("tot_all") != F.col("tot"),
+        (F.col("n") - e_obs) * (F.col("n") - e_obs) / e_obs
+        + ((F.col("cat_tot") - F.col("n")) - e_rest)
+        * ((F.col("cat_tot") - F.col("n")) - e_rest)
+        / e_rest,
+    )
+    return (
+        c.groupBy("source", "tot")
+        .agg(
+            F.round(F.sum(term), 6).alias("chisq_vs_rest"),
+            (F.count("*") - F.lit(1)).cast("bigint").alias("dof"),
+        )
+        .select(
+            "source",
+            F.col("tot").cast("bigint").alias("n_docs"),
+            "chisq_vs_rest",
+            "dof",
+        )
+    )

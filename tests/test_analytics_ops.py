@@ -372,3 +372,88 @@ def test_temperature_mixture_flattens_and_caps(spark):
     budget = math.floor(total * MIX_BUDGET_FRAC)
     assert realized <= total
     assert abs(realized - min(budget + sizes["small"], total)) < 0.2 * budget
+
+
+def test_psi_drift_planted_and_identical(spark):
+    """Smoothed-PSI invariants beyond the hash gate: two sources with
+    bin-identical distributions score exactly 0 (p == q cell-for-cell,
+    smoothing included); a source whose mass sits entirely outside the
+    rest's support scores large (>2, well past the 0.25 re-baseline
+    threshold); the registry run covers every document."""
+    from eurovision_spark.catalog import registry
+    from eurovision_spark.operators.textstats import psi_drift_frame
+
+    rows = registry()["psi_drift"].fn(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter("n_chars > 0")
+    assert rows and sum(r.n_docs for r in rows) == docs.count()
+    assert all(r.psi_vs_rest is not None and r.psi_vs_rest >= 0.0 for r in rows)
+
+    same = [("a", 100 + (i % 7)) for i in range(200)] + [
+        ("b", 100 + (i % 7)) for i in range(200)
+    ]
+    d = spark.createDataFrame(same, "source string, n_chars int")
+    got = {r.source: r.psi_vs_rest for r in psi_drift_frame(d).collect()}
+    assert got["a"] == 0.0 and got["b"] == 0.0  # identical -> exactly 0
+
+    shifted = same + [("c", 1500 + (i % 5)) for i in range(100)]
+    d2 = spark.createDataFrame(shifted, "source string, n_chars int")
+    got2 = {r.source: r.psi_vs_rest for r in psi_drift_frame(d2).collect()}
+    assert got2["c"] > 2.0  # disjoint support -> far past re-baseline
+
+
+def test_psi_drift_single_source_null(spark):
+    """One source: nothing to drift from -> NULL statistic (alert
+    semantics), never a zero denominator, row still carries n_docs."""
+    from eurovision_spark.operators.textstats import psi_drift_frame
+
+    d = spark.createDataFrame(
+        [("only", 100 + (i % 7)) for i in range(50)], "source string, n_chars int"
+    )
+    rows = psi_drift_frame(d).collect()
+    assert len(rows) == 1 and rows[0].n_docs == 50
+    assert rows[0].psi_vs_rest is None
+
+
+def test_chisq_lang_drift_planted_mix(spark):
+    """Categorical drift invariants: two sources with the same language
+    mix score exactly 0 (observed == expected cell-for-cell); a source
+    writing only a language the rest never uses scores large; dof is
+    n_langs - 1 on every row; the length/token gates are blind to this
+    plant (all docs same n_chars)."""
+    from eurovision_spark.catalog import registry
+    from eurovision_spark.operators.textstats import chisq_drift_frame
+
+    rows = registry()["chisq_lang_drift"].fn(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter("n_chars > 0")
+    assert rows and sum(r.n_docs for r in rows) == docs.count()
+    n_langs = docs.select("lang").distinct().count()
+    assert all(r.dof == n_langs - 1 for r in rows)
+    assert all(r.chisq_vs_rest is not None and r.chisq_vs_rest >= 0.0 for r in rows)
+
+    mix = (
+        [("a", "en")] * 100 + [("a", "de")] * 100
+        + [("b", "en")] * 100 + [("b", "de")] * 100
+    )
+    d = spark.createDataFrame(mix, "source string, lang string")
+    got = {r.source: r for r in chisq_drift_frame(d).collect()}
+    assert got["a"].chisq_vs_rest == 0.0 and got["b"].chisq_vs_rest == 0.0
+    assert got["a"].dof == 1
+
+    d2 = spark.createDataFrame(
+        mix + [("c", "zz")] * 100, "source string, lang string"
+    )
+    got2 = {r.source: r for r in chisq_drift_frame(d2).collect()}
+    assert got2["c"].chisq_vs_rest > 100.0  # exclusive language -> fires hard
+    assert got2["c"].dof == 2  # en, de, zz
+
+
+def test_chisq_lang_drift_single_source_null(spark):
+    """One source: NULL statistic, dof still reported."""
+    from eurovision_spark.operators.textstats import chisq_drift_frame
+
+    d = spark.createDataFrame(
+        [("only", "en")] * 30 + [("only", "de")] * 20, "source string, lang string"
+    )
+    rows = chisq_drift_frame(d).collect()
+    assert len(rows) == 1 and rows[0].n_docs == 50
+    assert rows[0].chisq_vs_rest is None and rows[0].dof == 1

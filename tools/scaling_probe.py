@@ -68,6 +68,8 @@ QUERIES = [
     # round 8: the drift grid + data-derived mixture planning
     ("ks_drift", "grid two-sample KS: one (source, bin) count", True),
     ("temperature_mixture", "count agg + broadcast-rate hash sample", True),
+    ("psi_drift", "smoothed PSI on the shared (source, bin) grid", True),
+    ("chisq_lang_drift", "categorical chi-square: one (source, lang) count", True),
 ]
 
 
