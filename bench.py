@@ -106,6 +106,7 @@ HEADLINE = [
     "temperature_mixture",
     "psi_drift",
     "chisq_lang_drift",
+    "vocab_divergence",
 ]
 
 

@@ -1861,3 +1861,145 @@ def chisq_drift_frame(d: DataFrame, cat_col: str = "lang") -> DataFrame:
             "dof",
         )
     )
+
+
+VOCAB_V = 256  # top-V global tokens; tail mass folds into one OTHER bucket
+# the OTHER label contains whitespace, so no real token (whitespace-split)
+# can ever collide with it
+OTHER_TERM = "~ other ~"
+
+
+@register(
+    "vocab_divergence",
+    f"""
+    WITH d AS (SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS toks
+               FROM documents WHERE n_chars > 0),
+    tok AS (SELECT source, unnest(toks) AS term FROM d),
+    counts AS (SELECT source, term, CAST(count(*) AS DOUBLE) AS n
+               FROM tok GROUP BY source, term),
+    top AS (SELECT term FROM (SELECT term, sum(n) AS c FROM counts GROUP BY term)
+            ORDER BY c DESC, term ASC LIMIT {VOCAB_V}),
+    tot AS (SELECT source, sum(n) AS tot FROM counts GROUP BY source),
+    in_top AS (SELECT c.source, c.term, c.n FROM counts c JOIN top USING (term)),
+    other AS (SELECT t.source, '{OTHER_TERM}' AS term,
+                     t.tot - coalesce(s.top_n, 0) AS n
+              FROM tot t LEFT JOIN (SELECT source, sum(n) AS top_n
+                                    FROM in_top GROUP BY source) s USING (source)),
+    terms AS (SELECT term FROM top UNION ALL SELECT '{OTHER_TERM}'),
+    grid AS (SELECT s.source, te.term
+             FROM (SELECT source FROM tot) s CROSS JOIN terms te),
+    dist AS (SELECT g.source, g.term, coalesce(u.n, 0) AS n
+             FROM grid g LEFT JOIN (SELECT * FROM in_top
+                                    UNION ALL SELECT * FROM other) u
+                  USING (source, term)),
+    p AS (SELECT dist.source, dist.term, dist.n / tot.tot AS p
+          FROM dist JOIN tot USING (source))
+    SELECT a.source AS source_a, b.source AS source_b,
+           round(sum(CASE WHEN a.p > 0
+                          THEN 0.5 * a.p * ln(a.p / ((a.p + b.p) / 2))
+                          ELSE 0 END
+                   + CASE WHEN b.p > 0
+                          THEN 0.5 * b.p * ln(b.p / ((a.p + b.p) / 2))
+                          ELSE 0 END), 6) AS jsd,
+           CAST(sum(CASE WHEN a.p > 0 AND b.p > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shared
+    FROM p a JOIN p b ON a.term = b.term AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+    "pairwise SOURCE-SIMILARITY matrix for mixture design: the "
+    "Jensen-Shannon divergence between every two sources' unigram "
+    f"distributions over the global top-{VOCAB_V} vocabulary (tail "
+    "mass folded into one OTHER bucket so every distribution sums to "
+    "1 exactly), plus the count of top terms both sources use. The "
+    "drift gates answer 'did THIS source move vs the rest'; this "
+    "answers the mixture owner's other question — WHICH sources are "
+    "near-duplicates of each other in vocabulary space (candidates "
+    "for down-weighting before temperature_mixture) and which carry "
+    "unique mass. JSD over the shared midpoint m=(p+q)/2 is bounded "
+    "in [0, ln 2], symmetric, and never divides by zero (terms where "
+    "p=0 contribute nothing by the 0*ln0=0 convention — expressed as "
+    "an explicit CASE on both engines). Scale shape: ONE tokenize "
+    "pass into a map-side-combined (source, term) count — the only "
+    "corpus-sized work, vocabulary-sized output — then the global "
+    f"top-{VOCAB_V} is a TakeOrdered over the term rollup of that "
+    "aggregate, and ALL divergence arithmetic runs on the bounded "
+    f"(sources x {VOCAB_V + 1}) grid; the pair join is "
+    f"(sources^2 x {VOCAB_V + 1})/2 rows, still bounded at any corpus "
+    "size. Cross-engine exact: probabilities are rationals of "
+    "integral-double counts, tie-broken deterministic top-V (count "
+    "desc, term asc), one ln per grid cell, 6dp round absorbing the "
+    "re-associated 257-term sum.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    tok = d.select(
+        "source", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    return vocab_divergence_frame(tok)
+
+
+def vocab_divergence_frame(tok: DataFrame, v: int = VOCAB_V) -> DataFrame:
+    """(source_a, source_b, jsd, n_shared) JSD matrix over a
+    (source, term) token stream — split out so planted-vocabulary
+    tests (and any tokenization: words, BPE pieces, char n-grams) feed
+    the same machinery."""
+    spark = tok.sparkSession
+    # one-scan rule: the vocabulary-sized (source, term) aggregate is
+    # the ONLY corpus-sized work and feeds the top-V rollup, the
+    # per-source totals, and the distribution grid — materialize it
+    counts = (
+        tok.groupBy("source", "term")
+        .agg(F.count("*").cast("double").alias("n"))
+        .localCheckpoint()
+    )
+    top = (
+        counts.groupBy("term")
+        .agg(F.sum("n").alias("c"))
+        .orderBy(F.desc("c"), F.asc("term"))
+        .limit(v)
+        .select("term")
+    )
+    tot = counts.groupBy("source").agg(F.sum("n").alias("tot"))
+    in_top = counts.join(F.broadcast(top), "term").select("source", "term", "n")
+    other = (
+        tot.join(
+            in_top.groupBy("source").agg(F.sum("n").alias("top_n")),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            F.lit(OTHER_TERM).alias("term"),
+            (F.col("tot") - F.coalesce("top_n", F.lit(0.0))).alias("n"),
+        )
+    )
+    terms = top.unionAll(spark.createDataFrame([(OTHER_TERM,)], "term string"))
+    # sources x (V+1) literal grid: zero-count cells must exist so the
+    # pair join sees every term on both sides
+    grid = tot.select("source").crossJoin(F.broadcast(terms))
+    dist = (
+        grid.join(in_top.unionByName(other), ["source", "term"], "left")
+        .select("source", "term", F.coalesce("n", F.lit(0.0)).alias("n"))
+        .join(tot, "source")
+        .select("source", "term", (F.col("n") / F.col("tot")).alias("p"))
+    )
+    a = dist.select(
+        F.col("source").alias("source_a"), "term", F.col("p").alias("pa")
+    )
+    b = dist.select(
+        F.col("source").alias("source_b"), "term", F.col("p").alias("pb")
+    )
+    m = (F.col("pa") + F.col("pb")) / F.lit(2.0)
+    contrib = F.when(
+        F.col("pa") > 0, F.lit(0.5) * F.col("pa") * F.log(F.col("pa") / m)
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("pb") > 0, F.lit(0.5) * F.col("pb") * F.log(F.col("pb") / m)
+    ).otherwise(F.lit(0.0))
+    pairs = a.join(b, "term").filter(F.col("source_a") < F.col("source_b"))
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.round(F.sum(contrib), 6).alias("jsd"),
+        F.sum(((F.col("pa") > 0) & (F.col("pb") > 0)).cast("int"))
+        .cast("bigint")
+        .alias("n_shared"),
+    )

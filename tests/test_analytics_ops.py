@@ -457,3 +457,59 @@ def test_chisq_lang_drift_single_source_null(spark):
     rows = chisq_drift_frame(d).collect()
     assert len(rows) == 1 and rows[0].n_docs == 50
     assert rows[0].chisq_vs_rest is None and rows[0].dof == 1
+
+
+def test_vocab_divergence_planted(spark):
+    """JSD invariants beyond the hash gate: identical unigram
+    distributions score exactly 0 with full top-term overlap; disjoint
+    vocabularies score exactly ln 2 (the JSD maximum, 0.693147 at 6dp)
+    with zero overlap; every registry pair sits in [0, ln 2]."""
+    from eurovision_spark.catalog import registry
+    from eurovision_spark.operators.textstats import vocab_divergence_frame
+
+    rows = registry()["vocab_divergence"].fn(spark, SF).collect()
+    n_src = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter("n_chars > 0")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_src * (n_src - 1) // 2
+    assert all(0.0 <= r.jsd <= 0.693148 for r in rows)
+
+    same = [("a", t) for t in ["x", "y", "y", "z"] * 50] + [
+        ("b", t) for t in ["x", "y", "y", "z"] * 50
+    ]
+    d = spark.createDataFrame(same, "source string, term string")
+    got = vocab_divergence_frame(d).collect()
+    assert len(got) == 1
+    assert got[0].jsd == 0.0 and got[0].n_shared == 3
+
+    disjoint = [("a", t) for t in ["x", "y"] * 100] + [
+        ("b", t) for t in ["u", "v", "w"] * 50
+    ]
+    d2 = spark.createDataFrame(disjoint, "source string, term string")
+    got2 = vocab_divergence_frame(d2).collect()
+    assert got2[0].jsd == 0.693147 and got2[0].n_shared == 0
+
+
+def test_vocab_divergence_other_bucket(spark):
+    """Top-V truncation folds tail mass into the OTHER bucket: with
+    v=2, two sources sharing only their tail still meet in OTHER (one
+    shared cell), and the distributions still sum to 1 (jsd stays
+    within [0, ln 2])."""
+    from eurovision_spark.operators.textstats import vocab_divergence_frame
+
+    data = (
+        [("a", "x")] * 100 + [("a", "tail1")] * 10
+        + [("b", "y")] * 100 + [("b", "tail2")] * 10
+    )
+    d = spark.createDataFrame(data, "source string, term string")
+    got = vocab_divergence_frame(d, v=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    # top-2 = {x, y} (disjoint); tail1/tail2 both land in OTHER -> the
+    # only shared cell is OTHER, so n_shared counts exactly it
+    assert r.n_shared == 1
+    assert 0.0 < r.jsd <= 0.693148

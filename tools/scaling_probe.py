@@ -70,6 +70,7 @@ QUERIES = [
     ("temperature_mixture", "count agg + broadcast-rate hash sample", True),
     ("psi_drift", "smoothed PSI on the shared (source, bin) grid", True),
     ("chisq_lang_drift", "categorical chi-square: one (source, lang) count", True),
+    ("vocab_divergence", "vocab-sized (source, term) count + bounded JSD grid", True),
 ]
 
 
