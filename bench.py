@@ -107,6 +107,8 @@ HEADLINE = [
     "psi_drift",
     "chisq_lang_drift",
     "vocab_divergence",
+    "ccnet_buckets",
+    "dsir_weights",
 ]
 
 

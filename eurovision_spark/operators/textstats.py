@@ -2003,3 +2003,194 @@ def vocab_divergence_frame(tok: DataFrame, v: int = VOCAB_V) -> DataFrame:
         .cast("bigint")
         .alias("n_shared"),
     )
+
+
+@register(
+    "ccnet_buckets",
+    """
+    WITH d AS (SELECT doc_id, source,
+                      string_split_regex(trim(lower(text)), '\\s+') AS toks
+               FROM documents WHERE n_chars > 0),
+    tok AS (SELECT doc_id, source, unnest(toks) AS term FROM d),
+    freq AS (SELECT term, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY term),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq),
+    scored AS (
+        SELECT tok.doc_id, tok.source,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(ln(freq.c / tot.n)), 4) AS avg_logprob
+        FROM tok JOIN freq USING (term) CROSS JOIN tot
+        GROUP BY tok.doc_id, tok.source)
+    SELECT doc_id, source, n_tokens, avg_logprob,
+           CASE ntile(3) OVER (PARTITION BY source
+                               ORDER BY avg_logprob DESC, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM scored
+    """,
+    "CCNet-style quality bucketing (Wenzek et al. 2020): every "
+    "document labeled head / middle / tail by per-source tercile of "
+    "its LM score (the unigram_logprob statistic — higher mean "
+    "log-probability = more in-distribution = head), the partition "
+    "CCNet publishes per language and downstream pipelines consume "
+    "('keep head+middle', 'sample tail at 10%'). Per-doc output so it "
+    "composes as a selector input (corpus_select / token_budget_select "
+    "shapes). One-scan discipline (the bigram_logprob pattern): the "
+    "tokenize pass feeds BOTH the vocabulary counts and the probe "
+    "stream, so the per-doc token arrays are localCheckpointed once "
+    "and the documents parquet scans ONCE. Scale shape: the vocab "
+    "count is map-side combined and BROADCASTs back; the per-doc mean "
+    "pre-aggregates in-partition so the score exchange moves one "
+    "narrow row per document; the tercile window then sorts only "
+    "(doc_id, score) pairs within each source. At cluster scale with "
+    "a dominant source, the exact per-source ntile sort is the one "
+    "skew-sensitive stage — a production run swaps it for two "
+    "approx-quantile thresholds (percentile_approx cut points, "
+    "compared per-row, no sort) at the cost of estimate semantics; "
+    "the exact form is registered because it is cross-engine "
+    "hash-verifiable. Determinism: terciles order by the ROUNDED "
+    "score (identical doubles both engines) with doc_id tie-break, "
+    "and ntile's equal-fill remainder rule matches across engines.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    # one-scan rule: tokenize feeds the vocabulary AND the probe stream
+    # — materialize the per-doc token arrays, not the exploded stream
+    toked = d.select(
+        "doc_id", "source", tokens(F.lower(F.col("text"))).alias("_toks")
+    ).localCheckpoint()
+    tok = toked.select("doc_id", "source", F.explode("_toks").alias("term"))
+    freq = tok.groupBy("term").agg(F.count("*").cast("double").alias("c"))
+    tot = freq.agg(F.sum("c").alias("n"))
+    scored = (
+        tok.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4).alias("avg_logprob"),
+        )
+    )
+    nt = F.ntile(3).over(
+        W.partitionBy("source").orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
+    )
+    bucket = (
+        F.when(nt == 1, F.lit("head"))
+        .when(nt == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.select(
+        "doc_id", "source", "n_tokens", "avg_logprob", bucket.alias("bucket")
+    )
+
+
+DSIR_BUCKETS = 256  # hashed-unigram feature space (Xie et al. 2023 use 10k; 256 keeps the planted tests readable)
+DSIR_ALPHA = 0.5  # Laplace smoothing per bucket
+DSIR_TARGET_LANG = "en"  # the target-domain stand-in in this corpus
+
+
+@register(
+    "dsir_weights",
+    f"""
+    WITH d AS (SELECT doc_id, lang,
+                      string_split_regex(trim(lower(text)), '\\s+') AS toks
+               FROM documents WHERE n_chars > 0),
+    tok AS (SELECT doc_id, lang,
+                   {md5_long_sql('term')} % {DSIR_BUCKETS} AS b
+            FROM (SELECT doc_id, lang, unnest(toks) AS term FROM d)),
+    raw AS (SELECT b, CAST(count(*) AS DOUBLE) AS nq FROM tok GROUP BY b),
+    tgt AS (SELECT b, CAST(count(*) AS DOUBLE) AS nt FROM tok
+            WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
+    tots AS (SELECT (SELECT sum(nq) FROM raw) AS tq,
+                    (SELECT coalesce(sum(nt), 0) FROM tgt) AS tt),
+    grid AS (SELECT unnest(generate_series(0, {DSIR_BUCKETS - 1})) AS b),
+    ratio AS (SELECT g.b,
+                     ln((coalesce(t.nt, 0) + {DSIR_ALPHA})
+                        / (tots.tt + {DSIR_BUCKETS * DSIR_ALPHA}))
+                   - ln((coalesce(r.nq, 0) + {DSIR_ALPHA})
+                        / (tots.tq + {DSIR_BUCKETS * DSIR_ALPHA})) AS lr
+              FROM grid g LEFT JOIN raw r USING (b) LEFT JOIN tgt t USING (b)
+                   CROSS JOIN tots)
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(ratio.lr), 4) AS log_weight
+    FROM tok JOIN ratio USING (b)
+    GROUP BY tok.doc_id
+    """,
+    "DSIR example-level data selection (Xie et al. 2023, 'Data "
+    "Selection for Language Models via Importance Resampling'): each "
+    "document's importance log-weight toward a TARGET domain — here "
+    f"the '{DSIR_TARGET_LANG}' slice — under hashed-unigram bag-of-"
+    f"words models: tokens hash into {DSIR_BUCKETS} buckets (the "
+    "engine's 60-bit md5_long, identical both engines), the target "
+    "and raw corpus each get a Laplace-smoothed bucket distribution, "
+    "and a doc's weight is the sum over its tokens of "
+    "ln(p_target/p_raw). Sampling docs proportional to exp(weight) "
+    "reshapes the raw corpus toward the target domain — the "
+    "example-level complement of temperature_mixture's source-level "
+    "rebalancing (and of ccnet_buckets' model-based terciles: DSIR "
+    "needs only the target SAMPLE, no trained LM). One-scan "
+    "discipline: the tokenize pass feeds the raw counts, the target "
+    "counts, and the probe stream — the per-doc token arrays "
+    "localCheckpoint once and documents parquet scans ONCE. Scale "
+    f"shape: both distributions are {DSIR_BUCKETS}-row bounded "
+    "aggregates (map-side combined) that BROADCAST back as one "
+    "log-ratio table; the per-doc sum pre-aggregates in-partition so "
+    "the final exchange moves one row per document. Cross-engine "
+    "exact: integral-double counts, one ln pair per bucket, per-doc "
+    "4dp round absorbing the re-associated token sum.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    # one-scan rule: tokenize feeds raw counts, target counts, and the
+    # probe stream — materialize the per-doc token arrays once
+    toked = d.select(
+        "doc_id", "lang", tokens(F.lower(F.col("text"))).alias("_toks")
+    ).localCheckpoint()
+    spark_b = (md5_long(F.col("term")) % DSIR_BUCKETS).alias("b")
+    tok = toked.select(
+        "doc_id", "lang", F.explode("_toks").alias("term")
+    ).select("doc_id", "lang", spark_b)
+    raw = tok.groupBy("b").agg(F.count("*").cast("double").alias("nq"))
+    tgt = (
+        tok.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count("*").cast("double").alias("nt"))
+    )
+    # totals fold out of the bounded bucket aggregates, never a second
+    # corpus pass; the full bucket grid keeps zero-count buckets (their
+    # smoothed ratio still applies to any token hashing there)
+    tots = raw.agg(F.sum("nq").alias("tq")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("nt"), F.lit(0.0)).alias("tt"))
+    )
+    grid = toked.sparkSession.range(DSIR_BUCKETS).select(
+        F.col("id").cast("bigint").alias("b")
+    )
+    smooth = F.lit(DSIR_BUCKETS * DSIR_ALPHA)
+    ratio = (
+        grid.join(raw, "b", "left")
+        .join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce("nt", F.lit(0.0)) + F.lit(DSIR_ALPHA))
+                    / (F.col("tt") + smooth)
+                )
+                - F.log(
+                    (F.coalesce("nq", F.lit(0.0)) + F.lit(DSIR_ALPHA))
+                    / (F.col("tq") + smooth)
+                )
+            ).alias("lr"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("lr"), 4).alias("log_weight"),
+        )
+    )

@@ -513,3 +513,53 @@ def test_vocab_divergence_other_bucket(spark):
     # only shared cell is OTHER, so n_shared counts exactly it
     assert r.n_shared == 1
     assert 0.0 < r.jsd <= 0.693148
+
+
+def test_ccnet_buckets_tercile_invariants(spark):
+    """CCNet bucketing invariants beyond the hash gate: per source the
+    three buckets are balanced within one document (ntile's equal-fill
+    rule), the score bands are ordered head >= middle >= tail (ties at
+    a boundary may touch, never cross), and every scored document gets
+    exactly one label."""
+    from collections import defaultdict
+
+    from eurovision_spark.catalog import registry
+
+    rows = registry()["ccnet_buckets"].fn(spark, SF).collect()
+    assert rows and all(r.bucket in ("head", "middle", "tail") for r in rows)
+
+    per = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        per[r.source][r.bucket].append(r.avg_logprob)
+    for source, buckets in per.items():
+        sizes = [len(buckets[b]) for b in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1, (source, sizes)
+        assert min(buckets["head"]) >= max(buckets["middle"]), source
+        assert min(buckets["middle"]) >= max(buckets["tail"]), source
+
+
+def test_dsir_weights_target_separation(spark):
+    """DSIR invariant beyond the hash gate: documents FROM the target
+    slice must score a higher mean importance log-weight than any
+    other language's documents (their tokens populate the target
+    buckets), every doc gets exactly one weight, and all weights are
+    finite."""
+    import math
+    from collections import defaultdict
+
+    from eurovision_spark.catalog import registry
+    from eurovision_spark.operators.textstats import DSIR_TARGET_LANG
+
+    rows = registry()["dsir_weights"].fn(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter("n_chars > 0")
+    assert len(rows) == docs.count()
+    assert all(math.isfinite(r.log_weight) and r.n_tokens > 0 for r in rows)
+
+    lang_of = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    per = defaultdict(list)
+    for r in rows:
+        # normalize by length: raw DSIR sums scale with n_tokens
+        per[lang_of[r.doc_id]].append(r.log_weight / r.n_tokens)
+    means = {lang: sum(v) / len(v) for lang, v in per.items()}
+    tgt = means.pop(DSIR_TARGET_LANG)
+    assert all(tgt > m for m in means.values()), means

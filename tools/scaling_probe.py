@@ -71,6 +71,8 @@ QUERIES = [
     ("psi_drift", "smoothed PSI on the shared (source, bin) grid", True),
     ("chisq_lang_drift", "categorical chi-square: one (source, lang) count", True),
     ("vocab_divergence", "vocab-sized (source, term) count + bounded JSD grid", True),
+    ("ccnet_buckets", "one-tokenize LM scoring + per-source tercile window", True),
+    ("dsir_weights", "bounded bucket distributions broadcast as one ratio table", True),
 ]
 
 
