@@ -109,6 +109,7 @@ HEADLINE = [
     "vocab_divergence",
     "ccnet_buckets",
     "dsir_weights",
+    "kcenter_prototypes",
 ]
 
 

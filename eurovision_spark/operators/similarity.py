@@ -1813,3 +1813,169 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dot(F.col("v"), lit) - F.lit(b), 6).alias(f"pc{j + 1}")
         )
     return raw.select(*out)
+
+
+# ---------------------------------------------------------------------------
+# k-center diversity coreset: greedy farthest-point prototypes + coverage
+# ---------------------------------------------------------------------------
+
+KC_K = 16  # prototype count
+KC_SAMPLE = 1024  # bounded greedy sample (driver transfer cap, like IVF_SAMPLE)
+_KC_ORDER_SQL = md5_long_sql("concat('kc-', CAST(vec_id AS VARCHAR))") + ", vec_id"
+
+
+def kc_sample(sf_dir: str) -> list[tuple[int, list[float]]]:
+    """The deterministic md5-ordered ≤1024-vector greedy sample with ids,
+    read driver-side with DuckDB — the oracle builder's path; the Spark
+    query collects the SAME rows via TakeOrdered."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM read_parquet('{sf_dir}/embeddings.parquet')
+        WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+        ORDER BY {_KC_ORDER_SQL}
+        LIMIT {KC_SAMPLE}
+        """
+    ).fetchall()
+    con.close()
+    return [(int(r[0]), r[1]) for r in rows]
+
+
+def kcenter_greedy(
+    rows: list[tuple[int, list[float]]], k: int = KC_K
+) -> list[tuple[int, int, list[float]]]:
+    """Greedy farthest-point (2-approximation of the k-center optimum,
+    Gonzalez 1985) over cosine distance: start from the first sample
+    row (deterministic md5 order), then repeatedly add the point least
+    similar to its nearest already-chosen prototype. Ties resolve to
+    the earliest sample index (numpy argmin is first-occurrence), so
+    the selection is fully deterministic — the Spark query and the
+    oracle builder run this SAME helper on the SAME sample and get
+    identical float literals. Returns [(rank, vec_id, raw_vector)]."""
+    import numpy as np
+
+    ids = [r[0] for r in rows]
+    m = np.asarray([r[1] for r in rows], dtype=np.float64)
+    u = m / np.sqrt((m * m).sum(axis=1))[:, None]
+    sel = [0]
+    best = u @ u[0]
+    for _ in range(1, min(k, len(rows))):
+        nxt = int(np.argmin(best))
+        sel.append(nxt)
+        best = np.maximum(best, u @ u[nxt])
+    return [(rank, ids[s], [float(x) for x in m[s]]) for rank, s in enumerate(sel)]
+
+
+def _kc_oracle(sf_dir: str) -> str:
+    """Dynamic oracle: prototypes are data-derived, so the SQL inlines
+    them as literals (repr round-trips float64 exactly — the _ivf_oracle
+    pattern)."""
+    protos = kcenter_greedy(kc_sample(sf_dir))
+    values = ",\n          ".join(
+        f"({rank}, {pid}, [{', '.join(repr(x) for x in v)}]::DOUBLE[])"
+        for rank, pid, v in protos
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nv
+               FROM embeddings
+               WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+    proto_vals(proto_id, proto_vec_id, pv) AS (
+        VALUES {values}),
+    p AS (SELECT proto_id, proto_vec_id, pv,
+                 sqrt(list_dot_product(pv, pv)) AS np
+          FROM proto_vals),
+    assigned AS (
+        SELECT e.vec_id, p.proto_id, p.proto_vec_id,
+               list_dot_product(e.v, p.pv) / (e.nv * p.np) AS cos,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, p.pv) / (e.nv * p.np) DESC,
+                            p.proto_id) AS rn
+        FROM e CROSS JOIN p)
+    SELECT CAST(proto_id AS BIGINT) AS proto_id,
+           CAST(proto_vec_id AS BIGINT) AS proto_vec_id,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           round(avg(cos), 6) AS mean_cos,
+           round(min(cos), 6) AS min_cos
+    FROM assigned WHERE rn = 1
+    GROUP BY proto_id, proto_vec_id
+    """
+
+
+@register(
+    "kcenter_prototypes",
+    _kc_oracle,
+    "diversity coreset selection (greedy k-center / farthest-point, "
+    "Gonzalez 1985 — the geometric coverage objective coreset-based "
+    "active learning and data-pruning use, Sener & Savarese 2018): "
+    f"{KC_K} prototypes chosen greedily so every embedding is close "
+    "to SOME prototype, then the whole corpus assigned to its nearest "
+    "prototype with per-prototype coverage stats (n_assigned, mean "
+    "cosine, min cosine = the cell's worst-covered point). Completes "
+    "the selection family along the third axis: temperature_mixture "
+    "rebalances SOURCES, dsir_weights matches a target DISTRIBUTION, "
+    "this maximizes geometric DIVERSITY. Scale shape: the greedy runs "
+    f"driver-side on a bounded md5-ordered {KC_SAMPLE}-row TakeOrdered "
+    "sample (the IVF-codebook discipline — never a corpus collect), "
+    "prototypes ship as ONE broadcast LocalRelation row, and the "
+    "assignment is a per-row argmax over that array — one corpus pass, "
+    f"no shuffle beyond the {KC_K}-group final aggregate. Cross-engine "
+    "exact: both engines assign against the same inlined float64 "
+    "literals (repr round-trip), argmax ties break to the smaller "
+    "proto_id on both (array_max struct == row_number desc), stats "
+    "round at 6dp.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def kcenter_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .filter(l2norm(F.col("v")) > 0)
+    )
+    key = md5_long(F.concat(F.lit("kc-"), F.col("vec_id").cast("string")))
+    sample = (
+        raw.orderBy(key.asc(), F.col("vec_id").asc())
+        .limit(KC_SAMPLE)
+        .select("vec_id", "v")
+        .collect()
+    )
+    protos = kcenter_greedy([(r.vec_id, r.v) for r in sample])
+    proto_row = spark.createDataFrame(
+        [(book_rows((rank, v) for rank, _, v in protos),)],
+        "protos array<struct<cent_id:bigint,cv:array<double>,ncv:double>>",
+    )
+    e = (
+        raw.repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("nv", l2norm(F.col("v")))
+        .crossJoin(F.broadcast(proto_row))
+    )
+    # per-row argmax over the prototype array: array_max on
+    # struct(sim, -proto_id) == row_number()=1 under (sim DESC, id ASC)
+    sims = F.transform(
+        F.col("protos"),
+        lambda c: F.struct(
+            (dot(F.col("v"), c.cv) / (F.col("nv") * c.ncv)).alias("sim"),
+            (-c.cent_id).alias("neg_id"),
+        ),
+    )
+    best = F.array_max(sims)
+    assigned = e.select(
+        (-best["neg_id"]).cast("bigint").alias("proto_id"),
+        best["sim"].alias("cos"),
+    )
+    agg = assigned.groupBy("proto_id").agg(
+        F.count("*").cast("bigint").alias("n_assigned"),
+        F.round(F.avg("cos"), 6).alias("mean_cos"),
+        F.round(F.min("cos"), 6).alias("min_cos"),
+    )
+    meta = spark.createDataFrame(
+        [(rank, pid) for rank, pid, _ in protos],
+        "proto_id bigint, proto_vec_id bigint",
+    )
+    return agg.join(F.broadcast(meta), "proto_id").select(
+        "proto_id", "proto_vec_id", "n_assigned", "mean_cos", "min_cos"
+    )

@@ -363,3 +363,41 @@ def test_knn_classify_ivf_agrees_with_brute_force_on_clusters(spark, tmp_path):
         assert r.correct == 1 and r.pred_label == r.true_label
         assert r.pred_label == bf[pid].pred_label
         assert r.n_votes == bf[pid].n_votes == 5
+
+
+def test_kcenter_greedy_planted_clusters():
+    """Greedy farthest-point invariant: with two tight, well-separated
+    direction clusters and k=2, the two prototypes come one from each
+    cluster (the second pick is always the farthest point from the
+    first), regardless of which cluster seeds the greedy."""
+    from eurovision_spark.operators.similarity import kcenter_greedy
+
+    a = [(i, [1.0, 0.001 * i, 0.0]) for i in range(10)]  # cluster along +x
+    b = [(100 + i, [0.0, 0.001 * i, 1.0]) for i in range(10)]  # along +z
+    protos = kcenter_greedy(a + b, k=2)
+    picked = {pid for _, pid, _ in protos}
+    assert len(picked) == 2
+    assert any(p < 100 for p in picked) and any(p >= 100 for p in picked)
+
+
+def test_kcenter_prototypes_coverage_invariants(spark):
+    """Corpus-level invariants: every nonzero-norm embedding assigns to
+    exactly one of the 16 prototypes (counts sum to the corpus), each
+    prototype covers itself (min_cos <= mean_cos <= 1 + rounding), and
+    the prototype ids are a subset of real vec_ids."""
+    from eurovision_spark.catalog import registry
+
+    rows = registry()["kcenter_prototypes"].fn(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 16
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    from eurovision_spark.operators.similarity import as_double, l2norm
+    from pyspark.sql import functions as F2
+
+    nonzero = emb.filter(
+        l2norm(as_double(F2.col("embedding"))) > 0
+    ).count()
+    assert sum(r.n_assigned for r in rows) == nonzero
+    for r in rows:
+        assert r.proto_vec_id in ids
+        assert r.min_cos <= r.mean_cos <= 1.000001, r

@@ -73,6 +73,7 @@ QUERIES = [
     ("vocab_divergence", "vocab-sized (source, term) count + bounded JSD grid", True),
     ("ccnet_buckets", "one-tokenize LM scoring + per-source tercile window", True),
     ("dsir_weights", "bounded bucket distributions broadcast as one ratio table", True),
+    ("kcenter_prototypes", "bounded greedy sample + broadcast-argmax assignment", True),
 ]
 
 
