@@ -1854,7 +1854,7 @@ def kcenter_greedy(
     the earliest sample index (numpy argmin is first-occurrence), so
     the selection is fully deterministic — the Spark query and the
     oracle builder run this SAME helper on the SAME sample and get
-    identical float literals. Returns [(rank, vec_id, raw_vector)]."""
+    identical float literals. Returns [(rank, vec_id, raw_vector)] — fewer than k entries when the sample degenerates to duplicates of the chosen prototypes (added prototypes would cover nothing)."""
     import numpy as np
 
     ids = [r[0] for r in rows]
@@ -1864,6 +1864,12 @@ def kcenter_greedy(
     best = u @ u[0]
     for _ in range(1, min(k, len(rows))):
         nxt = int(np.argmin(best))
+        if nxt in sel:
+            # argmin landed on a chosen prototype: every remaining
+            # point coincides with one (best == 1 everywhere) — more
+            # prototypes add no coverage, stop early rather than pick
+            # a duplicate (hypothesis-found degenerate input)
+            break
         sel.append(nxt)
         best = np.maximum(best, u @ u[nxt])
     return [(rank, ids[s], [float(x) for x in m[s]]) for rank, s in enumerate(sel)]

@@ -2055,10 +2055,14 @@ def vocab_divergence_frame(tok: DataFrame, v: int = VOCAB_V) -> DataFrame:
 def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     # one-scan rule: tokenize feeds the vocabulary AND the probe stream
-    # — materialize the per-doc token arrays, not the exploded stream
-    toked = d.select(
-        "doc_id", "source", tokens(F.lower(F.col("text"))).alias("_toks")
-    ).localCheckpoint()
+    # — materialize the per-doc token arrays, not the exploded stream.
+    # Repartition the narrow input first (the doc_profile discipline):
+    # coarse parquet splits otherwise serialize the tokenize pass
+    toked = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "source", tokens(F.lower(F.col("text"))).alias("_toks"))
+        .localCheckpoint()
+    )
     tok = toked.select("doc_id", "source", F.explode("_toks").alias("term"))
     freq = tok.groupBy("term").agg(F.count("*").cast("double").alias("c"))
     tot = freq.agg(F.sum("c").alias("n"))
@@ -2131,8 +2135,10 @@ DSIR_TARGET_LANG = "en"  # the target-domain stand-in in this corpus
     "rebalancing (and of ccnet_buckets' model-based terciles: DSIR "
     "needs only the target SAMPLE, no trained LM). One-scan "
     "discipline: the tokenize pass feeds the raw counts, the target "
-    "counts, and the probe stream — the per-doc token arrays "
-    "localCheckpoint once and documents parquet scans ONCE. Scale "
+    "counts, and the probe stream — the per-doc BUCKET-ID arrays "
+    "(tokens pre-hashed inside the checkpoint job, so no consumer "
+    "re-pays the md5) localCheckpoint once and documents parquet "
+    "scans ONCE. Scale "
     f"shape: both distributions are {DSIR_BUCKETS}-row bounded "
     "aggregates (map-side combined) that BROADCAST back as one "
     "log-ratio table; the per-doc sum pre-aggregates in-partition so "
@@ -2144,14 +2150,27 @@ DSIR_TARGET_LANG = "en"  # the target-domain stand-in in this corpus
 def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     # one-scan rule: tokenize feeds raw counts, target counts, and the
-    # probe stream — materialize the per-doc token arrays once
-    toked = d.select(
-        "doc_id", "lang", tokens(F.lower(F.col("text"))).alias("_toks")
-    ).localCheckpoint()
-    spark_b = (md5_long(F.col("term")) % DSIR_BUCKETS).alias("b")
-    tok = toked.select(
-        "doc_id", "lang", F.explode("_toks").alias("term")
-    ).select("doc_id", "lang", spark_b)
+    # probe stream — materialize the per-doc BUCKET-ID arrays once.
+    # Two deliberate choices the x10 scaling sweep forced: (a) the
+    # narrow input repartitions before the heavy per-row map (the
+    # doc_profile discipline — coarse parquet splits otherwise serialize
+    # the md5 work), and (b) the md5-per-token hashing happens INSIDE
+    # the checkpointed frame, so each of the three consumers explodes
+    # cheap bigints instead of re-hashing every token (measured 18.7x
+    # at the 10x tier before, ~linear after)
+    toked = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            "lang",
+            F.transform(
+                tokens(F.lower(F.col("text"))),
+                lambda t: md5_long(t) % DSIR_BUCKETS,
+            ).alias("_bs"),
+        )
+        .localCheckpoint()
+    )
+    tok = toked.select("doc_id", "lang", F.explode("_bs").alias("b"))
     raw = tok.groupBy("b").agg(F.count("*").cast("double").alias("nq"))
     tgt = (
         tok.filter(F.col("lang") == DSIR_TARGET_LANG)

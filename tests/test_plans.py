@@ -913,3 +913,18 @@ def test_r8_analytics_scan_once_and_bounded(spark, name):
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)) == 0, plan
     assert "ExistingRDD" in plan  # the checkpointed leaf
     assert "CartesianProduct" not in plan
+
+
+def test_kcenter_assignment_scan_once_and_bounded_exchanges(spark):
+    """kcenter_prototypes' corpus-side claim: after the bounded sample
+    collect (its own jobs), the ASSIGNMENT plan reads the embeddings
+    parquet exactly once, carries the prototypes as a broadcast
+    LocalRelation (no cartesian product), and the only hash exchange is
+    the 16-group final aggregate on proto_id."""
+    plan = plan_of(spark, "kcenter_prototypes")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)) == 1, plan
+    assert "CartesianProduct" not in plan
+    keys = [
+        line for line in plan.splitlines() if "Arguments: hashpartitioning" in line
+    ]
+    assert keys and all("proto_id" in line for line in keys), keys

@@ -324,3 +324,44 @@ def test_typo_blocking_is_lossless_vs_brute_force(spark, names):
         if lev(names[i], names[j]) <= 1
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-1, 1, allow_nan=False, allow_infinity=False),
+            st.floats(-1, 1, allow_nan=False, allow_infinity=False),
+            st.floats(-1, 1, allow_nan=False, allow_infinity=False),
+        ).filter(lambda v: sum(x * x for x in v) > 1e-6),
+        min_size=3,
+        max_size=40,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_kcenter_greedy_properties(vecs):
+    """Greedy k-center invariants on arbitrary nonzero 3-vectors: the
+    selected prototypes are distinct sample rows; coverage (the worst
+    point's similarity to its nearest prototype) never DECREASES as k
+    grows — each added prototype can only improve the farthest point."""
+    import numpy as np
+
+    from eurovision_spark.operators.similarity import kcenter_greedy
+
+    rows = [(i, list(v)) for i, v in enumerate(vecs)]
+    m = np.asarray([v for _, v in rows], dtype=np.float64)
+    u = m / np.sqrt((m * m).sum(axis=1))[:, None]
+
+    def coverage(protos):
+        idx = [pid for _, pid, _ in protos]  # vec_id == sample index here
+        sims = u @ u[idx].T
+        return sims.max(axis=1).min()
+
+    prev = None
+    for k in (1, 2, 3):
+        protos = kcenter_greedy(rows, k=min(k, len(rows)))
+        ids = [pid for _, pid, _ in protos]
+        assert len(ids) == len(set(ids))  # distinct picks
+        cov = coverage(protos)
+        if prev is not None:
+            assert cov >= prev - 1e-12
+        prev = cov
