@@ -215,6 +215,17 @@ def main() -> None:
             "algorithm). RE-SET: the bar for this box is 'warm minimum "
             "within 1.5x of the 9-job scheduling floor', which the "
             "measurements above meet.\n"
+            "- **dsir_weights (r08, sweep-caught and fixed)**: the first "
+            "probe of this op read 18.7x at the 10x tier (10.8s) — the "
+            "md5-per-token hashing ran inside the x10 parquet's few "
+            "coarse input splits AND re-ran in each of the three "
+            "consumers of the tokenize pass. Fix: repartition the "
+            "narrow input before the heavy per-row map (the doc_profile "
+            "discipline) and pre-hash the bucket ids INSIDE the "
+            "checkpointed leaf so consumers explode cheap bigints "
+            "(measured x10 warm 10.8s -> 2.3s, oracle hashes "
+            "unchanged). ccnet_buckets took the same repartition "
+            "(1.8s -> 1.4s). The row above shows the fixed plan.\n"
         )
     print(f"SCALING.md written ({len(rows)} queries)")
 
