@@ -1367,3 +1367,129 @@ def stream_drift_gate(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+CHISQ_ALERT_PER_DOF = 10.0  # chi-square per degree of freedom above this flags
+
+
+def stream_lang_gate(
+    spark: SparkSession,
+    docs_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    cat: str = "lang",
+) -> StreamingQuery:
+    """Streaming CATEGORICAL twin of the intake drift gate — the
+    composition-flip check the numeric grids cannot express: every
+    arriving micro-batch's ``cat`` mix (language by default; any
+    categorical document column) is compared by two-sample chi-square
+    (the operators/textstats.chisq_lang_drift formulation, batch vs
+    landed baseline) BEFORE the batch folds in, and one ledger row per
+    batch records the statistic, its degrees of freedom, and the alert
+    (chi-square per dof above CHISQ_ALERT_PER_DOF). A crawl slice that
+    keeps its length and token profiles but silently flips language
+    composition (wrong parser locale, a proxy rerouting a domain)
+    passes stream_drift_gate on every numeric marginal and fires only
+    here.
+
+    Same store/replay discipline as stream_drift_gate:
+
+    - ``cat_batches/`` (batch_key, cat, n) — each batch's bounded
+      category histogram under the deterministic ``drift_batch_key``;
+    - ``lang_ledger/`` (batch_key, n_docs, chisq_vs_baseline, dof,
+      alert) — one decision row per distinct batch.
+
+    Per batch the ONLY batch-sized work is one partial/final category
+    count (<= distinct-categories rows out); the baseline is the keyed
+    sum of all OTHER batches' stored histograms, so an at-least-once
+    replay excludes itself BY KEY, recomputes the identical statistic,
+    and both first-wins upserts no-op. The first batch has no
+    baseline: statistic and dof are null, alert 0. Expectations on the
+    full-join category grid are strictly positive (a grid row exists
+    only where the batch or the baseline has mass, and both totals are
+    positive once a baseline exists), so no zero denominator."""
+    import os
+
+    from eurovision_spark.sinks import upsert_parquet
+
+    cat_dir = os.path.join(store_dir, "cat_batches")
+    ledger_dir = os.path.join(store_dir, "lang_ledger")
+
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(docs_dir)
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", F.col(cat).alias("_cat"))
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        keyed = batch_df.select("doc_id", "_cat")
+        n_docs, batch_key = drift_batch_key(keyed)
+        if not n_docs:
+            return
+        counts = (
+            keyed.groupBy("_cat")
+            .agg(F.count("*").cast("double").alias("n"))
+            .localCheckpoint()
+        )
+        base = _read_store_or_empty(
+            spark, cat_dir, "batch_key string, cat string, n double"
+        ).filter(F.col("batch_key") != batch_key)
+        base_counts = base.groupBy("cat").agg(F.sum("n").alias("n"))
+        if base_counts.isEmpty():
+            chisq_val, dof, alert = None, None, 0
+        else:
+            b = counts.select(F.col("_cat").alias("cat"), F.col("n").alias("nb"))
+            a = base_counts.select("cat", F.col("n").alias("na"))
+            g = (
+                b.join(a, "cat", "full")
+                .select(
+                    "cat",
+                    F.coalesce("nb", F.lit(0.0)).alias("nb"),
+                    F.coalesce("na", F.lit(0.0)).alias("na"),
+                )
+                .select(
+                    "nb",
+                    "na",
+                    F.sum("nb").over(W.partitionBy()).alias("tb"),
+                    F.sum("na").over(W.partitionBy()).alias("ta"),
+                )
+            )
+            t = F.col("nb") + F.col("na")
+            tot = F.col("tb") + F.col("ta")
+            e_b = t * F.col("tb") / tot
+            e_a = t * F.col("ta") / tot
+            term = (F.col("nb") - e_b) * (F.col("nb") - e_b) / e_b + (
+                F.col("na") - e_a
+            ) * (F.col("na") - e_a) / e_a
+            row = g.agg(
+                F.round(F.sum(term), 6).alias("chisq"), F.count("*").alias("k")
+            ).first()
+            chisq_val, dof = row.chisq, int(row.k) - 1
+            alert = int(
+                chisq_val is not None
+                and chisq_val > CHISQ_ALERT_PER_DOF * max(dof, 1)
+            )
+        ledger_row = spark.createDataFrame(
+            [(batch_key, n_docs, chisq_val, dof, alert)],
+            "batch_key string, n_docs bigint, chisq_vs_baseline double, "
+            "dof int, alert int",
+        )
+        upsert_parquet(ledger_row, ledger_dir, ["batch_key"], keep="existing")
+        upsert_parquet(
+            counts.select(
+                F.lit(batch_key).alias("batch_key"),
+                F.col("_cat").alias("cat"),
+                "n",
+            ),
+            cat_dir,
+            ["batch_key", "cat"],
+            keep="existing",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

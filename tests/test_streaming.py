@@ -1294,3 +1294,69 @@ def test_drift_batch_key_is_64_bit_and_survives_32_bit_collisions(spark):
     assert drift_batch_key(mk([7, 7]))[1] != drift_batch_key(mk([7]))[1]
     # empty batch degrades explicitly
     assert drift_batch_key(mk([]).filter(F.lit(False)))[0] == 0
+
+
+def test_stream_lang_gate_alerts_and_is_replay_stable(spark, tmp_path):
+    """The categorical intake gate: same-language-mix batches pass
+    (low chi-square, no alert), a batch that flips to a language the
+    baseline never saw alarms — while its LENGTH profile matches, so
+    the numeric gate would stay silent — and an at-least-once replay
+    changes neither the ledger nor the stored category histograms."""
+    import shutil
+
+    from eurovision_spark.streaming.ingest import stream_lang_gate
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    store = tmp_path / "store"
+
+    def wave(name, rows):
+        spark.createDataFrame(
+            rows, "doc_id bigint, lang string, n_chars int"
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = next((tmp_path / name).glob("part-*.parquet"))
+        shutil.copy(part, docs_dir / f"{name}.parquet")
+
+    def mix(base_id, langs):
+        return [(base_id + i, langs[i % len(langs)], 100 + (i % 7)) for i in range(300)]
+
+    wave("w1", mix(0, ["en", "de"]))
+    q = stream_lang_gate(spark, str(docs_dir), str(store), str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+        wave("w2", mix(1000, ["en", "de"]))
+        q.processAllAvailable()
+        wave("w3", mix(2000, ["zz"]))  # same lengths, flipped language
+        q.processAllAvailable()
+        ledger_before = sorted(
+            map(tuple, spark.read.parquet(str(store / "lang_ledger")).collect())
+        )
+        hist_before = sorted(
+            map(tuple, spark.read.parquet(str(store / "cat_batches")).collect())
+        )
+        shutil.copy(docs_dir / "w3.parquet", docs_dir / "w3_replay.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = sorted(
+        spark.read.parquet(str(store / "lang_ledger")).collect(),
+        key=lambda r: (
+            r.chisq_vs_baseline is not None,
+            r.chisq_vs_baseline or -1,
+        ),
+    )
+    assert len(rows) == 3
+    first, second, third = rows
+    assert first.chisq_vs_baseline is None and first.dof is None and first.alert == 0
+    assert second.alert == 0 and second.chisq_vs_baseline < 10.0  # same mix
+    assert third.alert == 1 and third.dof == 2  # en, de, zz on the grid
+    assert third.chisq_vs_baseline > 100.0  # exclusive language fires hard
+
+    # replay mutated nothing
+    assert ledger_before == sorted(
+        map(tuple, spark.read.parquet(str(store / "lang_ledger")).collect())
+    )
+    assert hist_before == sorted(
+        map(tuple, spark.read.parquet(str(store / "cat_batches")).collect())
+    )
