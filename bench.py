@@ -110,6 +110,7 @@ HEADLINE = [
     "ccnet_buckets",
     "dsir_weights",
     "kcenter_prototypes",
+    "selection_pipeline",
 ]
 
 

@@ -354,10 +354,10 @@ def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "dedup_survivors",
-    MINHASH_SIG_SQL
-    + """,
+# the survivorship ranking CTEs, shared verbatim by the dedup_survivors
+# oracle and the composed selection_pipeline oracle (operators/pipeline.py)
+# so both stay aligned with the Spark decision by construction
+SURVIVOR_RANK_SQL = """,
     q AS (
         SELECT doc_id,
                CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
@@ -376,6 +376,14 @@ def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
                                          ORDER BY diversity DESC, doc_id) AS survivor_id,
                count(*) OVER (PARTITION BY band_sig) AS n_members
         FROM b0)
+"""
+
+
+@register(
+    "dedup_survivors",
+    MINHASH_SIG_SQL
+    + SURVIVOR_RANK_SQL
+    + """
     SELECT CAST(doc_id AS BIGINT) AS dropped_id,
            CAST(survivor_id AS BIGINT) AS survivor_id,
            CAST(n_members AS BIGINT) AS n_members

@@ -841,3 +841,130 @@ def digest_delta(d1: DataFrame, d2: DataFrame) -> DataFrame:
         "old_digest",
         "new_digest",
     )
+
+
+SEL_TAIL_PCT = 10  # CCNet-style keep policy: head+middle fully, tail sampled
+
+
+def _selection_oracle() -> str:
+    from eurovision_spark.operators.dedup import (
+        MINHASH_SIG_SQL,
+        NEAR_COPY_OFFSET,
+        SURVIVOR_RANK_SQL,
+    )
+
+    return (
+        MINHASH_SIG_SQL
+        + SURVIVOR_RANK_SQL
+        + f""",
+    dropped AS (SELECT doc_id FROM ranked WHERE rn > 1),
+    sv AS (SELECT * FROM docs
+           WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+    src AS (SELECT doc_id AS orig_id, source FROM documents WHERE n_chars > 0),
+    svs AS (SELECT sv.doc_id, src.source, sv.text
+            FROM sv JOIN src
+              ON src.orig_id = CASE WHEN sv.doc_id >= {NEAR_COPY_OFFSET}
+                                    THEN sv.doc_id - {NEAR_COPY_OFFSET}
+                                    ELSE sv.doc_id END),
+    tok AS (SELECT doc_id, source,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+            FROM svs),
+    freq AS (SELECT term, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY term),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq),
+    scored AS (
+        SELECT tok.doc_id, tok.source,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(ln(freq.c / tot.n)), 4) AS avg_logprob
+        FROM tok JOIN freq USING (term) CROSS JOIN tot
+        GROUP BY tok.doc_id, tok.source),
+    bucketed AS (
+        SELECT *, CASE ntile(3) OVER (PARTITION BY source
+                                      ORDER BY avg_logprob DESC, doc_id)
+                       WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+                  END AS bucket
+        FROM scored)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source, n_tokens, avg_logprob, bucket
+    FROM bucketed
+    WHERE bucket <> 'tail'
+       OR {md5_long_sql("concat('sel-', CAST(doc_id AS VARCHAR))")} % 100 < {SEL_TAIL_PCT}
+    """
+    )
+
+
+@register(
+    "selection_pipeline",
+    _selection_oracle(),
+    "the curation stages COMPOSED end-to-end — the 'build the training "
+    "corpus' pass a pipeline actually ships, mirroring dedup_pipeline's "
+    "composition role for the selection tier: (1) near-dup SURVIVORSHIP "
+    "over the planted-copies corpus (the dedup_survivors decision — "
+    "highest-diversity member per LSH bucket survives, the shared "
+    "SURVIVOR_RANK_SQL keeps both engines' drop list aligned by "
+    "construction), (2) survivors mapped back to their source (copies "
+    "inherit the original's), (3) unigram-LM scoring trained on the "
+    "DEDUPED corpus (dedup-before-stats: duplicate mass would bias the "
+    "model toward its own copies), (4) CCNet head/middle/tail terciles "
+    "per source, (5) the keep policy: head+middle fully, tail sampled "
+    f"at {SEL_TAIL_PCT}% by the bit-reproducible md5 threshold "
+    "(mixture_sample's rule). Output is the training-corpus MANIFEST: "
+    "selected (doc_id, source, n_tokens, avg_logprob, bucket) rows, "
+    "re-derivable bit-for-bit from the raw corpus for an audit. Scale "
+    "shape: each stage keeps its certified standalone plan (banded "
+    "signatures, id-only anti join, narrow source map join, one-scan "
+    "tokenize via a checkpointed leaf, bounded vocab broadcast, "
+    "per-source tercile window of narrow rows, per-row hash gate).",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eurovision_spark.operators.dedup import (
+        NEAR_COPY_OFFSET,
+        dedup_survivors,
+        docs_with_copies,
+    )
+
+    docs = docs_with_copies(spark, sf_dir)
+    dropped = dedup_survivors(spark, sf_dir).select(
+        F.col("dropped_id").alias("doc_id")
+    )
+    sv = docs.join(dropped, "doc_id", "left_anti")
+    src = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("orig_id"), "source"
+    )
+    orig = F.when(
+        F.col("doc_id") >= NEAR_COPY_OFFSET, F.col("doc_id") - NEAR_COPY_OFFSET
+    ).otherwise(F.col("doc_id"))
+    svs = sv.select("doc_id", orig.alias("orig_id"), "text").join(src, "orig_id")
+    # LM stats over SURVIVORS, one-scan discipline (ccnet_buckets)
+    toked = (
+        svs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "source", tokens(F.lower(F.col("text"))).alias("_toks"))
+        .localCheckpoint()
+    )
+    tok = toked.select("doc_id", "source", F.explode("_toks").alias("term"))
+    freq = tok.groupBy("term").agg(F.count("*").cast("double").alias("c"))
+    tot = freq.agg(F.sum("c").alias("n"))
+    scored = (
+        tok.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4).alias("avg_logprob"),
+        )
+    )
+    nt = F.ntile(3).over(
+        W.partitionBy("source").orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
+    )
+    bucket = (
+        F.when(nt == 1, F.lit("head"))
+        .when(nt == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    bucketed = scored.select(
+        "doc_id", "source", "n_tokens", "avg_logprob", bucket.alias("bucket")
+    )
+    keep = (F.col("bucket") != "tail") | (
+        md5_long(F.concat(F.lit("sel-"), F.col("doc_id").cast("string"))) % 100
+        < SEL_TAIL_PCT
+    )
+    return bucketed.filter(keep)

@@ -885,3 +885,32 @@ def test_simhash_pairs_radius_and_planted_floor(spark):
     # appended token flips only margin<=1 vote bits; short docs fall
     # outside the radius); gate at 0.4 with headroom for corpus drift
     assert planted / n_src >= 0.4, (planted, n_src)
+
+
+def test_selection_pipeline_composition_invariants(spark):
+    """The composed curation pass beyond the hash gate: no dropped
+    near-dup ever reaches the manifest; head and middle survive in
+    full (tercile sizes), tail only at the ~10% hash rate; every
+    selected row carries a real source and a bucket label."""
+    from collections import Counter
+
+    from eurovision_spark.catalog import registry
+
+    sel = registry()["selection_pipeline"].fn(spark, SF).collect()
+    assert sel and all(r.bucket in ("head", "middle", "tail") for r in sel)
+
+    dropped = {
+        r.dropped_id for r in registry()["dedup_survivors"].fn(spark, SF).collect()
+    }
+    assert not ({r.doc_id for r in sel} & dropped)
+
+    by_bucket = Counter(r.bucket for r in sel)
+    # terciles are ~equal, so full head+middle dwarf the 10%-sampled tail
+    assert by_bucket["tail"] < 0.25 * by_bucket["head"]
+    assert abs(by_bucket["head"] - by_bucket["middle"]) <= 20  # per-source ±1 each
+
+    sources = {
+        r.source
+        for r in spark.read.parquet(f"{SF}/documents.parquet").select("source").collect()
+    }
+    assert all(r.source in sources for r in sel)

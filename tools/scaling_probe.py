@@ -74,6 +74,7 @@ QUERIES = [
     ("ccnet_buckets", "one-tokenize LM scoring + per-source tercile window", True),
     ("dsir_weights", "bounded bucket distributions broadcast as one ratio table", True),
     ("kcenter_prototypes", "bounded greedy sample + broadcast-argmax assignment", True),
+    ("selection_pipeline", "survivorship anti join + deduped LM scoring + keep gate", True),
 ]
 
 
