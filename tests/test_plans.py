@@ -899,7 +899,14 @@ def test_mad_outliers_sample_is_group_limited_and_stats_broadcast(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["psi_drift", "chisq_lang_drift", "vocab_divergence", "ccnet_buckets", "dsir_weights"],
+    [
+        "psi_drift",
+        "chisq_lang_drift",
+        "vocab_divergence",
+        "ccnet_buckets",
+        "dsir_weights",
+        "selection_pipeline",
+    ],
 )
 def test_r8_analytics_scan_once_and_bounded(spark, name):
     """Scan-once pins for the round-8 analytics tier (the discipline
