@@ -912,8 +912,10 @@ def _selection_oracle() -> str:
     "shape: each stage keeps its certified standalone plan (banded "
     "signatures, id-only anti join, narrow source map join, one-scan "
     "tokenize via a checkpointed leaf, bounded vocab broadcast, "
-    "per-source tercile window of narrow rows, per-row hash gate).",
-    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+    "per-source tercile window of narrow rows, per-row hash gate). "
+    "DRIVER-facing (r08): took anti_join's slot — that row's evidence "
+    "was an empty result set, while this one hash-certifies the whole "
+    "composed selection tier.",
 )
 def selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eurovision_spark.operators.dedup import (

@@ -738,6 +738,12 @@ def nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reference's intersect-only engine cannot express (toexcel.py:108-115 "
     "only intersects). Same shuffle shape as the semi-join; Catalyst "
     "broadcasts the smaller side.",
+    # r08: slot ceded to selection_pipeline — this row's CORRECTNESS
+    # evidence was an empty result (every customer has orders at driver
+    # sf), and the EXCEPT semantics stay driver-certified through
+    # set_ops' except arm (COVERAGE.md twin table); the query itself
+    # remains registry-gated (verify_local + pytest at sf0.001/0.01)
+    driver=False,
 )
 def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
