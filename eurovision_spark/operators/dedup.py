@@ -521,6 +521,17 @@ PAIR_BROADCAST_LIMIT = 2_000_000
 # exchange-free and only the s2 equi-join shuffles).
 PAIR_PAYLOAD_BROADCAST_LIMIT = 50_000
 
+# Byte-level guard on the payload tier (r08 review finding): the pair
+# COUNT alone cannot bound the broadcast when each s1 row carries a
+# whole shingle set — 50k pairs of tens-of-KB sets is a ~1 GB driver
+# collect the count valve would wave through. The tier therefore also
+# caps pairs x payload_row_bytes at a fixed budget; callers that know
+# their payload width (short name strings, bounded signatures) pass a
+# smaller hint to re-widen the tier, and the default assumes the
+# shingle-set shape this module actually broadcasts.
+PAYLOAD_BROADCAST_BYTES = 64 << 20
+PAYLOAD_ROW_BYTES_HINT = 4_096
+
 
 def adaptive_verify_join(
     s1: DataFrame,
@@ -529,6 +540,7 @@ def adaptive_verify_join(
     limit: int | None = None,
     k1: str = "doc_id_1",
     k2: str = "doc_id_2",
+    payload_row_bytes: int = PAYLOAD_ROW_BYTES_HINT,
 ) -> DataFrame:
     """Join the per-doc verify sides onto a candidate pair list with a
     DENSITY-ADAPTIVE strategy: the pair list is materialized once
@@ -571,7 +583,8 @@ def adaptive_verify_join(
     pairs = pairs.localCheckpoint(eager=False)
     bound = PAIR_BROADCAST_LIMIT if limit is None else limit
     n = pairs.count()
-    if n <= min(bound, PAIR_PAYLOAD_BROADCAST_LIMIT):
+    payload_cap = max(1, PAYLOAD_BROADCAST_BYTES // max(payload_row_bytes, 1))
+    if n <= min(bound, PAIR_PAYLOAD_BROADCAST_LIMIT, payload_cap):
         out = s2.join(enriched(pairs), k2).select(
             *pairs.columns, *[c for c in s1.columns if c != k1],
             *[c for c in s2.columns if c != k2],

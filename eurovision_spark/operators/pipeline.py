@@ -852,6 +852,7 @@ def _selection_oracle() -> str:
         NEAR_COPY_OFFSET,
         SURVIVOR_RANK_SQL,
     )
+    from eurovision_spark.operators.textstats import ccnet_score_sql
 
     return (
         MINHASH_SIG_SQL
@@ -866,23 +867,7 @@ def _selection_oracle() -> str:
               ON src.orig_id = CASE WHEN sv.doc_id >= {NEAR_COPY_OFFSET}
                                     THEN sv.doc_id - {NEAR_COPY_OFFSET}
                                     ELSE sv.doc_id END),
-    tok AS (SELECT doc_id, source,
-                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
-            FROM svs),
-    freq AS (SELECT term, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY term),
-    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq),
-    scored AS (
-        SELECT tok.doc_id, tok.source,
-               CAST(count(*) AS BIGINT) AS n_tokens,
-               round(avg(ln(freq.c / tot.n)), 4) AS avg_logprob
-        FROM tok JOIN freq USING (term) CROSS JOIN tot
-        GROUP BY tok.doc_id, tok.source),
-    bucketed AS (
-        SELECT *, CASE ntile(3) OVER (PARTITION BY source
-                                      ORDER BY avg_logprob DESC, doc_id)
-                       WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
-                  END AS bucket
-        FROM scored)
+    {ccnet_score_sql("svs").strip().rstrip()}
     SELECT CAST(doc_id AS BIGINT) AS doc_id, source, n_tokens, avg_logprob, bucket
     FROM bucketed
     WHERE bucket <> 'tail'
@@ -936,35 +921,13 @@ def selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") >= NEAR_COPY_OFFSET, F.col("doc_id") - NEAR_COPY_OFFSET
     ).otherwise(F.col("doc_id"))
     svs = sv.select("doc_id", orig.alias("orig_id"), "text").join(src, "orig_id")
-    # LM stats over SURVIVORS, one-scan discipline (ccnet_buckets)
-    toked = (
-        svs.repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", "source", tokens(F.lower(F.col("text"))).alias("_toks"))
-        .localCheckpoint()
-    )
-    tok = toked.select("doc_id", "source", F.explode("_toks").alias("term"))
-    freq = tok.groupBy("term").agg(F.count("*").cast("double").alias("c"))
-    tot = freq.agg(F.sum("c").alias("n"))
-    scored = (
-        tok.join(F.broadcast(freq), "term")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4).alias("avg_logprob"),
-        )
-    )
-    nt = F.ntile(3).over(
-        W.partitionBy("source").orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
-    )
-    bucket = (
-        F.when(nt == 1, F.lit("head"))
-        .when(nt == 2, F.lit("middle"))
-        .otherwise(F.lit("tail"))
-    )
-    bucketed = scored.select(
-        "doc_id", "source", "n_tokens", "avg_logprob", bucket.alias("bucket")
-    )
+    # LM stats + terciles over SURVIVORS: the SHARED ccnet machinery
+    # (ccnet_bucket_frame — one refactored implementation, so the
+    # scoring cannot diverge between the standalone op and this
+    # composition; its oracle twin is ccnet_score_sql)
+    from eurovision_spark.operators.textstats import ccnet_bucket_frame
+
+    bucketed = ccnet_bucket_frame(svs)
     keep = (F.col("bucket") != "tail") | (
         md5_long(F.concat(F.lit("sel-"), F.col("doc_id").cast("string"))) % 100
         < SEL_TAIL_PCT

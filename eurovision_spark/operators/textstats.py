@@ -2005,13 +2005,16 @@ def vocab_divergence_frame(tok: DataFrame, v: int = VOCAB_V) -> DataFrame:
     )
 
 
-@register(
-    "ccnet_buckets",
-    """
-    WITH d AS (SELECT doc_id, source,
-                      string_split_regex(trim(lower(text)), '\\s+') AS toks
-               FROM documents WHERE n_chars > 0),
-    tok AS (SELECT doc_id, source, unnest(toks) AS term FROM d),
+def ccnet_score_sql(src_cte: str) -> str:
+    """The CCNet scoring + tercile CTE chain over any (doc_id, source,
+    text) CTE — shared verbatim by the ccnet_buckets oracle and the
+    composed selection_pipeline oracle (operators/pipeline.py), so a
+    change to the scoring (smoothing, rounding, tie-break) cannot
+    silently diverge the two (the SURVIVOR_RANK_SQL discipline)."""
+    return f"""
+    tok AS (SELECT doc_id, source,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+            FROM {src_cte}),
     freq AS (SELECT term, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY term),
     tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq),
     scored AS (
@@ -2019,14 +2022,21 @@ def vocab_divergence_frame(tok: DataFrame, v: int = VOCAB_V) -> DataFrame:
                CAST(count(*) AS BIGINT) AS n_tokens,
                round(avg(ln(freq.c / tot.n)), 4) AS avg_logprob
         FROM tok JOIN freq USING (term) CROSS JOIN tot
-        GROUP BY tok.doc_id, tok.source)
-    SELECT doc_id, source, n_tokens, avg_logprob,
-           CASE ntile(3) OVER (PARTITION BY source
-                               ORDER BY avg_logprob DESC, doc_id)
-                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
-           END AS bucket
-    FROM scored
-    """,
+        GROUP BY tok.doc_id, tok.source),
+    bucketed AS (
+        SELECT *, CASE ntile(3) OVER (PARTITION BY source
+                                      ORDER BY avg_logprob DESC, doc_id)
+                       WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+                  END AS bucket
+        FROM scored)
+"""
+
+
+@register(
+    "ccnet_buckets",
+    "WITH ccin AS (SELECT doc_id, source, text FROM documents "
+    "WHERE n_chars > 0)," + ccnet_score_sql("ccin")
+    + "SELECT doc_id, source, n_tokens, avg_logprob, bucket FROM bucketed",
     "CCNet-style quality bucketing (Wenzek et al. 2020): every "
     "document labeled head / middle / tail by per-source tercile of "
     "its LM score (the unigram_logprob statistic — higher mean "
@@ -2054,10 +2064,19 @@ def vocab_divergence_frame(tok: DataFrame, v: int = VOCAB_V) -> DataFrame:
 )
 def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    # one-scan rule: tokenize feeds the vocabulary AND the probe stream
-    # — materialize the per-doc token arrays, not the exploded stream.
-    # Repartition the narrow input first (the doc_profile discipline):
-    # coarse parquet splits otherwise serialize the tokenize pass
+    return ccnet_bucket_frame(d)
+
+
+def ccnet_bucket_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, source, text) -> (doc_id, source, n_tokens,
+    avg_logprob, bucket) — the CCNet scoring + tercile machinery,
+    shared with selection_pipeline (its Spark twin of ccnet_score_sql).
+    One-scan rule: tokenize feeds the vocabulary AND the probe stream,
+    so the per-doc token arrays are localCheckpointed once (never the
+    exploded stream); the narrow input repartitions first (the
+    doc_profile discipline — coarse parquet splits otherwise serialize
+    the tokenize pass)."""
+    spark = d.sparkSession
     toked = (
         d.repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", "source", tokens(F.lower(F.col("text"))).alias("_toks"))

@@ -1286,6 +1286,17 @@ def stream_drift_gate(
     ledger_dir = os.path.join(store_dir, "drift_ledger")
     val = F.col(value) if isinstance(value, str) else value
     w = float(width) if width is not None else KS_W
+    # r08 review finding: the binned VALUE and WIDTH define the grid's
+    # semantics — histograms from different (value, width) configs must
+    # never merge into one baseline, and a config change must not let a
+    # replay freeze a stale ledger row. The grid tag rides in the batch
+    # key (so ledger + histogram keys are config-scoped) and the
+    # baseline filters to ITS grid only, so one store_dir can safely
+    # carry several watched marginals side by side.
+    import hashlib
+
+    _val_repr = value if isinstance(value, str) else str(value)
+    grid_tag = hashlib.md5(f"{_val_repr}|{w}".encode()).hexdigest()[:8]
 
     schema = spark.read.parquet(docs_dir).schema
     stream = (
@@ -1306,6 +1317,7 @@ def stream_drift_gate(
         n_docs, batch_key = drift_batch_key(keyed)
         if not n_docs:
             return
+        batch_key = f"{batch_key}-g{grid_tag}"
         counts = (
             keyed.groupBy("bin")
             .agg(F.count("*").cast("double").alias("n"))
@@ -1315,7 +1327,10 @@ def stream_drift_gate(
         # replayed batch excludes itself and recomputes identically)
         base = _read_store_or_empty(
             spark, hist_dir, "batch_key string, bin bigint, n double"
-        ).filter(F.col("batch_key") != batch_key)
+        ).filter(
+            (F.col("batch_key") != batch_key)
+            & F.col("batch_key").endswith(f"-g{grid_tag}")
+        )
         base_counts = base.groupBy("bin").agg(F.sum("n").alias("n"))
         if base_counts.isEmpty():
             ks_val, alert = None, 0
@@ -1415,12 +1430,23 @@ def stream_lang_gate(
     cat_dir = os.path.join(store_dir, "cat_batches")
     ledger_dir = os.path.join(store_dir, "lang_ledger")
 
+    import hashlib
+
+    cat_tag = hashlib.md5(cat.encode()).hexdigest()[:8]
+
     schema = spark.read.parquet(docs_dir).schema
     stream = (
         spark.readStream.schema(schema)
         .parquet(docs_dir)
         .filter(F.col("n_chars") > 0)
-        .select("doc_id", F.col(cat).alias("_cat"))
+        # null-safe category (r08 review finding): a NULL category must
+        # be ONE grid cell on both sides — the full join below uses
+        # non-null-safe equality, so an un-coalesced NULL would split
+        # into two maximal-drift rows and fire a spurious alert
+        .select(
+            "doc_id",
+            F.coalesce(F.col(cat).cast("string"), F.lit("<null>")).alias("_cat"),
+        )
     )
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
@@ -1428,6 +1454,10 @@ def stream_lang_gate(
         n_docs, batch_key = drift_batch_key(keyed)
         if not n_docs:
             return
+        # the watched column is part of the store's semantics (the
+        # numeric gate's grid-tag rule): keys scope to it, the baseline
+        # filters to it, so one store_dir can watch several columns
+        batch_key = f"{batch_key}-c{cat_tag}"
         counts = (
             keyed.groupBy("_cat")
             .agg(F.count("*").cast("double").alias("n"))
@@ -1435,7 +1465,10 @@ def stream_lang_gate(
         )
         base = _read_store_or_empty(
             spark, cat_dir, "batch_key string, cat string, n double"
-        ).filter(F.col("batch_key") != batch_key)
+        ).filter(
+            (F.col("batch_key") != batch_key)
+            & F.col("batch_key").endswith(f"-c{cat_tag}")
+        )
         base_counts = base.groupBy("cat").agg(F.sum("n").alias("n"))
         if base_counts.isEmpty():
             chisq_val, dof, alert = None, None, 0

@@ -935,3 +935,69 @@ def test_kcenter_assignment_scan_once_and_bounded_exchanges(spark):
         line for line in plan.splitlines() if "Arguments: hashpartitioning" in line
     ]
     assert keys and all("proto_id" in line for line in keys), keys
+
+
+def test_payload_tier_byte_guard_demotes_wide_rows(spark):
+    """r08 review finding: the payload-broadcast tier must bound BYTES,
+    not just pair count — 50k pairs of tens-of-KB shingle sets is a
+    ~1 GB broadcast the count valve alone would wave through. Forcing
+    a huge payload_row_bytes hint on a tiny candidate set must demote
+    the verify to the bare-pair tier (id pairs broadcast, the s2 join
+    shuffled-hash) with row-identical results."""
+    from pyspark.sql import functions as F2
+
+    import eurovision_spark.operators.dedup as dd
+
+    rows = [(i, " ".join(f"w{i % 5}x{j}" for j in range(12))) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def run(payload_row_bytes):
+        sets = docs.select(
+            "doc_id",
+            F2.array_distinct(
+                F2.transform(
+                    dd.shingles(dd.tokens(F2.lower(F2.col("text")))), dd.md5_long
+                )
+            ).alias("hs"),
+        )
+        sig = sets.select(
+            "doc_id", dd.minhash_from_hashes(F2.col("hs")).alias("minhashes")
+        )
+        pairs = dd._lsh_candidate_pairs(sig)
+        s1 = sets.select(F2.col("doc_id").alias("doc_id_1"), F2.col("hs").alias("hs1"))
+        s2 = sets.select(F2.col("doc_id").alias("doc_id_2"), F2.col("hs").alias("hs2"))
+        out = dd.adaptive_verify_join(
+            s1, pairs, s2, payload_row_bytes=payload_row_bytes
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        got = sorted((r.doc_id_1, r.doc_id_2) for r in out.collect())
+        return buf.getvalue(), got
+
+    plan_payload, got_payload = run(dd.PAYLOAD_ROW_BYTES_HINT)
+    assert "ShuffledHashJoin" not in plan_payload  # zero-exchange tier
+
+    plan_wide, got_wide = run(1 << 30)  # 1 GB/row hint -> payload_cap = 0-ish
+    assert "ShuffledHashJoin" in plan_wide  # demoted: s2 join shuffles
+    assert got_wide == got_payload  # identical results either way
+
+
+def test_pair_count_hint_survives_the_edge_chain(spark):
+    """r08 review finding: the measured candidate count rides the edge
+    frame as a private attribute (_sg_n_pairs) so cc_edge_list can skip
+    its own sizing job — an invisible perf contract: dropping it
+    anywhere in adaptive_verify_join -> near_edges_plan ->
+    verified_near_edges would silently re-pay a count job per query
+    with no behavioral change. Pin that the hint ARRIVES, typed and
+    positive, so a refactor that loses it fails loudly."""
+    from eurovision_spark.operators.dedup import (
+        copies_shingle_sets,
+        verified_near_edges,
+    )
+
+    sets = copies_shingle_sets(spark, SF_DIR)
+    edges = verified_near_edges(None, sets=sets)
+    sets.unpersist()
+    hint = getattr(edges, "_sg_n_pairs", None)
+    assert isinstance(hint, int) and hint > 0, hint

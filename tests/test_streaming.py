@@ -1360,3 +1360,86 @@ def test_stream_lang_gate_alerts_and_is_replay_stable(spark, tmp_path):
     assert hist_before == sorted(
         map(tuple, spark.read.parquet(str(store / "cat_batches")).collect())
     )
+
+
+def test_stream_lang_gate_null_category_is_one_cell(spark, tmp_path):
+    """r08 review finding: lang=NULL must behave as ONE category on
+    both sides of the grid. Two batches with the identical en/NULL mix
+    must score near-zero chi-square with dof=1 (two cells: en, <null>)
+    and no alert — an un-coalesced NULL would split into two
+    maximal-drift rows and fire."""
+    import shutil
+
+    from eurovision_spark.streaming.ingest import stream_lang_gate
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+
+    def wave(name, base_id):
+        rows = [
+            (base_id + i, "en" if i % 2 else None, 100 + (i % 7))
+            for i in range(200)
+        ]
+        spark.createDataFrame(
+            rows, "doc_id bigint, lang string, n_chars int"
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = next((tmp_path / name).glob("part-*.parquet"))
+        shutil.copy(part, docs_dir / f"{name}.parquet")
+
+    wave("w1", 0)
+    q = stream_lang_gate(spark, str(docs_dir), str(tmp_path / "store"), str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+        wave("w2", 1000)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.read.parquet(str(tmp_path / "store" / "lang_ledger")).collect()
+    scored = [r for r in rows if r.chisq_vs_baseline is not None]
+    assert len(scored) == 1
+    assert scored[0].dof == 1  # en + <null>, one cell each
+    assert scored[0].chisq_vs_baseline < 1.0 and scored[0].alert == 0
+
+
+def test_stream_drift_gate_grids_share_a_store(spark, tmp_path):
+    """r08 review finding: two gates with different (value, width)
+    grids over the SAME store_dir must keep separate baselines — the
+    second grid's first batch has nothing of ITS OWN to drift from
+    (statistic null), instead of comparing against the other grid's
+    incompatible bins."""
+    import shutil
+
+    from eurovision_spark.streaming.ingest import stream_drift_gate
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    store = tmp_path / "store"
+
+    def wave(name, rows):
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, n_chars int"
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = next((tmp_path / name).glob("part-*.parquet"))
+        shutil.copy(part, docs_dir / f"{name}.parquet")
+
+    wave("w1", [(i, "x", 100 + (i % 7)) for i in range(200)])
+    q1 = stream_drift_gate(spark, str(docs_dir), str(store), str(tmp_path / "ck1"))
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+
+    # same store, different grid (width): its first batch must see NO
+    # baseline even though hist_batches already has the other grid's rows
+    q2 = stream_drift_gate(
+        spark, str(docs_dir), str(store), str(tmp_path / "ck2"), width=2.0
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    rows = spark.read.parquet(str(store / "drift_ledger")).collect()
+    assert len(rows) == 2  # one ledger row per grid for the same batch
+    assert all(r.ks_vs_baseline is None and r.alert == 0 for r in rows)
