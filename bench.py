@@ -111,6 +111,7 @@ HEADLINE = [
     "dsir_weights",
     "kcenter_prototypes",
     "selection_pipeline",
+    "embedding_drift",
 ]
 
 

@@ -1985,3 +1985,98 @@ def kcenter_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.join(F.broadcast(meta), "proto_id").select(
         "proto_id", "proto_vec_id", "n_assigned", "mean_cos", "min_cos"
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space drift: per-label centroid vs rest-of-corpus centroid
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_drift",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings
+               WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+    dim_ix AS (SELECT unnest(generate_series(1, (SELECT max(len(v)) FROM e))) AS d),
+    comp AS (SELECT e.label, dim_ix.d, e.v[dim_ix.d] AS val
+             FROM e CROSS JOIN dim_ix),
+    sums AS (SELECT label, d, sum(val) AS s, CAST(count(*) AS DOUBLE) AS n
+             FROM comp GROUP BY label, d),
+    tots AS (SELECT d, sum(s) AS ts, sum(n) AS tn FROM sums GROUP BY d),
+    cents AS (SELECT sums.label, sums.d,
+                     sums.s / sums.n AS c,
+                     CASE WHEN tots.tn = sums.n THEN NULL
+                          ELSE (tots.ts - sums.s) / (tots.tn - sums.n) END AS r,
+                     sums.n
+              FROM sums JOIN tots USING (d))
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(any_value(n) AS BIGINT) AS n_vecs,
+           round(sum(c * r) / (sqrt(sum(c * c)) * sqrt(sum(r * r))), 6)
+               AS cos_vs_rest
+    FROM cents GROUP BY label
+    """,
+    "EMBEDDING-SPACE drift monitor — the modality gate that completes "
+    "the suite (length, token count, language mix, PSI, and now the "
+    "representation itself): per label, the cosine between its "
+    "centroid and the REST-of-corpus centroid. A slice whose "
+    "embeddings drift (a changed encoder version, a poisoned source, "
+    "a domain shift the text gates miss because tokens look normal) "
+    "pulls its centroid away from the rest — low cosine = the slice "
+    "occupies its own region; cosine near 1 = mixes with everything "
+    "(also the honest report that near-isotropic corpora show high "
+    "values everywhere: centroids of random slices all point near the "
+    "data mean). Scale shape: ONE corpus pass into a partial/final "
+    "(label, dim) sum — at most labels x dims rows shuffle per map "
+    "task (the posexplode never leaves its partition unaggregated) — "
+    "and every centroid/cosine step runs on that bounded grid; the "
+    "rest-centroid folds out of the same aggregate (total minus own), "
+    "never a second pass. Single-label corpus: no rest side, NULL "
+    "statistic (the drift-gate convention), never a zero denominator. "
+    "Cross-engine exact: per-(label, dim) sums are the one "
+    "re-associated quantity and the final cosine rounds at 6dp.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", as_double(F.col("embedding")).alias("v"))
+        .filter(l2norm(F.col("v")) > 0)
+    )
+    return embedding_drift_frame(e)
+
+
+def embedding_drift_frame(e: DataFrame) -> DataFrame:
+    """(label, n_vecs, cos_vs_rest) centroid-drift report over a
+    (label, v: array<double>) frame — split out so planted-cluster
+    tests (and any grouping column: source, shard, encoder version)
+    feed the same machinery."""
+    comp = e.select("label", F.posexplode("v").alias("d", "val"))
+    sums = comp.groupBy("label", "d").agg(
+        F.sum("val").alias("s"), F.count("*").cast("double").alias("n")
+    )
+    tots = sums.groupBy("d").agg(F.sum("s").alias("ts"), F.sum("n").alias("tn"))
+    cents = sums.join(tots, "d").select(
+        "label",
+        "n",
+        (F.col("s") / F.col("n")).alias("c"),
+        F.when(
+            F.col("tn") != F.col("n"),
+            (F.col("ts") - F.col("s")) / (F.col("tn") - F.col("n")),
+        ).alias("r"),
+    )
+    return (
+        cents.groupBy("label")
+        .agg(
+            F.first("n").cast("bigint").alias("n_vecs"),
+            F.round(
+                F.sum(F.col("c") * F.col("r"))
+                / (
+                    F.sqrt(F.sum(F.col("c") * F.col("c")))
+                    * F.sqrt(F.sum(F.col("r") * F.col("r")))
+                ),
+                6,
+            ).alias("cos_vs_rest"),
+        )
+        .select(F.col("label").cast("bigint").alias("label"), "n_vecs", "cos_vs_rest")
+    )

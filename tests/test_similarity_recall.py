@@ -401,3 +401,42 @@ def test_kcenter_prototypes_coverage_invariants(spark):
     for r in rows:
         assert r.proto_vec_id in ids
         assert r.min_cos <= r.mean_cos <= 1.000001, r
+
+
+def test_embedding_drift_planted_and_single_label(spark):
+    """Centroid-drift invariants beyond the hash gate: a label whose
+    vectors occupy an orthogonal direction scores near 0 against the
+    rest; labels sharing the dominant direction score high (their rest
+    is half aligned); a single-label frame degrades to NULL (the
+    drift-gate convention); and the registry run covers every
+    nonzero-norm vector with a statistic in [-1, 1]."""
+    from eurovision_spark.catalog import registry
+    from eurovision_spark.operators.similarity import embedding_drift_frame
+
+    rows = registry()["embedding_drift"].fn(spark, SF_DIR).collect()
+    assert rows and all(-1.0 <= r.cos_vs_rest <= 1.0 for r in rows)
+
+    def vec(direction, i):
+        base = [0.0, 0.0, 0.0]
+        base[direction] = 1.0
+        base[(direction + 1) % 3] = 0.001 * i  # tiny jitter, same direction
+        return base
+
+    data = (
+        [(0, vec(0, i)) for i in range(50)]
+        + [(1, vec(0, i)) for i in range(50)]  # same direction as label 0
+        + [(2, vec(2, i)) for i in range(50)]  # orthogonal direction
+    )
+    d = spark.createDataFrame(data, "label int, v array<double>")
+    got = {r.label: r.cos_vs_rest for r in embedding_drift_frame(d).collect()}
+    # label 2's rest is entirely on the other axis -> near-orthogonal
+    assert abs(got[2]) < 0.3
+    # labels 0/1's rest is half aligned, half orthogonal -> ~cos 45deg
+    assert got[0] > 0.6 and got[1] > 0.6
+
+    single = spark.createDataFrame(
+        [(7, vec(0, i)) for i in range(20)], "label int, v array<double>"
+    )
+    srow = embedding_drift_frame(single).collect()
+    assert len(srow) == 1 and srow[0].n_vecs == 20
+    assert srow[0].cos_vs_rest is None

@@ -75,6 +75,7 @@ QUERIES = [
     ("dsir_weights", "bounded bucket distributions broadcast as one ratio table", True),
     ("kcenter_prototypes", "bounded greedy sample + broadcast-argmax assignment", True),
     ("selection_pipeline", "survivorship anti join + deduped LM scoring + keep gate", True),
+    ("embedding_drift", "one (label, dim) partial/final sum, bounded centroid grid", True),
 ]
 
 
