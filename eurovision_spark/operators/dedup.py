@@ -746,8 +746,13 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = sigs.select(F.col("doc_id").alias("doc_id_1"), F.col("sig").alias("sig1"))
     s2 = sigs.select(F.col("doc_id").alias("doc_id_2"), F.col("sig").alias("sig2"))
     ham = F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2")))
+    # payload hint (r08 advice): the verify payload here is ONE 8-byte
+    # signature per row — the default 4096-byte shingle-set assumption
+    # would shrink the zero-exchange broadcast tier from 50k to 16k
+    # pairs for no reason. ~16 bytes/row (id + sig) keeps the tier at
+    # its full candidate bound while the byte cap still guards it.
     return (
-        adaptive_verify_join(s1, pairs, s2)
+        adaptive_verify_join(s1, pairs, s2, payload_row_bytes=16)
         .filter(ham <= SIM_HAM_K)
         .select("doc_id_1", "doc_id_2", ham.cast("int").alias("hamming"))
     )

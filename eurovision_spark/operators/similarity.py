@@ -1998,23 +1998,25 @@ def kcenter_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
                FROM embeddings
                WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+    nv AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs FROM e GROUP BY label),
     dim_ix AS (SELECT unnest(generate_series(1, (SELECT max(len(v)) FROM e))) AS d),
     comp AS (SELECT e.label, dim_ix.d, e.v[dim_ix.d] AS val
              FROM e CROSS JOIN dim_ix),
-    sums AS (SELECT label, d, sum(val) AS s, CAST(count(*) AS DOUBLE) AS n
-             FROM comp GROUP BY label, d),
+    sums AS (SELECT label, d, sum(val) AS s, CAST(count(val) AS DOUBLE) AS n
+             FROM comp GROUP BY label, d
+             HAVING count(val) > 0),
     tots AS (SELECT d, sum(s) AS ts, sum(n) AS tn FROM sums GROUP BY d),
     cents AS (SELECT sums.label, sums.d,
                      sums.s / sums.n AS c,
                      CASE WHEN tots.tn = sums.n THEN NULL
-                          ELSE (tots.ts - sums.s) / (tots.tn - sums.n) END AS r,
-                     sums.n
-              FROM sums JOIN tots USING (d))
-    SELECT CAST(label AS BIGINT) AS label,
-           CAST(any_value(n) AS BIGINT) AS n_vecs,
-           round(sum(c * r) / (sqrt(sum(c * c)) * sqrt(sum(r * r))), 6)
-               AS cos_vs_rest
-    FROM cents GROUP BY label
+                          ELSE (tots.ts - sums.s) / (tots.tn - sums.n) END AS r
+              FROM sums JOIN tots USING (d)),
+    cos AS (SELECT label,
+                   round(sum(c * r) / (sqrt(sum(c * c)) * sqrt(sum(r * r))), 6)
+                       AS cos_vs_rest
+            FROM cents GROUP BY label)
+    SELECT CAST(cos.label AS BIGINT) AS label, nv.n_vecs, cos.cos_vs_rest
+    FROM cos JOIN nv USING (label)
     """,
     "EMBEDDING-SPACE drift monitor — the modality gate that completes "
     "the suite (length, token count, language mix, PSI, and now the "
@@ -2050,7 +2052,12 @@ def embedding_drift_frame(e: DataFrame) -> DataFrame:
     """(label, n_vecs, cos_vs_rest) centroid-drift report over a
     (label, v: array<double>) frame — split out so planted-cluster
     tests (and any grouping column: source, shard, encoder version)
-    feed the same machinery."""
+    feed the same machinery. Ragged-safe (r08 advice): per-(label, dim)
+    counts cover only the dims a vector actually HAS (a short vector is
+    absent from, not zero at, its missing dims), and n_vecs is the
+    per-label VECTOR count — never a per-dim statistic, which varies
+    across dims once lengths differ."""
+    nvecs = e.groupBy("label").agg(F.count("*").cast("bigint").alias("n_vecs"))
     comp = e.select("label", F.posexplode("v").alias("d", "val"))
     sums = comp.groupBy("label", "d").agg(
         F.sum("val").alias("s"), F.count("*").cast("double").alias("n")
@@ -2058,25 +2065,22 @@ def embedding_drift_frame(e: DataFrame) -> DataFrame:
     tots = sums.groupBy("d").agg(F.sum("s").alias("ts"), F.sum("n").alias("tn"))
     cents = sums.join(tots, "d").select(
         "label",
-        "n",
         (F.col("s") / F.col("n")).alias("c"),
         F.when(
             F.col("tn") != F.col("n"),
             (F.col("ts") - F.col("s")) / (F.col("tn") - F.col("n")),
         ).alias("r"),
     )
-    return (
-        cents.groupBy("label")
-        .agg(
-            F.first("n").cast("bigint").alias("n_vecs"),
-            F.round(
-                F.sum(F.col("c") * F.col("r"))
-                / (
-                    F.sqrt(F.sum(F.col("c") * F.col("c")))
-                    * F.sqrt(F.sum(F.col("r") * F.col("r")))
-                ),
-                6,
-            ).alias("cos_vs_rest"),
-        )
-        .select(F.col("label").cast("bigint").alias("label"), "n_vecs", "cos_vs_rest")
+    cos = cents.groupBy("label").agg(
+        F.round(
+            F.sum(F.col("c") * F.col("r"))
+            / (
+                F.sqrt(F.sum(F.col("c") * F.col("c")))
+                * F.sqrt(F.sum(F.col("r") * F.col("r")))
+            ),
+            6,
+        ).alias("cos_vs_rest"),
+    )
+    return cos.join(F.broadcast(nvecs), "label").select(
+        F.col("label").cast("bigint").alias("label"), "n_vecs", "cos_vs_rest"
     )

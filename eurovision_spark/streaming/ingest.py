@@ -1199,7 +1199,15 @@ def stream_span_dedup(
 DRIFT_KS_ALERT = 0.3  # grid-KS above this flags the arriving slice
 
 
-DRIFT_KEY_VERSION = "v2"  # bump whenever the digest formula changes
+# Bump whenever the digest formula OR the key FORMAT changes — the tag
+# suffixes count as format: v3 = the r08 grid/category config tags
+# ("-g<tag>" / "-c<tag>" / "-v<tag>") appended to every batch key. A
+# store written before the tags (v2) would otherwise re-land replayed
+# batches under the new tagged key — a duplicate ledger decision row
+# plus permanently-dead untagged histogram rows — with nothing to
+# detect it; the version prefix makes the mismatch visible under the
+# documented rebuild-or-retire upgrade policy (drift_batch_key).
+DRIFT_KEY_VERSION = "v3"
 
 
 def drift_batch_key(batch_df: DataFrame) -> tuple[int, str]:

@@ -440,3 +440,46 @@ def test_embedding_drift_planted_and_single_label(spark):
     srow = embedding_drift_frame(single).collect()
     assert len(srow) == 1 and srow[0].n_vecs == 20
     assert srow[0].cos_vs_rest is None
+
+
+def test_embedding_drift_ragged_vectors_match_oracle(spark, tmp_path):
+    """r08 advice: embedding_drift_frame is advertised for arbitrary
+    frames, but on RAGGED vector lengths the old oracle counted NULL
+    out-of-range cells (n = n_vecs at every dim) while Spark counted
+    present dims, and n_vecs came from a nondeterministic per-dim
+    first(). Both engines now count only the dims a vector HAS and take
+    n_vecs from the per-label vector count — pinned here by running the
+    registered oracle SQL against a deliberately ragged embeddings
+    table and hash-comparing."""
+    import duckdb
+    import os
+
+    from eurovision_spark.catalog import registry, resolve_oracle
+    from tools.verify_local import table_hash
+
+    rows = [
+        (i, [1.0 + 0.01 * i, 0.5] + ([0.25] if i % 3 == 0 else []), i % 2)
+        for i in range(40)
+    ] + [(100 + i, [0.1, 0.9, 0.4, 0.7], 2) for i in range(10)]
+    d = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    sf_dir = str(tmp_path / "ragged_sf")
+    d.coalesce(1).write.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    spec = registry()["embedding_drift"]
+    sdf = spec.fn(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    # n_vecs is the vector count per label, independent of dim raggedness
+    assert {r[0]: r[1] for r in srows} == {0: 20, 1: 20, 2: 10}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+    )
+    res = con.execute(resolve_oracle(spec, sf_dir))
+    ocols = [c[0] for c in res.description]
+    orows = res.fetchall()
+    con.close()
+    assert table_hash(sdf.columns, srows) == table_hash(ocols, orows)
