@@ -897,12 +897,22 @@ def _selection_oracle() -> str:
     "shape: each stage keeps its certified standalone plan (banded "
     "signatures, id-only anti join, narrow source map join, one-scan "
     "tokenize via a checkpointed leaf, bounded vocab broadcast, "
-    "per-source tercile window of narrow rows, per-row hash gate). "
+    "per-source tercile window of narrow rows, per-row hash gate); the "
+    "approx_terciles knob swaps stage 4 for ccnet_buckets_approx's "
+    "bounded-sample cut points — the 100 TB form, no corpus window "
+    "sort — with every other stage unchanged. "
     "DRIVER-facing (r08): took anti_join's slot — that row's evidence "
     "was an empty result set, while this one hash-certifies the whole "
     "composed selection tier.",
 )
-def selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def selection_pipeline(
+    spark: SparkSession, sf_dir: str, approx_terciles: bool = False
+) -> DataFrame:
+    """``approx_terciles`` forwards to ccnet_bucket_frame: False (the
+    registered, hash-gated form) keeps the exact per-source ntile;
+    True swaps in the scale-safe bounded-sample cut points
+    (ccnet_buckets_approx) — the knob a 100 TB run flips, with every
+    other stage unchanged."""
     from eurovision_spark.operators.dedup import (
         NEAR_COPY_OFFSET,
         dedup_survivors,
@@ -927,7 +937,7 @@ def selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # composition; its oracle twin is ccnet_score_sql)
     from eurovision_spark.operators.textstats import ccnet_bucket_frame
 
-    bucketed = ccnet_bucket_frame(svs)
+    bucketed = ccnet_bucket_frame(svs, approx=approx_terciles)
     keep = (F.col("bucket") != "tail") | (
         md5_long(F.concat(F.lit("sel-"), F.col("doc_id").cast("string"))) % 100
         < SEL_TAIL_PCT

@@ -2005,12 +2005,22 @@ def vocab_divergence_frame(tok: DataFrame, v: int = VOCAB_V) -> DataFrame:
     )
 
 
-def ccnet_score_sql(src_cte: str) -> str:
-    """The CCNet scoring + tercile CTE chain over any (doc_id, source,
-    text) CTE — shared verbatim by the ccnet_buckets oracle and the
-    composed selection_pipeline oracle (operators/pipeline.py), so a
-    change to the scoring (smoothing, rounding, tie-break) cannot
-    silently diverge the two (the SURVIVOR_RANK_SQL discipline)."""
+# Approx-tercile machinery (the 100 TB path): per-source cut points are
+# exact percentiles of a BOUNDED md5-ordered sample (the winsorized_stats
+# discipline — rn <= CC_CUT_SAMPLE plans as WindowGroupLimit, a bounded
+# per-group heap kept map-side, never a per-source sort of the corpus).
+# Kept <= spark.sql.optimizer.windowGroupLimitThreshold (default 1000).
+CC_CUT_SAMPLE = 1000
+CC_P_LO = 1 / 3  # repr round-trips to the identical double in both engines
+CC_P_HI = 2 / 3
+
+
+def ccnet_scored_sql(src_cte: str) -> str:
+    """The CCNet LM-scoring CTE chain (ends at ``scored``) over any
+    (doc_id, source, text) CTE — the shared prefix of the exact-tercile
+    chain (:func:`ccnet_score_sql`) and the approx-cut-point oracle
+    (``ccnet_buckets_approx``), so the scoring (smoothing, rounding,
+    tie-break) cannot diverge between the tercile variants."""
     return f"""
     tok AS (SELECT doc_id, source,
                    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
@@ -2022,7 +2032,16 @@ def ccnet_score_sql(src_cte: str) -> str:
                CAST(count(*) AS BIGINT) AS n_tokens,
                round(avg(ln(freq.c / tot.n)), 4) AS avg_logprob
         FROM tok JOIN freq USING (term) CROSS JOIN tot
-        GROUP BY tok.doc_id, tok.source),
+        GROUP BY tok.doc_id, tok.source)"""
+
+
+def ccnet_score_sql(src_cte: str) -> str:
+    """The CCNet scoring + EXACT tercile CTE chain over any (doc_id,
+    source, text) CTE — shared verbatim by the ccnet_buckets oracle and
+    the composed selection_pipeline oracle (operators/pipeline.py), so
+    a change to the scoring (smoothing, rounding, tie-break) cannot
+    silently diverge the two (the SURVIVOR_RANK_SQL discipline)."""
+    return ccnet_scored_sql(src_cte) + """,
     bucketed AS (
         SELECT *, CASE ntile(3) OVER (PARTITION BY source
                                       ORDER BY avg_logprob DESC, doc_id)
@@ -2053,11 +2072,12 @@ def ccnet_score_sql(src_cte: str) -> str:
     "narrow row per document; the tercile window then sorts only "
     "(doc_id, score) pairs within each source. At cluster scale with "
     "a dominant source, the exact per-source ntile sort is the one "
-    "skew-sensitive stage — a production run swaps it for two "
-    "approx-quantile thresholds (percentile_approx cut points, "
-    "compared per-row, no sort) at the cost of estimate semantics; "
-    "the exact form is registered because it is cross-engine "
-    "hash-verifiable. Determinism: terciles order by the ROUNDED "
+    "skew-sensitive stage — the registered sibling ccnet_buckets_approx "
+    "(ccnet_bucket_frame(approx=True)) IS the production swap: bounded-"
+    "sample percentile cut points compared per-row, no corpus window "
+    "sort; this exact form stays registered because ntile's equal-fill "
+    "rule is cross-engine hash-verifiable at any tie structure. "
+    "Determinism: terciles order by the ROUNDED "
     "score (identical doubles both engines) with doc_id tie-break, "
     "and ntile's equal-fill remainder rule matches across engines.",
     driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
@@ -2067,15 +2087,87 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ccnet_bucket_frame(d)
 
 
-def ccnet_bucket_frame(d: DataFrame) -> DataFrame:
+@register(
+    "ccnet_buckets_approx",
+    "WITH ccin AS (SELECT doc_id, source, text FROM documents "
+    "WHERE n_chars > 0)," + ccnet_scored_sql("ccin")
+    + f""",
+    samp AS (SELECT source, avg_logprob FROM (
+        SELECT source, avg_logprob,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {md5_long_sql("concat('ccq-', CAST(doc_id AS VARCHAR))")},
+                            doc_id) AS rn
+        FROM scored)
+        WHERE rn <= {CC_CUT_SAMPLE}),
+    cuts AS (SELECT source,
+                    round(quantile_cont(avg_logprob, {CC_P_LO!r}), 6) AS c_lo,
+                    round(quantile_cont(avg_logprob, {CC_P_HI!r}), 6) AS c_hi
+             FROM samp GROUP BY source)
+    SELECT s.doc_id, s.source, s.n_tokens, s.avg_logprob,
+           CASE WHEN s.avg_logprob > cuts.c_hi THEN 'head'
+                WHEN s.avg_logprob > cuts.c_lo THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s JOIN cuts USING (source)
+    """,
+    "the SCALE-SAFE sibling of ccnet_buckets — the form a production "
+    "run ships at 100 TB, where the exact per-source ntile window is a "
+    "single-task sort of a dominant source's every document: per-source "
+    "head/middle/tail CUT POINTS are exact percentiles of a bounded "
+    f"deterministic sample (md5-ordered row_number <= {CC_CUT_SAMPLE} "
+    "per source — Spark plans the rn<=k predicate as Partial+Final "
+    "WindowGroupLimit, a bounded per-group heap kept map-side BEFORE "
+    "the exchange, so no executor ever buffers a whole source), "
+    "broadcast back as a sources-row table and compared PER ROW. NO "
+    "per-source window sort over the corpus exists in the plan (pinned "
+    "in tests/test_plans.py). Estimate semantics, stated plainly: cut "
+    "points are exact order statistics of the sample (exact for "
+    "sources up to the bound, estimates beyond it — deterministic and "
+    "cross-engine identical either way: same md5 sample, same linear-"
+    "interpolation percentile, 6dp-rounded cuts), and buckets split by "
+    "VALUE cuts rather than ntile's equal-fill count rule — on all-"
+    "distinct scores with n divisible by 3 the two forms agree exactly "
+    "(pinned by a planted test; disagreement is confined to cut-"
+    "boundary ties). Scoring is the SHARED ccnet machinery "
+    "(ccnet_bucket_frame(approx=True) / ccnet_scored_sql), so the "
+    "variants cannot diverge on anything but the tercile rule; "
+    "selection_pipeline exposes the same knob (approx_terciles).",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def ccnet_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return ccnet_bucket_frame(d, approx=True)
+
+
+def ccnet_bucket_frame(d: DataFrame, approx: bool = False) -> DataFrame:
     """(doc_id, source, text) -> (doc_id, source, n_tokens,
     avg_logprob, bucket) — the CCNet scoring + tercile machinery,
-    shared with selection_pipeline (its Spark twin of ccnet_score_sql).
-    One-scan rule: tokenize feeds the vocabulary AND the probe stream,
-    so the per-doc token arrays are localCheckpointed once (never the
-    exploded stream); the narrow input repartitions first (the
-    doc_profile discipline — coarse parquet splits otherwise serialize
-    the tokenize pass)."""
+    shared with selection_pipeline (its Spark twin of ccnet_score_sql /
+    ccnet_scored_sql). One-scan rule: tokenize feeds the vocabulary AND
+    the probe stream, so the per-doc token arrays are localCheckpointed
+    once (never the exploded stream); the narrow input repartitions
+    first (the doc_profile discipline — coarse parquet splits otherwise
+    serialize the tokenize pass).
+
+    ``approx`` picks the tercile strategy:
+
+    - False (default, the cross-engine hash-gated form): exact per-
+      source ``ntile(3)`` — every document of a source flows into one
+      window partition's sort, which at 100 TB with a dominant source
+      is a single-task sort of billions of narrow rows. Registered
+      because it is exactly reproducible in both engines.
+    - True (the production / scale-safe form): two per-source cut
+      points — exact percentiles of a bounded deterministic sample
+      (md5-ordered row_number <= CC_CUT_SAMPLE, planned as Partial+
+      Final WindowGroupLimit: a bounded per-group heap BEFORE the
+      exchange, so no executor ever buffers a whole source) —
+      broadcast back and compared PER ROW. No per-source window sort
+      over the corpus exists in the plan (pinned in tests/
+      test_plans.py). Estimate semantics: cut points are exact order
+      statistics of the sample (exact for sources up to the bound),
+      and bucket sizes track thirds by VALUE cuts rather than ntile's
+      equal-fill rule — on all-distinct scores with n divisible by 3
+      the two forms agree exactly (pinned by a planted test)."""
     spark = d.sparkSession
     toked = (
         d.repartition(spark.sparkContext.defaultParallelism)
@@ -2094,6 +2186,8 @@ def ccnet_bucket_frame(d: DataFrame) -> DataFrame:
             F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4).alias("avg_logprob"),
         )
     )
+    if approx:
+        return _ccnet_approx_buckets(scored)
     nt = F.ntile(3).over(
         W.partitionBy("source").orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
     )
@@ -2103,6 +2197,35 @@ def ccnet_bucket_frame(d: DataFrame) -> DataFrame:
         .otherwise(F.lit("tail"))
     )
     return scored.select(
+        "doc_id", "source", "n_tokens", "avg_logprob", bucket.alias("bucket")
+    )
+
+
+def _ccnet_approx_buckets(scored: DataFrame) -> DataFrame:
+    """The scale-safe tercile: bounded-sample percentile cut points
+    compared per-row. ``scored`` is materialized once (lazy
+    localCheckpoint — narrow (doc_id, source, n_tokens, avg_logprob)
+    rows, the same O(corpus)-narrow footprint a shuffle file would
+    take) because BOTH the sample pass and the per-row compare read it;
+    without the checkpoint the tokenize+score work would run twice."""
+    scored = scored.localCheckpoint(eager=False)
+    key = md5_long(F.concat(F.lit("ccq-"), F.col("doc_id").cast("string")))
+    sw = W.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    samp = (
+        scored.withColumn("rn", F.row_number().over(sw))
+        .filter(F.col("rn") <= CC_CUT_SAMPLE)
+        .select("source", "avg_logprob")
+    )
+    cuts = samp.groupBy("source").agg(
+        F.round(F.expr(f"percentile(avg_logprob, {CC_P_LO!r})"), 6).alias("c_lo"),
+        F.round(F.expr(f"percentile(avg_logprob, {CC_P_HI!r})"), 6).alias("c_hi"),
+    )
+    bucket = (
+        F.when(F.col("avg_logprob") > F.col("c_hi"), F.lit("head"))
+        .when(F.col("avg_logprob") > F.col("c_lo"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.join(F.broadcast(cuts), "source").select(
         "doc_id", "source", "n_tokens", "avg_logprob", bucket.alias("bucket")
     )
 

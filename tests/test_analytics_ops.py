@@ -538,6 +538,55 @@ def test_ccnet_buckets_tercile_invariants(spark):
         assert min(buckets["middle"]) >= max(buckets["tail"]), source
 
 
+def test_ccnet_approx_agrees_with_exact(spark):
+    """The scale-safe cut-point tercile vs the exact ntile, on the
+    corpus AND on a planted frame. Planted: every score distinct and
+    per-source doc counts divisible by 3 and within the sample bound
+    — value cuts at the 1/3 and 2/3 order statistics then select
+    EXACTLY the ntile thirds, so the two forms must agree on every
+    document. Corpus: scores tie heavily (4dp-rounded LM means), so
+    disagreement is allowed but confined to cut-boundary ties —
+    bounded here at 10% of documents, with identical (doc_id, score)
+    row sets either way."""
+    from eurovision_spark.catalog import registry
+    from eurovision_spark.operators.textstats import ccnet_bucket_frame
+
+    # planted: 3 sources x 30 docs, source-disjoint vocabularies and
+    # strictly increasing doc lengths -> distinct scores per source
+    data = [
+        (s * 100 + i, f"s{s}", " ".join(f"s{s}w{j}" for j in range(2 + i)))
+        for s in range(3)
+        for i in range(30)
+    ]
+    d = spark.createDataFrame(data, "doc_id bigint, source string, text string")
+    planted = {
+        r.doc_id: (r.bucket, r.avg_logprob) for r in ccnet_bucket_frame(d).collect()
+    }
+    approx = {
+        r.doc_id: r.bucket for r in ccnet_bucket_frame(d, approx=True).collect()
+    }
+    assert set(planted) == set(approx)
+    # the per-source all-distinct precondition the agreement claim
+    # rests on (cuts are per source; scores repeat ACROSS sources by
+    # the planted frame's symmetry, which is irrelevant to it)
+    from collections import defaultdict as _dd
+
+    by_src = _dd(list)
+    for doc_id, (_, score) in planted.items():
+        by_src[doc_id // 100].append(score)
+    assert all(len(set(v)) == len(v) for v in by_src.values())
+    assert {k: v[0] for k, v in planted.items()} == approx
+
+    ex_rows = registry()["ccnet_buckets"].fn(spark, SF).collect()
+    ap_rows = registry()["ccnet_buckets_approx"].fn(spark, SF).collect()
+    ex = {r.doc_id: (r.bucket, r.avg_logprob) for r in ex_rows}
+    ap = {r.doc_id: (r.bucket, r.avg_logprob) for r in ap_rows}
+    assert set(ex) == set(ap)
+    assert all(ex[k][1] == ap[k][1] for k in ex)  # identical scores
+    n_disagree = sum(1 for k in ex if ex[k][0] != ap[k][0])
+    assert n_disagree <= 0.10 * len(ex), (n_disagree, len(ex))
+
+
 def test_dsir_weights_target_separation(spark):
     """DSIR invariant beyond the hash gate: documents FROM the target
     slice must score a higher mean importance log-weight than any

@@ -914,3 +914,28 @@ def test_selection_pipeline_composition_invariants(spark):
         for r in spark.read.parquet(f"{SF}/documents.parquet").select("source").collect()
     }
     assert all(r.source in sources for r in sel)
+
+
+def test_selection_pipeline_approx_terciles_knob(spark):
+    """The 100 TB knob: approx_terciles=True swaps only the tercile
+    stage (ccnet_buckets_approx's bounded-sample cut points) — the
+    survivor set and LM scores are IDENTICAL, every selected doc in
+    either run carries the same score, and only cut-boundary ties may
+    relabel (bounded like the standalone op's agreement test)."""
+    from eurovision_spark.operators.pipeline import selection_pipeline
+
+    exact = {
+        r.doc_id: (r.bucket, r.avg_logprob)
+        for r in selection_pipeline(spark, SF).collect()
+    }
+    approx = {
+        r.doc_id: (r.bucket, r.avg_logprob)
+        for r in selection_pipeline(spark, SF, approx_terciles=True).collect()
+    }
+    shared = set(exact) & set(approx)
+    assert shared and all(exact[k][1] == approx[k][1] for k in shared)
+    # the keep gate depends on the bucket label, so membership can
+    # differ only through tail-boundary relabels — bounded
+    assert len(set(exact) ^ set(approx)) <= 0.15 * len(exact)
+    n_relabel = sum(1 for k in shared if exact[k][0] != approx[k][0])
+    assert n_relabel <= 0.10 * len(shared), (n_relabel, len(shared))

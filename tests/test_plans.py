@@ -922,6 +922,27 @@ def test_r8_analytics_scan_once_and_bounded(spark, name):
     assert "CartesianProduct" not in plan
 
 
+def test_ccnet_approx_has_no_corpus_window_sort(spark):
+    """The r08 weak, retired: ccnet_buckets_approx must never put a
+    whole source through one window partition's sort. The plan pin:
+    NO ntile anywhere; the only window machinery is the bounded-sample
+    pass, planned as Partial+Final WindowGroupLimit (a bounded
+    per-group heap BEFORE the exchange — the winsorized_stats
+    discipline); the sources-row cut-point table joins back via
+    BROADCAST, so the per-row bucket compare never shuffles the score
+    frame; and the final plan stays leaf-fed (zero parquet scans — the
+    one documents read happened inside the checkpoint job) with no
+    cartesian product."""
+    plan = plan_of(spark, "ccnet_buckets_approx")
+    # "percentile(" contains the substring "ntile(" — match the window
+    # function's call form, which only the exact tercile would emit
+    assert "ntile(3)" not in plan, plan
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)) == 0, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_kcenter_assignment_scan_once_and_bounded_exchanges(spark):
     """kcenter_prototypes' corpus-side claim: after the bounded sample
     collect (its own jobs), the ASSIGNMENT plan reads the embeddings
