@@ -2235,9 +2235,11 @@ DSIR_ALPHA = 0.5  # Laplace smoothing per bucket
 DSIR_TARGET_LANG = "en"  # the target-domain stand-in in this corpus
 
 
-@register(
-    "dsir_weights",
-    f"""
+# The DSIR CTE chain (hashed-bucket token stream + smoothed log-ratio
+# table + per-doc weights) — shared by the dsir_weights oracle and the
+# dsir_sample oracle so the weight formula cannot diverge between the
+# plan and the applied sampler (the ccnet_scored_sql discipline).
+_DSIR_CTES = f"""
     WITH d AS (SELECT doc_id, lang,
                       string_split_regex(trim(lower(text)), '\\s+') AS toks
                FROM documents WHERE n_chars > 0),
@@ -2256,13 +2258,18 @@ DSIR_TARGET_LANG = "en"  # the target-domain stand-in in this corpus
                    - ln((coalesce(r.nq, 0) + {DSIR_ALPHA})
                         / (tots.tq + {DSIR_BUCKETS * DSIR_ALPHA})) AS lr
               FROM grid g LEFT JOIN raw r USING (b) LEFT JOIN tgt t USING (b)
-                   CROSS JOIN tots)
-    SELECT tok.doc_id,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           round(sum(ratio.lr), 4) AS log_weight
-    FROM tok JOIN ratio USING (b)
-    GROUP BY tok.doc_id
-    """,
+                   CROSS JOIN tots),
+    w AS (SELECT tok.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 round(sum(ratio.lr), 4) AS log_weight
+          FROM tok JOIN ratio USING (b)
+          GROUP BY tok.doc_id)
+"""
+
+
+@register(
+    "dsir_weights",
+    _DSIR_CTES + "SELECT doc_id, n_tokens, log_weight FROM w",
     "DSIR example-level data selection (Xie et al. 2023, 'Data "
     "Selection for Language Models via Importance Resampling'): each "
     "document's importance log-weight toward a TARGET domain — here "
@@ -2291,6 +2298,15 @@ DSIR_TARGET_LANG = "en"  # the target-domain stand-in in this corpus
 )
 def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return dsir_weight_frame(d)
+
+
+def dsir_weight_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, log_weight) DSIR importance weights over a
+    (doc_id, lang, text) frame — split from the registered query so the
+    applied sampler (dsir_sample) and planted-distribution tests feed
+    the same machinery (its oracle twin is the shared _DSIR_CTES)."""
+    spark = d.sparkSession
     # one-scan rule: tokenize feeds raw counts, target counts, and the
     # probe stream — materialize the per-doc BUCKET-ID arrays once.
     # Two deliberate choices the x10 scaling sweep forced: (a) the
@@ -2355,3 +2371,44 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("lr"), 4).alias("log_weight"),
         )
     )
+
+
+@register(
+    "dsir_sample",
+    _DSIR_CTES
+    + f"""
+    SELECT doc_id, n_tokens, log_weight
+    FROM w
+    WHERE {md5_long_sql("concat('dsir-', CAST(doc_id AS VARCHAR))")} % 1000000
+          < CAST(round(least(1.0, exp(log_weight)) * 1000000) AS BIGINT)
+    """,
+    "the dsir_weights plan APPLIED — the importance RESAMPLING step of "
+    "Xie et al. 2023 the weight op alone leaves to the reader (the "
+    "temperature tier ships plan AND sample; this completes the DSIR "
+    "tier the same way): each document keeps with probability "
+    "min(1, exp(log_weight)) — the natural Poisson-resampling rule when "
+    "the proposal IS the raw corpus: docs more target-like than the "
+    "corpus baseline (positive log-ratio) are kept surely, less "
+    "target-like docs keep at their likelihood ratio — applied as the "
+    "engine's bit-reproducible md5 threshold (mixture_sample's rule: "
+    "hash the doc id, compare integers), so a re-run of the audit "
+    "reproduces the sample exactly with no state to persist. Scale "
+    "shape: IDENTICAL to dsir_weights (one checkpointed tokenize scan, "
+    "two bounded 256-bucket aggregates broadcast back as one log-ratio "
+    "table, one per-doc exchange) plus a per-row hash gate — the "
+    "weights never land anywhere, the selection folds into the same "
+    "plan. Cross-engine: the weight rounds at 4dp BEFORE exp, the keep "
+    "probability rounds to an integer ppm threshold, and the hash is "
+    "the shared 60-bit md5, so both engines compare identical integers "
+    "per row (the shared _DSIR_CTES keeps the weight formula itself "
+    "diverge-proof).",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    w = dsir_weight_frame(d)
+    thr = F.round(
+        F.least(F.lit(1.0), F.exp(F.col("log_weight"))) * 1_000_000
+    ).cast("bigint")
+    key = md5_long(F.concat(F.lit("dsir-"), F.col("doc_id").cast("string")))
+    return w.filter((key % 1_000_000) < thr)

@@ -612,3 +612,40 @@ def test_dsir_weights_target_separation(spark):
     means = {lang: sum(v) / len(v) for lang, v in per.items()}
     tgt = means.pop(DSIR_TARGET_LANG)
     assert all(tgt > m for m in means.values()), means
+
+
+def test_dsir_sample_reproducible_and_target_biased(spark):
+    """The applied resampler: (a) bit-reproducibility — the selected
+    set recomputes EXACTLY from dsir_weights' output with driver-side
+    md5 + exp (no state, the audit property the op advertises); (b)
+    target bias — the keep RATE of target-language documents exceeds
+    every other language's (they carry positive log-ratios, so they
+    gate at or near probability 1)."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from eurovision_spark.catalog import registry
+    from eurovision_spark.operators.textstats import DSIR_TARGET_LANG
+
+    weights = registry()["dsir_weights"].fn(spark, SF).collect()
+    kept = {r.doc_id for r in registry()["dsir_sample"].fn(spark, SF).collect()}
+
+    def keeps(doc_id, lw):
+        h = int(hashlib.md5(f"dsir-{doc_id}".encode()).hexdigest()[:15], 16)
+        thr = math.floor(min(1.0, math.exp(lw)) * 1_000_000 + 0.5)  # HALF_UP
+        return h % 1_000_000 < thr
+
+    expected = {r.doc_id for r in weights if keeps(r.doc_id, r.log_weight)}
+    assert kept == expected
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter("n_chars > 0")
+    lang_of = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    tot, hit = defaultdict(int), defaultdict(int)
+    for r in weights:
+        lang = lang_of[r.doc_id]
+        tot[lang] += 1
+        hit[lang] += int(r.doc_id in kept)
+    rate = {lang: hit[lang] / tot[lang] for lang in tot}
+    tgt = rate.pop(DSIR_TARGET_LANG)
+    assert all(tgt > m for m in rate.values()), (tgt, rate)

@@ -905,6 +905,7 @@ def test_mad_outliers_sample_is_group_limited_and_stats_broadcast(spark):
         "vocab_divergence",
         "ccnet_buckets",
         "dsir_weights",
+        "dsir_sample",
         "selection_pipeline",
     ],
 )
