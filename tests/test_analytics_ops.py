@@ -330,11 +330,15 @@ def test_ks_drift_tokens_planted_shift(spark):
 
 def test_temperature_mixture_flattens_and_caps(spark):
     """Temperature sampling invariants on a planted skewed mix (1000 /
-    100 / 10 docs): the weight share of the small source EXCEEDS its
+    100 / 10 docs at a uniform 4 tokens/doc, so token mass tracks doc
+    counts): the weight share of the small source EXCEEDS its
     proportional share and the big source's sits below it (sqrt
-    flattening), the small source's keep_rate caps at 1.0 so every one
-    of its docs lands in the sample, the big source keeps roughly
-    weight*budget docs, and the plan accounts for every document."""
+    flattening of TOKEN mass), the small source's keep_rate caps at
+    1.0 so every one of its docs lands in the sample, the big source
+    keeps roughly keep_rate of its docs, and the plan accounts for
+    every document. A second planted frame pins the TOKEN semantics
+    directly: equal doc counts, 9x token mass -> sqrt(9)=3x the
+    weight, and the light source caps."""
     import math
 
     from eurovision_spark.operators.textstats import (
@@ -342,24 +346,29 @@ def test_temperature_mixture_flattens_and_caps(spark):
         temperature_mixture_frame,
     )
 
+    toks_per_doc = 4
     sizes = {"big": 1000, "mid": 100, "small": 10}
-    rows = [(s, i + off * 1_000_000) for off, (s, n) in enumerate(sizes.items())
+    rows = [(s, i + off * 1_000_000, toks_per_doc)
+            for off, (s, n) in enumerate(sizes.items())
             for i in range(n)]
-    d = spark.createDataFrame(rows, "source string, doc_id bigint")
+    d = spark.createDataFrame(rows, "source string, doc_id bigint, n_toks bigint")
     got = {r.source: r for r in temperature_mixture_frame(d).collect()}
 
     total = sum(sizes.values())
     assert {s: got[s].n_docs for s in sizes} == sizes
+    assert {s: got[s].n_tokens for s in sizes} == {
+        s: n * toks_per_doc for s, n in sizes.items()
+    }
     # sqrt flattening: small boosted above, big pulled below proportional
     assert got["small"].weight > sizes["small"] / total
     assert got["big"].weight < sizes["big"] / total
     # expected exact weights (same arithmetic: sorted left-fold
-    # normalizer, then 6dp)
+    # normalizer over sqrt(token mass), then 6dp)
     z = 0.0
-    for v in sorted(math.sqrt(n) for n in sizes.values()):
+    for v in sorted(math.sqrt(n * toks_per_doc) for n in sizes.values()):
         z += v
     for s, n in sizes.items():
-        assert abs(got[s].weight - round(math.sqrt(n) / z, 6)) < 1e-9, s
+        assert abs(got[s].weight - round(math.sqrt(n * toks_per_doc) / z, 6)) < 1e-9, s
     # the small source caps: rate 1.0 -> all 10 docs sampled exactly
     assert got["small"].keep_rate == 1.0
     assert got["small"].n_sampled == sizes["small"]
@@ -369,9 +378,20 @@ def test_temperature_mixture_flattens_and_caps(spark):
     assert abs(got["big"].n_sampled - exp_big) < 0.15 * exp_big
     # budget check: realized sample lands near the configured fraction
     realized = sum(got[s].n_sampled for s in sizes)
-    budget = math.floor(total * MIX_BUDGET_FRAC)
+    budget_docs = math.floor(total * MIX_BUDGET_FRAC)  # uniform toks/doc
     assert realized <= total
-    assert abs(realized - min(budget + sizes["small"], total)) < 0.2 * budget
+    assert abs(realized - min(budget_docs + sizes["small"], total)) < 0.2 * budget_docs
+
+    # token semantics: equal doc counts, 9x tokens -> 3x weight
+    rows2 = [("light", i, 1) for i in range(100)] + [
+        ("heavy", 1000 + i, 9) for i in range(100)
+    ]
+    d2 = spark.createDataFrame(rows2, "source string, doc_id bigint, n_toks bigint")
+    got2 = {r.source: r for r in temperature_mixture_frame(d2).collect()}
+    assert got2["light"].weight == 0.25 and got2["heavy"].weight == 0.75
+    # budget = 500 tokens; light's allocation 125 tokens > its 100 -> cap
+    assert got2["light"].keep_rate == 1.0
+    assert abs(got2["heavy"].keep_rate - round(0.75 * 500 / 900, 6)) < 1e-9
 
 
 def test_psi_drift_planted_and_identical(spark):
