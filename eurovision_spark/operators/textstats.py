@@ -1420,13 +1420,15 @@ def _qc_sample_texts(sf_dir: str) -> list[str]:
     return [r[0] for r in rows]
 
 
-def _qc_oracle(sf_dir: str) -> str:
-    w, b = _qc_fit(_qc_sample_texts(sf_dir))
+def _qc_score_ctes(w: list[float], b: float) -> str:
+    """The classifier-apply CTE chain (``base`` -> ``scored`` with the
+    raw logit ``z``) for the given frozen weights — shared by the
+    quality_classifier oracle and the quality_drift oracle so the
+    scoring arithmetic (fold order, dense terms) cannot diverge."""
     wd, w_inv, w_n = w[QC_BUCKETS], w[QC_BUCKETS + 1], w[QC_BUCKETS + 2]
     warr = f"[{', '.join(repr(v) for v in w[:QC_BUCKETS])}]::DOUBLE[]"
     buck = f"list_transform(toks, t -> {md5_long_sql('t')} % {QC_BUCKETS})"
-    return f"""
-    WITH base AS (
+    return f"""base AS (
         SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
         FROM documents WHERE n_chars > 0),
     scored AS (
@@ -1438,25 +1440,37 @@ def _qc_oracle(sf_dir: str) -> str:
                + {wd!r} * (CAST(len(list_distinct({buck})) AS DOUBLE) / len(toks))
                + {w_inv!r} * (1.0 / len(toks))
                + {w_n!r} * (CAST(len(toks) AS DOUBLE) / 1000.0) AS z
-        FROM base)
+        FROM base)"""
+
+
+def _qc_oracle(sf_dir: str) -> str:
+    w, b = _qc_fit(_qc_sample_texts(sf_dir))
+    return f"""
+    WITH {_qc_score_ctes(w, b)}
     SELECT doc_id, round(z, 4) AS qc_logit,
            CAST(z >= 0 AS INT) AS qc_label
     FROM scored
     """
 
 
-def score_documents(docs: DataFrame, w: list[float], b: float) -> DataFrame:
+def score_documents(
+    docs: DataFrame, w: list[float], b: float, keep: tuple = ()
+) -> DataFrame:
     """Apply frozen classifier weights to a (doc_id, text) frame — the
     shared batch/stream scoring core: one per-row expression, stateless,
     so it composes with ``readStream`` unchanged (the production shape:
     train offline on the landed corpus, gate the intake stream with the
-    frozen model — streaming/ingest.stream_quality_gate)."""
+    frozen model — streaming/ingest.stream_quality_gate). ``keep``
+    names extra input columns to carry through unchanged (quality_drift
+    rides ``source`` along so the scored frame needs no corpus-sized
+    join back to its own input)."""
     wd, w_inv, w_n = w[QC_BUCKETS], w[QC_BUCKETS + 1], w[QC_BUCKETS + 2]
     warr = F.array(*[F.lit(v) for v in w[:QC_BUCKETS]])
     toked = docs.select(
-        "doc_id", tokens(F.lower(F.col("text"))).alias("_toks")
+        "doc_id", *keep, tokens(F.lower(F.col("text"))).alias("_toks")
     ).select(
         "doc_id",
+        *keep,
         F.transform(
             F.col("_toks"), lambda t: (md5_long(t) % QC_BUCKETS).cast("int")
         ).alias("_bks"),
@@ -1478,6 +1492,7 @@ def score_documents(docs: DataFrame, w: list[float], b: float) -> DataFrame:
     )
     return toked.select(
         "doc_id",
+        *keep,
         F.round(z, 4).alias("qc_logit"),
         (z >= 0).cast("int").alias("qc_label"),
     )
@@ -1682,14 +1697,12 @@ def ks_drift_frame(
 PSI_EPS = 0.5  # Laplace smoothing per bin: no empty-bin log blow-up
 
 
-@register(
-    "psi_drift",
-    f"""
-    WITH d AS (
-        SELECT source,
-               CAST(least(greatest(floor(n_chars / {KS_W}), 0), {KS_NBINS - 1})
-                    AS BIGINT) AS bin
-        FROM documents WHERE n_chars > 0),
+def _psi_drift_sql(with_prefix: str) -> str:
+    """The smoothed-PSI grid oracle tail appended to any WITH-prefix
+    that defines a CTE ``d(source, bin)`` — shared by psi_drift (length
+    bins) and quality_drift (classifier-logit bins) so the grid
+    arithmetic cannot diverge between the watched marginals."""
+    return with_prefix + f""",
     counts AS (SELECT source, bin, CAST(count(*) AS DOUBLE) AS n
                FROM d GROUP BY source, bin),
     srcs AS (SELECT DISTINCT source FROM d),
@@ -1711,7 +1724,17 @@ PSI_EPS = 0.5  # Laplace smoothing per bin: no empty-bin log blow-up
                       / ((bin_tot - n + {PSI_EPS}) / (tot_all - tot + {KS_NBINS * PSI_EPS})))
                  END), 6) AS psi_vs_rest
     FROM c GROUP BY source, tot
-    """,
+    """
+
+
+@register(
+    "psi_drift",
+    _psi_drift_sql(f"""
+    WITH d AS (
+        SELECT source,
+               CAST(least(greatest(floor(n_chars / {KS_W}), 0), {KS_NBINS - 1})
+                    AS BIGINT) AS bin
+        FROM documents WHERE n_chars > 0)"""),
     "population-stability-index drift monitor on the same fixed "
     f"{KS_NBINS}-bin length grid as ks_drift: per source, "
     "PSI = sum_i (p_i - q_i) * ln(p_i / q_i) of its binned "
@@ -1786,6 +1809,72 @@ def psi_drift_frame(
             "source", F.col("tot").cast("bigint").alias("n_docs"), "psi_vs_rest"
         )
     )
+
+
+# quality-logit drift grid: classifier logits live in a few units
+# around 0, so the 64 bins cover [-QDRIFT_OFF, QDRIFT_OFF) at width
+# QDRIFT_W (= 64 x 0.25 = 16 units), clamped at the edges like every
+# grid in the suite. The offset/width are part of the gate's semantics
+# (the stream gates' grid-tag rule).
+QDRIFT_OFF = 8.0
+QDRIFT_W = 0.25
+
+
+def _qdrift_oracle(sf_dir: str) -> str:
+    w, b = _qc_fit(_qc_sample_texts(sf_dir))
+    return _psi_drift_sql(f"""
+    WITH {_qc_score_ctes(w, b)},
+    q AS (SELECT s.doc_id, dd.source, round(s.z, 4) + {QDRIFT_OFF!r} AS qv
+          FROM scored s JOIN documents dd USING (doc_id)),
+    d AS (SELECT source,
+                 CAST(least(greatest(floor(qv / {QDRIFT_W!r}), 0), {KS_NBINS - 1})
+                      AS BIGINT) AS bin
+          FROM q)""")
+
+
+@register(
+    "quality_drift",
+    _qdrift_oracle,
+    "QUALITY-MARGINAL drift monitor — the gate a data owner most wants "
+    "fired: per source, the smoothed PSI (psi_drift's grid, runbook "
+    "thresholds attached) of its quality_classifier LOGIT distribution "
+    "against the rest of the corpus. The suite already watches length, "
+    "token count, language mix, and the embedding space — but a "
+    "quality COLLAPSE (a crawler that starts landing boilerplate, a "
+    "parser that strips the prose and keeps navigation chrome) can "
+    "keep every one of those marginals intact while the learned "
+    "quality score's distribution slides; binning the logit catches "
+    f"it. Grid: {KS_NBINS} bins of width {QDRIFT_W} covering logits in "
+    f"[-{QDRIFT_OFF:.0f}, {QDRIFT_OFF:.0f}), clamped at the edges. "
+    "Scale shape: scoring is the classifier's per-row zero-shuffle "
+    "fold with SOURCE riding along (score_documents keep=…, no join "
+    "back to the corpus), so the ONLY corpus-sized work is one scan "
+    "into the partial/final (source, bin) count — then bounded-grid "
+    "arithmetic, exactly psi_drift. Cross-engine: the logit rounds at "
+    "4dp in both engines BEFORE the offset/bin arithmetic (identical "
+    "doubles: /0.25 is an exact power-of-two scale), the weights are "
+    "the deterministic driver-side fit both oracles consume "
+    "(_qc_score_ctes shares the scoring CTE with quality_classifier), "
+    "and the PSI tail is the shared _psi_drift_sql. Single-source "
+    "corpus degrades to NULL, never a zero denominator.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w, b = train_quality_model(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return quality_drift_frame(d, w, b)
+
+
+def quality_drift_frame(d: DataFrame, w: list[float], b: float) -> DataFrame:
+    """(source, n_docs, psi_vs_rest) quality-logit drift over a
+    (doc_id, source, text) frame under frozen classifier weights —
+    split out so planted-shift tests can feed synthetic corpora and
+    their own fitted models."""
+    scored = score_documents(d, w, b, keep=("source",))
+    frame = scored.select(
+        "source", (F.col("qc_logit") + F.lit(QDRIFT_OFF)).alias("qv")
+    )
+    return psi_drift_frame(frame, value_col="qv", width=QDRIFT_W)
 
 
 @register(

@@ -535,6 +535,37 @@ def test_vocab_divergence_other_bucket(spark):
     assert 0.0 < r.jsd <= 0.693148
 
 
+def test_quality_drift_planted_logit_shift(spark):
+    """Planted quality collapse on the logit column: two sources carry
+    the same diverse-text distribution, a third is pure repetition
+    (the boilerplate-flood failure mode) — under a model fit on the
+    mixed corpus its logits shift, so its PSI must exceed both normal
+    sources' and clear the 0.25 re-baseline runbook threshold, while
+    the twin normal sources stay in the stable band relative to it."""
+    from eurovision_spark.operators.textstats import (
+        _qc_fit,
+        quality_drift_frame,
+    )
+
+    def diverse(i):
+        return " ".join(f"tok{i}x{j}" for j in range(20))
+
+    def boiler(i):
+        return " ".join(["nav menu footer"] * 7)
+
+    rows = (
+        [(i, "ok1", diverse(i)) for i in range(60)]
+        + [(1000 + i, "ok2", diverse(500 + i)) for i in range(60)]
+        + [(2000 + i, "bad", boiler(i)) for i in range(60)]
+    )
+    d = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    w, b = _qc_fit([t for _, _, t in rows[:180:3]])  # mixed fit sample
+    got = {r.source: r.psi_vs_rest for r in quality_drift_frame(d, w, b).collect()}
+    assert set(got) == {"ok1", "ok2", "bad"}
+    assert got["bad"] > 0.25, got
+    assert got["bad"] > 3 * max(got["ok1"], got["ok2"]), got
+
+
 def test_ccnet_buckets_tercile_invariants(spark):
     """CCNet bucketing invariants beyond the hash gate: per source the
     three buckets are balanced within one document (ntile's equal-fill
