@@ -1392,6 +1392,125 @@ def stream_drift_gate(
     )
 
 
+EMB_COS_ALERT = 0.8  # batch-vs-baseline centroid cosine below this flags
+
+
+def stream_embedding_gate(
+    spark: SparkSession,
+    emb_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+) -> StreamingQuery:
+    """Streaming EMBEDDING-SPACE twin of the intake drift gates — the
+    modality check the text gates cannot express: an encoder-version
+    flip or a poisoned source arrives through the same landing dir with
+    normal-looking lengths, tokens, and language mix, and only the
+    representation itself has moved. Every arriving micro-batch's
+    centroid is compared (cosine, ``embedding_drift``'s arithmetic:
+    with exactly two groups, label-vs-rest IS batch-vs-baseline) against
+    the LANDED baseline centroid BEFORE the batch folds in, and one
+    ledger row per batch records the statistic and the alert (cosine
+    below EMB_COS_ALERT — drift pulls the batch centroid AWAY, so the
+    gate fires LOW, unlike the fire-high KS/chi-square gates).
+
+    Same store/replay discipline as stream_drift_gate:
+
+    - ``emb_batches/`` (batch_key, d, s, n) — each batch's per-dim
+      component sums + counts under the deterministic
+      ``drift_batch_key`` (the vec ids keyed as doc_id);
+    - ``emb_ledger/`` (batch_key, n_vecs, cos_vs_baseline, alert) —
+      one decision row per distinct batch.
+
+    Per batch the ONLY batch-sized work is one partial/final (dim) sum
+    (<= dims rows out — the posexplode never leaves its partition
+    unaggregated); the baseline is the keyed sum of all OTHER batches'
+    stored sums, so an at-least-once replay excludes itself BY KEY,
+    recomputes the identical statistic, and both first-wins upserts
+    no-op. The first batch has no baseline: cosine null, alert 0. The
+    watched vector column is part of the store's semantics (the grid-
+    tag rule): keys scope to it and the baseline filters to it. Dims
+    are compared where BOTH sides have mass (inner join on d — the
+    ragged-safe convention of embedding_drift_frame: a short vector is
+    absent from, not zero at, its missing dims)."""
+    import hashlib
+    import os
+
+    from eurovision_spark.operators.similarity import as_double, l2norm
+    from eurovision_spark.sinks import upsert_parquet
+
+    sum_dir = os.path.join(store_dir, "emb_batches")
+    ledger_dir = os.path.join(store_dir, "emb_ledger")
+    vec_tag = hashlib.md5(vec_col.encode()).hexdigest()[:8]
+
+    schema = spark.read.parquet(emb_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(emb_dir)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            as_double(F.col(vec_col)).alias("_v"),
+        )
+        .filter(l2norm(F.col("_v")) > 0)
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        n_vecs, batch_key = drift_batch_key(batch_df.select("doc_id"))
+        if not n_vecs:
+            return
+        batch_key = f"{batch_key}-v{vec_tag}"
+        sums = (
+            batch_df.select(F.posexplode("_v").alias("d", "val"))
+            .groupBy("d")
+            .agg(F.sum("val").alias("s"), F.count("*").cast("double").alias("n"))
+            .localCheckpoint()
+        )
+        base = _read_store_or_empty(
+            spark, sum_dir, "batch_key string, d int, s double, n double"
+        ).filter(
+            (F.col("batch_key") != batch_key)
+            & F.col("batch_key").endswith(f"-v{vec_tag}")
+        )
+        base_sums = base.groupBy("d").agg(
+            F.sum("s").alias("bs"), F.sum("n").alias("bn")
+        )
+        if base_sums.isEmpty():
+            cos_val, alert = None, 0
+        else:
+            g = sums.join(base_sums, "d").select(
+                (F.col("s") / F.col("n")).alias("cb"),
+                (F.col("bs") / F.col("bn")).alias("ca"),
+            )
+            cos_val = g.agg(
+                F.round(
+                    F.sum(F.col("cb") * F.col("ca"))
+                    / (
+                        F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+                        * F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                    ),
+                    6,
+                )
+            ).first()[0]
+            alert = int(cos_val is not None and cos_val < EMB_COS_ALERT)
+        ledger_row = spark.createDataFrame(
+            [(batch_key, n_vecs, cos_val, alert)],
+            "batch_key string, n_vecs bigint, cos_vs_baseline double, alert int",
+        )
+        upsert_parquet(ledger_row, ledger_dir, ["batch_key"], keep="existing")
+        upsert_parquet(
+            sums.select(F.lit(batch_key).alias("batch_key"), "d", "s", "n"),
+            sum_dir,
+            ["batch_key", "d"],
+            keep="existing",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 CHISQ_ALERT_PER_DOF = 10.0  # chi-square per degree of freedom above this flags
 
 

@@ -1443,3 +1443,89 @@ def test_stream_drift_gate_grids_share_a_store(spark, tmp_path):
     rows = spark.read.parquet(str(store / "drift_ledger")).collect()
     assert len(rows) == 2  # one ledger row per grid for the same batch
     assert all(r.ks_vs_baseline is None and r.alert == 0 for r in rows)
+
+
+def test_stream_embedding_gate_alerts_and_is_replay_stable(spark, tmp_path):
+    """The embedding-space intake gate: same-direction batches pass
+    (centroid cosine near 1, no alert), an orthogonal batch alarms
+    (the encoder-flip / poisoned-source event the text gates miss),
+    the ledger statistic equals the BATCH embedding_drift formulation
+    on the same two-group split (twin parity, to one 6dp rounding
+    quantum), and an at-least-once replay changes neither the ledger
+    nor the stored per-dim sums."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from eurovision_spark.operators.similarity import as_double, embedding_drift_frame
+    from eurovision_spark.streaming.ingest import stream_embedding_gate
+
+    emb_dir = tmp_path / "emb"
+    emb_dir.mkdir()
+    store = tmp_path / "store"
+
+    def wave(name, rows):
+        spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label int"
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = next((tmp_path / name).glob("part-*.parquet"))
+        shutil.copy(part, emb_dir / f"{name}.parquet")
+
+    def vec(axis, i):
+        v = [0.0, 0.0, 0.0]
+        v[axis] = 1.0
+        v[(axis + 1) % 3] = 0.001 * i  # tiny jitter, same direction
+        return v
+
+    w1 = [(i, vec(0, i), 0) for i in range(100)]
+    w2 = [(1000 + i, vec(0, i), 0) for i in range(100)]  # same direction
+    w3 = [(2000 + i, vec(2, i), 0) for i in range(80)]  # orthogonal
+
+    wave("w1", w1)
+    q = stream_embedding_gate(spark, str(emb_dir), str(store), str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+        wave("w2", w2)
+        q.processAllAvailable()
+        wave("w3", w3)
+        q.processAllAvailable()
+        ledger_before = sorted(
+            map(tuple, spark.read.parquet(str(store / "emb_ledger")).collect())
+        )
+        sums_before = sorted(
+            map(tuple, spark.read.parquet(str(store / "emb_batches")).collect())
+        )
+        shutil.copy(emb_dir / "w3.parquet", emb_dir / "w3_replay.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = sorted(
+        spark.read.parquet(str(store / "emb_ledger")).collect(),
+        key=lambda r: (r.cos_vs_baseline is not None, r.cos_vs_baseline or -2),
+    )
+    assert len(rows) == 3
+    first, low, high = rows
+    assert first.cos_vs_baseline is None and first.alert == 0  # no baseline yet
+    assert high.cos_vs_baseline > 0.99 and high.alert == 0  # same direction
+    assert low.cos_vs_baseline < 0.2 and low.alert == 1  # orthogonal batch
+
+    # replay mutated nothing
+    assert ledger_before == sorted(
+        map(tuple, spark.read.parquet(str(store / "emb_ledger")).collect())
+    )
+    assert sums_before == sorted(
+        map(tuple, spark.read.parquet(str(store / "emb_batches")).collect())
+    )
+
+    # batch-twin parity: with exactly two labels, embedding_drift's
+    # label-vs-rest IS the batch-vs-baseline cosine the gate computed
+    base_df = spark.read.parquet(str(tmp_path / "w1"), str(tmp_path / "w2"))
+    w3_df = spark.read.parquet(str(tmp_path / "w3"))
+    union = base_df.select(
+        F.lit(0).alias("label"), as_double(F.col("embedding")).alias("v")
+    ).unionByName(
+        w3_df.select(F.lit(1).alias("label"), as_double(F.col("embedding")).alias("v"))
+    )
+    twin = {r.label: r.cos_vs_rest for r in embedding_drift_frame(union).collect()}
+    assert abs(twin[1] - low.cos_vs_baseline) <= 1e-6
