@@ -105,7 +105,15 @@ def test_bench_compact_line_survives_driver_tail():
     warm = {name: 99.999 for name in bench.HEADLINE}  # widest floats
     cold = {name: 123.456 for name in bench.HEADLINE}
     errors = {"some_query": "E" * 400}
-    lines = bench.format_output(warm, cold, errors, 868008, 13.58, 0.1)
+    heavy = {  # worst-case widths for the r09 floor-evidence fields
+        "q": max(bench.HEADLINE, key=len),
+        "jobs": 99,
+        "floor_bound_sec": 99.999,
+        "rerun_sec": 999.999,
+    }
+    lines = bench.format_output(
+        warm, cold, errors, 868008, 13.58, 0.1, 0.333, heavy
+    )
     last = lines[-1]
     assert len(last) <= 2000 - len("\n"), len(last)
     doc = json.loads(last)

@@ -76,6 +76,11 @@ QUERIES = [
     ("kcenter_prototypes", "bounded greedy sample + broadcast-argmax assignment", True),
     ("selection_pipeline", "survivorship anti join + deduped LM scoring + keep gate", True),
     ("embedding_drift", "one (label, dim) partial/final sum, bounded centroid grid", True),
+    # round 9: the scale-safe tercile path (side-by-side with its exact
+    # sibling above), the applied DSIR resampler, the quality-logit gate
+    ("ccnet_buckets_approx", "bounded-sample percentile cuts, no per-source sort", True),
+    ("dsir_sample", "dsir_weights' plan + per-row hash gate, nothing lands", True),
+    ("quality_drift", "per-row classifier fold + one (source, bin) count", True),
 ]
 
 
