@@ -117,6 +117,8 @@ HEADLINE = [
     "ccnet_buckets_approx",
     "dsir_sample",
     "quality_drift",
+    "gopher_rules",
+    "repetition_stats",
 ]
 
 

@@ -1811,6 +1811,305 @@ def psi_drift_frame(
     )
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style RULE filters (Rae et al. 2021, Appendix A): the published
+# hand-rule tier of the quality family — heuristic ratios
+# (quality_score), RULES (here), learned classifier (quality_classifier),
+# LM scoring (ccnet_buckets). All thresholds are the paper's; the stop
+# lexicon is the engine's marker set (the lang_guess pattern — the
+# synthetic vocabulary has no English stopwords to find; swap the real
+# English set in on a real corpus).
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPS = EN_MARKERS
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MWL_LO, GOPHER_MWL_HI = 3.0, 10.0
+GOPHER_MIN_ALPHA = 0.8  # >= 80% of words contain an alphabetic char
+GOPHER_MAX_SYMBOL = 0.1  # '#'/'...' occurrences per word
+GOPHER_MAX_BULLET = 0.9  # lines starting with a bullet
+GOPHER_MAX_ELLIPSIS = 0.3  # lines ending with an ellipsis
+GOPHER_MIN_STOPS = 2
+
+
+@register(
+    "gopher_rules",
+    f"""
+    WITH d AS (
+        SELECT doc_id, text,
+               string_split_regex(trim(text), '\\s+') AS toks,
+               string_split(text, chr(10)) AS lines
+        FROM documents WHERE n_chars > 0),
+    m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                     / len(toks), 4) AS mean_word_len,
+               round(CAST(len(list_filter(toks,
+                         t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+                     / len(toks), 4) AS frac_alpha_words,
+               round(((length(text) - length(replace(text, '#', '')))
+                      + (length(text) - length(replace(text, '...', ''))) / 3.0)
+                     / len(toks), 4) AS symbol_ratio,
+               round(CAST(len(list_filter(lines,
+                         l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+                     / len(lines), 4) AS bullet_line_frac,
+               round(CAST(len(list_filter(lines,
+                         l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE)
+                     / len(lines), 4) AS ellipsis_line_frac,
+               CAST(len(list_intersect(
+                        list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
+                        {list(GOPHER_STOPS)!r})) AS BIGINT) AS n_stop_hits
+        FROM d)
+    SELECT *,
+           CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS INT)
+               AS word_count_ok,
+           CAST(mean_word_len BETWEEN {GOPHER_MWL_LO!r} AND {GOPHER_MWL_HI!r} AS INT)
+               AS word_len_ok,
+           CAST(frac_alpha_words >= {GOPHER_MIN_ALPHA!r} AS INT) AS alpha_ok,
+           CAST(symbol_ratio <= {GOPHER_MAX_SYMBOL!r} AS INT) AS symbol_ok,
+           CAST(bullet_line_frac <= {GOPHER_MAX_BULLET!r} AS INT) AS bullet_ok,
+           CAST(ellipsis_line_frac <= {GOPHER_MAX_ELLIPSIS!r} AS INT) AS ellipsis_ok,
+           CAST(n_stop_hits >= {GOPHER_MIN_STOPS} AS INT) AS stop_ok,
+           CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                AND mean_word_len BETWEEN {GOPHER_MWL_LO!r} AND {GOPHER_MWL_HI!r}
+                AND frac_alpha_words >= {GOPHER_MIN_ALPHA!r}
+                AND symbol_ratio <= {GOPHER_MAX_SYMBOL!r}
+                AND bullet_line_frac <= {GOPHER_MAX_BULLET!r}
+                AND ellipsis_line_frac <= {GOPHER_MAX_ELLIPSIS!r}
+                AND n_stop_hits >= {GOPHER_MIN_STOPS} AS INT) AS pass_gopher
+    FROM m
+    """,
+    "Gopher-style RULE quality filters (Rae et al. 2021, Appendix A) — "
+    "the published hand-rule tier completing the quality family "
+    "(heuristic ratios: quality_score; learned: quality_classifier; "
+    "LM-based: ccnet_buckets): per document the paper's measurements — "
+    f"word count (in [{GOPHER_MIN_WORDS}, {GOPHER_MAX_WORDS}]), mean "
+    f"word length (in [{GOPHER_MWL_LO}, {GOPHER_MWL_HI}]), alphabetic-"
+    f"word fraction (>= {GOPHER_MIN_ALPHA}), '#'/'...'-symbol-to-word "
+    f"ratio (<= {GOPHER_MAX_SYMBOL}), bullet-started and ellipsis-"
+    "ended line fractions, stopword presence (the engine's marker "
+    "lexicon standing in for the English stop set on this synthetic "
+    "vocabulary — the lang_guess pattern) — each rule as its own 0/1 "
+    "column plus the conjunction (pass_gopher), so downstream keep "
+    "policies can compose rules instead of re-measuring. Scale shape: "
+    "ONE scan, pure per-row expressions (split/filter/replace/regex "
+    "inside whole-stage codegen), ZERO shuffles — the embarrassingly-"
+    "parallel map that runs unchanged on 100 TB. Cross-engine exact: "
+    "every ratio is a division of integer counts rounded at 4dp, and "
+    "every flag compares the ROUNDED value, so both engines apply "
+    "identical thresholds to identical doubles.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return gopher_rules_frame(d)
+
+
+def gopher_rules_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, measurements..., rule flags..., pass_gopher) over a
+    (doc_id, text) frame — split out so planted rule-violation tests
+    feed crafted documents through the same expressions."""
+    toks = tokens(F.col("text"))
+    lines = F.split(F.col("text"), "\n")
+    n_words = F.size(toks).cast("bigint")
+    measured = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(
+            F.length(F.regexp_replace("text", r"\s", "")).cast("double") / n_words,
+            4,
+        ).alias("mean_word_len"),
+        F.round(
+            F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))).cast("double")
+            / n_words,
+            4,
+        ).alias("frac_alpha_words"),
+        F.round(
+            (
+                (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"))))
+                + (
+                    F.length("text")
+                    - F.length(F.replace(F.col("text"), F.lit("...")))
+                )
+                / F.lit(3.0)
+            )
+            / n_words,
+            4,
+        ).alias("symbol_ratio"),
+        F.round(
+            F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))).cast("double")
+            / F.size(lines),
+            4,
+        ).alias("bullet_line_frac"),
+        F.round(
+            F.size(
+                F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+            ).cast("double")
+            / F.size(lines),
+            4,
+        ).alias("ellipsis_line_frac"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(tokens(F.lower(F.col("text")))),
+                F.array(*[F.lit(s) for s in GOPHER_STOPS]),
+            )
+        )
+        .cast("bigint")
+        .alias("n_stop_hits"),
+    )
+    word_count_ok = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    word_len_ok = F.col("mean_word_len").between(GOPHER_MWL_LO, GOPHER_MWL_HI)
+    alpha_ok = F.col("frac_alpha_words") >= GOPHER_MIN_ALPHA
+    symbol_ok = F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL
+    bullet_ok = F.col("bullet_line_frac") <= GOPHER_MAX_BULLET
+    ellipsis_ok = F.col("ellipsis_line_frac") <= GOPHER_MAX_ELLIPSIS
+    stop_ok = F.col("n_stop_hits") >= GOPHER_MIN_STOPS
+    return measured.select(
+        "*",
+        word_count_ok.cast("int").alias("word_count_ok"),
+        word_len_ok.cast("int").alias("word_len_ok"),
+        alpha_ok.cast("int").alias("alpha_ok"),
+        symbol_ok.cast("int").alias("symbol_ok"),
+        bullet_ok.cast("int").alias("bullet_ok"),
+        ellipsis_ok.cast("int").alias("ellipsis_ok"),
+        stop_ok.cast("int").alias("stop_ok"),
+        (
+            word_count_ok
+            & word_len_ok
+            & alpha_ok
+            & symbol_ok
+            & bullet_ok
+            & ellipsis_ok
+            & stop_ok
+        )
+        .cast("int")
+        .alias("pass_gopher"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition statistics (Gopher Appendix A1.2's repetition filters):
+# within-document n-gram repetition — the signal that catches machine-
+# generated/boilerplate loops that pass every length/vocabulary rule
+# ---------------------------------------------------------------------------
+
+REP_TOP2_MAX = 0.20  # tokens covered by the most frequent 2-gram
+REP_DUP3_MAX = 0.60  # 3-gram occurrences whose gram repeats
+
+
+@register(
+    "repetition_stats",
+    f"""
+    WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+               FROM documents WHERE n_chars > 0),
+    g2 AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(toks) - 1),
+                      i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)))
+                      AS gram
+           FROM d WHERE len(toks) >= 2),
+    g3 AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(toks) - 2),
+                      i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)
+                           || ' ' || list_extract(toks, i + 2))) AS gram
+           FROM d WHERE len(toks) >= 3),
+    c2 AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+           FROM g2 GROUP BY doc_id, gram),
+    c3 AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+           FROM g3 GROUP BY doc_id, gram),
+    s2 AS (SELECT doc_id, max(c) AS max2, CAST(sum(c) AS BIGINT) AS occ2
+           FROM c2 GROUP BY doc_id),
+    s3 AS (SELECT doc_id,
+                  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup3,
+                  CAST(sum(c) AS BIGINT) AS occ3
+           FROM c3 GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(len(d.toks) AS BIGINT) AS n_tokens,
+           round(coalesce(2.0 * s2.max2 / len(d.toks), 0.0), 4) AS top2gram_frac,
+           round(coalesce(CAST(s3.dup3 AS DOUBLE) / s3.occ3, 0.0), 4)
+               AS dup3gram_frac,
+           CAST(coalesce(2.0 * s2.max2 / len(d.toks), 0.0) <= {REP_TOP2_MAX!r}
+                AND coalesce(CAST(s3.dup3 AS DOUBLE) / s3.occ3, 0.0) <= {REP_DUP3_MAX!r}
+                AS INT) AS pass_repetition
+    FROM d LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+    """,
+    "within-document REPETITION statistics (the Gopher A1.2 filter "
+    "family): per document the fraction of tokens covered by "
+    "occurrences of its most frequent word 2-gram (2 x max-count / "
+    "n_tokens — a looped phrase drives it toward 1) and the fraction "
+    "of word-3-gram OCCURRENCES whose gram occurs more than once "
+    "(exact occurrence accounting, the deterministic cross-engine "
+    "form of the paper's 'characters inside duplicate n-grams' — "
+    "stated plainly: occurrences, not deduplicated characters), plus "
+    f"the keep flag (top-2-gram <= {REP_TOP2_MAX}, dup-3-gram <= "
+    f"{REP_DUP3_MAX}). This is the signal that catches generation "
+    "loops and template boilerplate that pass every length/vocabulary "
+    "rule (gopher_rules) AND exact/near dedup (the repetition is "
+    "WITHIN one document). Scale shape: one scan; the only exchange "
+    "is the (doc_id, gram) partial/final count — map-side combined, "
+    "keyed on the same doc-partitioned ids end-to-end — then two "
+    "bounded per-doc rollups join back id-to-id. Degenerate docs "
+    "(under 2/3 tokens) report 0 fractions and pass. Cross-engine "
+    "exact: integer counts, one division, 4dp round; the flag "
+    "compares the UNROUNDED ratio identically in both engines "
+    "(integer-derived doubles are exact).",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return repetition_stats_frame(d)
+
+
+def repetition_stats_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, top2gram_frac, dup3gram_frac,
+    pass_repetition) over a (doc_id, text) frame. One-scan rule: the
+    token arrays localCheckpoint once and feed the 2-gram stream, the
+    3-gram stream, and the final length join; grams are built by
+    zip_with over shifted slices (no posexplode self-join)."""
+    spark = d.sparkSession
+    toked = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", tokens(F.lower(F.col("text"))).alias("_toks"))
+        .localCheckpoint()
+    )
+    n = F.size(F.col("_toks"))
+
+    def grams(k: int):
+        parts = [F.slice(F.col("_toks"), i + 1, 2_000_000_000) for i in range(k)]
+        g = parts[0]
+        for p in parts[1:]:
+            g = F.zip_with(g, p, lambda a, b: F.concat_ws(" ", a, b))
+        # zip_with pads the longer side with NULL -> concat_ws drops the
+        # null tail cleanly, but the tail grams are SHORT: slice to the
+        # exact count instead
+        return F.slice(g, 1, F.greatest(n - (k - 1), F.lit(0)))
+
+    g2 = toked.filter(n >= 2).select("doc_id", F.explode(grams(2)).alias("gram"))
+    g3 = toked.filter(n >= 3).select("doc_id", F.explode(grams(3)).alias("gram"))
+    c2 = g2.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    c3 = g3.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    s2 = c2.groupBy("doc_id").agg(F.max("c").alias("max2"))
+    s3 = c3.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup3"),
+        F.sum("c").alias("occ3"),
+    )
+    top2 = F.coalesce(F.lit(2.0) * F.col("max2") / F.col("n_tokens"), F.lit(0.0))
+    dup3 = F.coalesce(F.col("dup3").cast("double") / F.col("occ3"), F.lit(0.0))
+    return (
+        toked.select("doc_id", n.cast("bigint").alias("n_tokens"))
+        .join(s2, "doc_id", "left")
+        .join(s3, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(top2, 4).alias("top2gram_frac"),
+            F.round(dup3, 4).alias("dup3gram_frac"),
+            ((top2 <= REP_TOP2_MAX) & (dup3 <= REP_DUP3_MAX))
+            .cast("int")
+            .alias("pass_repetition"),
+        )
+    )
+
+
 # quality-logit drift grid: classifier logits live in a few units
 # around 0, so the 64 bins cover [-QDRIFT_OFF, QDRIFT_OFF) at width
 # QDRIFT_W (= 64 x 0.25 = 16 units), clamped at the edges like every

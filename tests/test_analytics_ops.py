@@ -535,6 +535,66 @@ def test_vocab_divergence_other_bucket(spark):
     assert 0.0 < r.jsd <= 0.693148
 
 
+def test_gopher_rules_planted_violations(spark):
+    """Each Gopher rule caught by a crafted violator while a clean doc
+    passes everything: too-short doc, long-gibberish mean word length,
+    symbol flood, bullet-list page, ellipsis-truncated page, non-alpha
+    tokens, stopword-free doc."""
+    from eurovision_spark.operators.textstats import gopher_rules_frame
+
+    clean = "the fast " + " ".join(f"word{i:02d}" for i in range(60)) + " a small"
+    docs = [
+        (0, clean),
+        (1, "the a fast tiny doc"),  # word_count_ok = 0
+        (2, "the a " + " ".join("x" * 30 for _ in range(60))),  # word_len_ok = 0
+        (3, "the a " + " ".join("#" for _ in range(60))),  # symbol_ok = 0
+        (4, "the a\n" + "\n".join(f"- item {i}" for i in range(58))),  # bullet
+        (5, "the a\n" + "\n".join(f"line {i}..." for i in range(58))),  # ellipsis
+        (6, "the a " + " ".join("123" for _ in range(60))),  # alpha_ok = 0
+        (7, " ".join(f"tok{i}" for i in range(60))),  # stop_ok = 0
+    ]
+    d = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in gopher_rules_frame(d).collect()}
+    assert got[0].pass_gopher == 1, got[0]
+    assert got[1].word_count_ok == 0 and got[1].pass_gopher == 0
+    assert got[2].word_len_ok == 0 and got[2].pass_gopher == 0
+    assert got[3].symbol_ok == 0 and got[3].pass_gopher == 0
+    assert got[4].bullet_ok == 0 and got[4].pass_gopher == 0
+    assert got[5].ellipsis_ok == 0 and got[5].pass_gopher == 0
+    assert got[6].alpha_ok == 0 and got[6].pass_gopher == 0
+    assert got[7].stop_ok == 0 and got[7].n_stop_hits == 0 and got[7].pass_gopher == 0
+    # measurements carry real values, not just flags
+    assert got[0].n_words == 64 and got[0].n_stop_hits >= 2
+    assert got[4].bullet_line_frac > 0.9 and got[5].ellipsis_line_frac > 0.3
+
+
+def test_repetition_stats_planted_loops(spark):
+    """The within-doc repetition gate: a generation loop ('buy now '
+    x40) saturates both fractions and fails; alternating two grams
+    fails the top-2-gram cap with an exactly computable value; diverse
+    text passes; degenerate 1-token docs report 0 and pass."""
+    from eurovision_spark.operators.textstats import repetition_stats_frame
+
+    docs = [
+        (0, " ".join(f"w{i}" for i in range(50))),  # all grams unique
+        (1, " ".join(["buy now"] * 40)),  # one looped phrase
+        (2, "x"),  # degenerate: no grams
+        (3, " ".join(["a b"] * 10) + " " + " ".join(f"t{i}" for i in range(60))),
+    ]
+    d = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in repetition_stats_frame(d).collect()}
+    assert got[0].top2gram_frac < 0.1 and got[0].dup3gram_frac == 0.0
+    assert got[0].pass_repetition == 1
+    # 80 tokens of 'buy now buy now ...': 'buy now' occurs 40x, 'now buy'
+    # 39x -> top2 = 2*40/80 = 1.0; every 3-gram repeats -> dup3 = 1.0
+    assert got[1].top2gram_frac == 1.0 and got[1].dup3gram_frac == 1.0
+    assert got[1].pass_repetition == 0
+    assert got[2].n_tokens == 1 and got[2].top2gram_frac == 0.0
+    assert got[2].dup3gram_frac == 0.0 and got[2].pass_repetition == 1
+    # 'a b' x10 then 60 unique: 'a b' occurs 10x in 80 tokens -> 0.25
+    assert got[3].top2gram_frac == 0.25 and got[3].pass_repetition == 0
+
+
 def test_quality_drift_planted_logit_shift(spark):
     """Planted quality collapse on the logit column: two sources carry
     the same diverse-text distribution, a third is pure repetition

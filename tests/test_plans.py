@@ -907,6 +907,7 @@ def test_mad_outliers_sample_is_group_limited_and_stats_broadcast(spark):
         "dsir_weights",
         "dsir_sample",
         "selection_pipeline",
+        "repetition_stats",
     ],
 )
 def test_r8_analytics_scan_once_and_bounded(spark, name):
@@ -921,6 +922,21 @@ def test_r8_analytics_scan_once_and_bounded(spark, name):
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)) == 0, plan
     assert "ExistingRDD" in plan  # the checkpointed leaf
     assert "CartesianProduct" not in plan
+
+
+def test_gopher_rules_is_pure_per_row_map(spark):
+    """The rule filter's 100 TB claim: pure per-row expressions — ONE
+    parquet scan with the n_chars predicate PUSHED to it, no exchange
+    of any kind, no window, no join; the scan/filter stay inside
+    codegen (the rule projects use higher-order array lambdas, which
+    Spark evaluates outside whole-stage codegen by design — still
+    per-row JVM expressions, no Python)."""
+    plan = plan_of(spark, "gopher_rules")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)) == 1, plan
+    assert "GreaterThan(n_chars,0)" in plan  # predicate reached the scan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "[codegen id" in plan
 
 
 def test_ccnet_approx_has_no_corpus_window_sort(spark):

@@ -81,6 +81,8 @@ QUERIES = [
     ("ccnet_buckets_approx", "bounded-sample percentile cuts, no per-source sort", True),
     ("dsir_sample", "dsir_weights' plan + per-row hash gate, nothing lands", True),
     ("quality_drift", "per-row classifier fold + one (source, bin) count", True),
+    ("gopher_rules", "pure per-row rule expressions, zero shuffles", True),
+    ("repetition_stats", "(doc_id, gram) partial/final count + per-doc rollups", True),
 ]
 
 
