@@ -119,6 +119,7 @@ HEADLINE = [
     "quality_drift",
     "gopher_rules",
     "repetition_stats",
+    "shard_plan",
 ]
 
 
@@ -294,13 +295,17 @@ def format_output(
     if noop_floor is not None:
         out["floor_sec"] = noop_floor
     if heavy is not None:
-        detail["heavy_rerun_sec"] = heavy.get("rerun_sec")
+        # the detail line ALWAYS carries the full heavy dict; the
+        # compact line carries the floor evidence too unless width
+        # pressure sheds it (graded fallback below)
+        detail["heavy"] = heavy
         out["heavy"] = {k: v for k, v in heavy.items() if k != "rerun_sec"}
     # never let the contract line outgrow the driver's 2000-char tail:
-    # shrink warm-map precision until it fits, and FAIL LOUDLY if even
-    # integer seconds overflow (r07 advice: the old one-shot fallback
-    # never re-checked, so further HEADLINE growth could silently
-    # truncate in the driver again)
+    # shrink warm-map precision until it fits, then shed the heavy dict
+    # back to the detail line, and FAIL LOUDLY only if even that
+    # overflows (r07 advice: the old one-shot fallback never
+    # re-checked, so further HEADLINE growth could silently truncate
+    # in the driver again)
     compact = json.dumps(out)
     for shrink in (
         lambda v: round(v, 1),
@@ -309,6 +314,9 @@ def format_output(
         if len(compact) <= 1950:
             break
         out["queries"] = {k: shrink(v) for k, v in warm.items()}
+        compact = json.dumps(out)
+    if len(compact) > 1950 and "heavy" in out:
+        out.pop("heavy")  # still in the detail line just above
         compact = json.dumps(out)
     if len(compact) > 1950:
         raise RuntimeError(

@@ -843,6 +843,71 @@ def digest_delta(d1: DataFrame, d2: DataFrame) -> DataFrame:
     )
 
 
+# Reproducible training-order sharding: the LAST step of corpus prep —
+# every selected document gets a (shard, position) so the written shard
+# files, and therefore the training data ORDER, are bit-identical
+# across re-runs (the audit property random shuffles lose). Shard count
+# is the parallelism/size knob: pick it so one shard ≈ one target file
+# group (corpus_bytes / target_shard_bytes at production scale).
+SHARD_N = 64
+
+
+@register(
+    "shard_plan",
+    f"""
+    WITH d AS (SELECT doc_id FROM documents WHERE n_chars > 0),
+    keyed AS (SELECT doc_id,
+                     {md5_long_sql("concat('shard-', CAST(doc_id AS VARCHAR))")}
+                         % {SHARD_N} AS shard,
+                     {md5_long_sql("concat('ord-', CAST(doc_id AS VARCHAR))")}
+                         AS ord_key
+              FROM d)
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY ord_key, doc_id) AS BIGINT) AS pos
+    FROM keyed
+    """,
+    "REPRODUCIBLE training-order sharding — the step between selection "
+    "and the shard writer: every document gets a (shard, position) "
+    f"from two independent md5 keys (shard = hash % {SHARD_N}, "
+    "position = rank of a second hash within the shard), so the "
+    "training order is a deterministic pseudo-random shuffle — "
+    "re-running the pipeline reproduces byte-identical shard files "
+    "(the audit property a random() shuffle loses), documents from "
+    "the same source are scattered (no ordering bias), and adding a "
+    "document moves only its own shard's tail, not the whole corpus "
+    "order. Scale shape: ONE exchange keyed on shard, then an "
+    "in-partition sort per shard — exactly the physical price of "
+    "writing ordered shard files (repartition + sortWithinPartitions; "
+    "Spark's window sort is an external, spill-safe sort). The shard "
+    "count is the explicit parallelism/size knob: one shard = one "
+    "sort task, so production picks corpus_bytes / target_shard_bytes "
+    f"(the registered {SHARD_N} suits the test scales). Cross-engine "
+    "exact: integer hashes, integer ranks, doc_id tie-break.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return shard_plan_frame(d.select("doc_id"))
+
+
+def shard_plan_frame(d: DataFrame, n_shards: int = SHARD_N) -> DataFrame:
+    """(doc_id, shard, pos) over any (doc_id) frame — split out so the
+    determinism/rebalance tests feed planted id sets and shard counts."""
+    shard = (
+        md5_long(F.concat(F.lit("shard-"), F.col("doc_id").cast("string")))
+        % n_shards
+    )
+    ord_key = md5_long(F.concat(F.lit("ord-"), F.col("doc_id").cast("string")))
+    keyed = d.select(
+        "doc_id", shard.cast("bigint").alias("shard"), ord_key.alias("ord_key")
+    )
+    pos = F.row_number().over(
+        W.partitionBy("shard").orderBy(F.asc("ord_key"), F.asc("doc_id"))
+    )
+    return keyed.select("doc_id", "shard", pos.cast("bigint").alias("pos"))
+
+
 SEL_TAIL_PCT = 10  # CCNet-style keep policy: head+middle fully, tail sampled
 
 

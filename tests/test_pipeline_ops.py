@@ -887,6 +887,43 @@ def test_simhash_pairs_radius_and_planted_floor(spark):
     assert planted / n_src >= 0.4, (planted, n_src)
 
 
+def test_shard_plan_reproducible_order(spark):
+    """The training-order contract: (a) a re-run reproduces the exact
+    (doc_id, shard, pos) table; (b) every doc appears once with
+    contiguous 1..n positions per shard; (c) ids scatter across all
+    shards (no source/ordering bias: sequential ids land apart); (d)
+    adding one document preserves the RELATIVE order of all existing
+    documents within every shard — only positions at/after the
+    insertion point shift by one."""
+    from collections import defaultdict
+
+    from eurovision_spark.operators.pipeline import shard_plan_frame
+
+    ids = spark.createDataFrame([(i,) for i in range(500)], "doc_id bigint")
+    a = sorted(map(tuple, shard_plan_frame(ids, n_shards=8).collect()))
+    b = sorted(map(tuple, shard_plan_frame(ids, n_shards=8).collect()))
+    assert a == b and len(a) == 500
+
+    per = defaultdict(list)
+    for doc_id, shard, pos in a:
+        per[shard].append((pos, doc_id))
+    assert set(per) == set(range(8))  # sequential ids reach every shard
+    for shard, rows in per.items():
+        rows.sort()
+        assert [p for p, _ in rows] == list(range(1, len(rows) + 1)), shard
+
+    ids2 = spark.createDataFrame([(i,) for i in range(501)], "doc_id bigint")
+    c = sorted(map(tuple, shard_plan_frame(ids2, n_shards=8).collect()))
+    order_a = {s: [d for _, d in sorted(rows)] for s, rows in per.items()}
+    per_c = defaultdict(list)
+    for doc_id, shard, pos in c:
+        per_c[shard].append((pos, doc_id))
+    for shard, rows in per_c.items():
+        seq = [d for _, d in sorted(rows)]
+        without_new = [d for d in seq if d != 500]
+        assert without_new == order_a[shard], shard
+
+
 def test_selection_pipeline_composition_invariants(spark):
     """The composed curation pass beyond the hash gate: no dropped
     near-dup ever reaches the manifest; head and middle survive in

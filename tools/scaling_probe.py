@@ -83,6 +83,7 @@ QUERIES = [
     ("quality_drift", "per-row classifier fold + one (source, bin) count", True),
     ("gopher_rules", "pure per-row rule expressions, zero shuffles", True),
     ("repetition_stats", "(doc_id, gram) partial/final count + per-doc rollups", True),
+    ("shard_plan", "one shard-keyed exchange + per-shard external sort", True),
 ]
 
 
