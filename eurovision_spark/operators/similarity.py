@@ -2035,6 +2035,10 @@ def kcenter_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rest-centroid folds out of the same aggregate (total minus own), "
     "never a second pass. Single-label corpus: no rest side, NULL "
     "statistic (the drift-gate convention), never a zero denominator. "
+    "Ragged-safe (r08 advice): per-(label, dim) counts cover only the "
+    "dims a vector HAS and n_vecs is the per-label VECTOR count, so "
+    "arbitrary frames with mixed vector lengths hash-match across "
+    "engines (pinned in tests/test_similarity_recall.py). "
     "Cross-engine exact: per-(label, dim) sums are the one "
     "re-associated quantity and the final cosine rounds at 6dp.",
     driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)

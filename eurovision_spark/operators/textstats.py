@@ -420,7 +420,8 @@ _TMIX_RATES_SQL = f"""
     "mixture_sample (OPERATOR-SUPPLIED rates): here the rates fold "
     "out of the corpus itself. Scale shape: one (source, doc_id, "
     "text) scan for the per-source doc+token aggregate (#sources rows "
-    "out, map-side combined), one column-pruned (source, doc_id) scan "
+    "out, map-side combined, materialized ONCE for the normalizer and "
+    "the rate derivation), one column-pruned (source, doc_id) scan "
     "for the thresholded sample count with the tiny rate table "
     "broadcast back — every exchange is keyed on source. "
     "Cross-engine: token counts are integers, weight rounds at 6dp "
@@ -475,10 +476,14 @@ def temperature_mixture_rates(d: DataFrame) -> DataFrame:
     TOKENS (sqrt-flattened token mass, budget = MIX_BUDGET_FRAC of
     total tokens); keep_rate converts the source's token allocation to
     a per-doc gate rate."""
+    # the bounded (#sources-row) count aggregate feeds BOTH the
+    # normalizer and the rate derivation — materialize it once, or the
+    # tokenizing text scan behind it runs twice (cheap when the count
+    # was doc-only, a real double-scan since r09's token budget)
     c = d.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_toks").cast("bigint").alias("n_tokens"),
-    )
+    ).localCheckpoint()
     # deterministic normalizer: sorted left fold, not a re-associating
     # sum — bit-identical to the oracle's list_reduce (see _TMIX_RATES_SQL)
     z = c.agg(

@@ -924,6 +924,21 @@ def test_r8_analytics_scan_once_and_bounded(spark, name):
     assert "CartesianProduct" not in plan
 
 
+def test_temperature_mixture_tokenizing_scan_runs_once(spark):
+    """r09 token budget made the per-source count aggregate's scan
+    tokenize text — the bounded counts are materialized once, so the
+    final plan of BOTH mixture queries carries exactly ONE parquet
+    scan (the gating side) and that scan's ReadSchema excludes text
+    (column pruning: gating needs only ids + source)."""
+    for name in ("temperature_mixture", "temperature_mixture_sample"):
+        plan = plan_of(spark, name)
+        scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+        assert len(scans) == 1, (name, plan)
+        read = re.search(r"ReadSchema: (.+)", plan).group(1)
+        assert "text" not in read, (name, read)
+        assert "ExistingRDD" in plan  # the checkpointed counts leaf
+
+
 def test_gopher_rules_is_pure_per_row_map(spark):
     """The rule filter's 100 TB claim: pure per-row expressions — ONE
     parquet scan with the n_chars predicate PUSHED to it, no exchange
