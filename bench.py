@@ -120,6 +120,7 @@ HEADLINE = [
     "gopher_rules",
     "repetition_stats",
     "shard_plan",
+    "quality_pipeline",
 ]
 
 

@@ -1836,9 +1836,9 @@ GOPHER_MAX_ELLIPSIS = 0.3  # lines ending with an ellipsis
 GOPHER_MIN_STOPS = 2
 
 
-@register(
-    "gopher_rules",
-    f"""
+# full oracle SELECT, shared verbatim with the quality_pipeline
+# composition oracle (the ccnet_scored_sql discipline)
+_GOPHER_SQL = f"""
     WITH d AS (
         SELECT doc_id, text,
                string_split_regex(trim(text), '\\s+') AS toks,
@@ -1883,7 +1883,12 @@ GOPHER_MIN_STOPS = 2
                 AND ellipsis_line_frac <= {GOPHER_MAX_ELLIPSIS!r}
                 AND n_stop_hits >= {GOPHER_MIN_STOPS} AS INT) AS pass_gopher
     FROM m
-    """,
+    """
+
+
+@register(
+    "gopher_rules",
+    _GOPHER_SQL,
     "Gopher-style RULE quality filters (Rae et al. 2021, Appendix A) — "
     "the published hand-rule tier completing the quality family "
     "(heuristic ratios: quality_score; learned: quality_classifier; "
@@ -2002,9 +2007,9 @@ REP_TOP2_MAX = 0.20  # tokens covered by the most frequent 2-gram
 REP_DUP3_MAX = 0.60  # 3-gram occurrences whose gram repeats
 
 
-@register(
-    "repetition_stats",
-    f"""
+# full oracle SELECT, shared verbatim with the quality_pipeline
+# composition oracle
+_REPETITION_SQL = f"""
     WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
                FROM documents WHERE n_chars > 0),
     g2 AS (SELECT doc_id,
@@ -2036,7 +2041,12 @@ REP_DUP3_MAX = 0.60  # 3-gram occurrences whose gram repeats
                 AND coalesce(CAST(s3.dup3 AS DOUBLE) / s3.occ3, 0.0) <= {REP_DUP3_MAX!r}
                 AS INT) AS pass_repetition
     FROM d LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
-    """,
+    """
+
+
+@register(
+    "repetition_stats",
+    _REPETITION_SQL,
     "within-document REPETITION statistics (the Gopher A1.2 filter "
     "family): per document the fraction of tokens covered by "
     "occurrences of its most frequent word 2-gram (2 x max-count / "
@@ -2112,6 +2122,61 @@ def repetition_stats_frame(d: DataFrame) -> DataFrame:
             .cast("int")
             .alias("pass_repetition"),
         )
+    )
+
+
+def _quality_pipeline_oracle(sf_dir: str) -> str:
+    return f"""
+    WITH g AS ({_GOPHER_SQL}),
+    r AS ({_REPETITION_SQL}),
+    q AS ({_qc_oracle(sf_dir)})
+    SELECT g.doc_id, g.pass_gopher, r.pass_repetition, q.qc_label,
+           CAST(g.pass_gopher = 1 AND r.pass_repetition = 1
+                AND q.qc_label = 1 AS INT) AS keep
+    FROM g JOIN r USING (doc_id) JOIN q USING (doc_id)
+    """
+
+
+@register(
+    "quality_pipeline",
+    _quality_pipeline_oracle,
+    "the quality STACK composed into one auditable keep manifest — "
+    "mirroring dedup_pipeline / selection_pipeline's composition role "
+    "for the quality tier: per document the Gopher rule verdict "
+    "(gopher_rules), the within-doc repetition verdict "
+    "(repetition_stats), the learned-classifier label "
+    "(quality_classifier), and the conjunction (keep) — the decision "
+    "record a production filter writes next to the corpus so every "
+    "drop is attributable to a named gate (rules vs repetition vs "
+    "model) instead of one opaque bit. Each stage is the SHARED "
+    "machinery of its standalone op (gopher_rules_frame / "
+    "repetition_stats_frame / score_documents Spark-side; the "
+    "verbatim _GOPHER_SQL / _REPETITION_SQL / classifier CTEs "
+    "oracle-side), so the composition cannot diverge from the parts. "
+    "Scale shape: the rule and classifier stages are per-row maps, "
+    "repetition adds its one (doc_id, gram) count, and the three "
+    "verdict frames join on doc_id as NARROW (id, flag) rows — text "
+    "never shuffles; the keep bit is a per-row conjunction.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w, b = train_quality_model(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    g = gopher_rules_frame(d).select("doc_id", "pass_gopher")
+    r = repetition_stats_frame(d).select("doc_id", "pass_repetition")
+    q = score_documents(d, w, b).select("doc_id", "qc_label")
+    out = g.join(r, "doc_id").join(q, "doc_id")
+    keep = (
+        (F.col("pass_gopher") == 1)
+        & (F.col("pass_repetition") == 1)
+        & (F.col("qc_label") == 1)
+    )
+    return out.select(
+        "doc_id",
+        "pass_gopher",
+        "pass_repetition",
+        "qc_label",
+        keep.cast("int").alias("keep"),
     )
 
 

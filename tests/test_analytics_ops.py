@@ -595,6 +595,33 @@ def test_repetition_stats_planted_loops(spark):
     assert got[3].top2gram_frac == 0.25 and got[3].pass_repetition == 0
 
 
+def test_quality_pipeline_is_conjunction_of_parents(spark):
+    """The composed quality manifest must equal its standalone parents
+    row-for-row: every flag matches the parent op's verdict for the
+    same doc, and keep is exactly the three-way conjunction — the
+    attribution property the manifest exists for."""
+    from eurovision_spark.catalog import registry
+
+    r = registry()
+    manifest = {x.doc_id: x for x in r["quality_pipeline"].fn(spark, SF).collect()}
+    gop = {x.doc_id: x.pass_gopher for x in r["gopher_rules"].fn(spark, SF).collect()}
+    rep = {
+        x.doc_id: x.pass_repetition
+        for x in r["repetition_stats"].fn(spark, SF).collect()
+    }
+    qc = {x.doc_id: x.qc_label for x in r["quality_classifier"].fn(spark, SF).collect()}
+    assert set(manifest) == set(gop) == set(rep) == set(qc)
+    for doc_id, row in manifest.items():
+        assert row.pass_gopher == gop[doc_id]
+        assert row.pass_repetition == rep[doc_id]
+        assert row.qc_label == qc[doc_id]
+        assert row.keep == int(
+            gop[doc_id] == 1 and rep[doc_id] == 1 and qc[doc_id] == 1
+        )
+    assert any(r.keep == 1 for r in manifest.values())  # non-degenerate
+    assert any(r.keep == 0 for r in manifest.values())
+
+
 def test_quality_drift_planted_logit_shift(spark):
     """Planted quality collapse on the logit column: two sources carry
     the same diverse-text distribution, a third is pure repetition

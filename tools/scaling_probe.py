@@ -84,6 +84,7 @@ QUERIES = [
     ("gopher_rules", "pure per-row rule expressions, zero shuffles", True),
     ("repetition_stats", "(doc_id, gram) partial/final count + per-doc rollups", True),
     ("shard_plan", "one shard-keyed exchange + per-shard external sort", True),
+    ("quality_pipeline", "three narrow (id, flag) verdict joins, text never shuffles", True),
 ]
 
 
