@@ -237,23 +237,28 @@ def main() -> None:
             "(measured x10 warm 10.8s -> 2.3s, oracle hashes "
             "unchanged). ccnet_buckets took the same repartition "
             "(1.8s -> 1.4s). The row above shows the fixed plan.\n"
-            "- **ccnet_buckets_approx vs ccnet_buckets (r09)**: the "
-            "scale-safe cut-point form measures at-or-below the exact "
-            "ntile form at every tier (x10: 1.60s vs 1.98s) with a "
-            "flatter 1000x ratio (2.1x vs 3.0x) — on this balanced "
-            "20-source corpus the exact per-source window is not yet a "
-            "bottleneck, so the approx path simply sheds the sort; the "
-            "gap is the one that widens without bound under a dominant "
-            "source (the 100 TB case the sibling exists for).\n"
+            "- **ccnet_buckets_approx vs ccnet_buckets (r09, "
+            "measured honestly)**: across three same-day probe runs "
+            "the two forms measure WITHIN BOX JITTER of each other at "
+            "every tier (x10 spreads 1.7-2.4s exact vs 1.4-2.1s "
+            "approx, overlapping) — on this balanced 20-source corpus "
+            "the exact per-source window is nowhere near a bottleneck, "
+            "so no local-mode speedup is claimed. The approx sibling's "
+            "value is the PLAN SHAPE (no per-source corpus window "
+            "sort, pinned in tests/test_plans.py): the exact form's "
+            "cost concentrates into one task as a single source comes "
+            "to dominate, which no local probe of a balanced corpus "
+            "can exhibit — that divergence is the 100 TB case the "
+            "sibling exists for.\n"
             "- **gopher_rules / quality_drift x10 ratios (r09)**: both "
-            "are pure per-row expression maps; their x10 times (4.3s / "
-            "5.4s) are bounded by the x10 single-file parquet's ~6 "
-            "input splits (the winsorized_stats parallelism-floor "
-            "note) times heavier per-row regex/fold work — no "
-            "super-linear plan term; at production file counts the map "
-            "parallelizes with splits. Deliberately NOT repartitioned: "
-            "an exchange of the full text to buy local-mode "
-            "parallelism would be the wrong trade everywhere else.\n"
+            "are pure per-row expression maps; their x10 times are "
+            "bounded by the x10 single-file parquet's ~6 input splits "
+            "(the winsorized_stats parallelism-floor note) times "
+            "heavier per-row regex/fold work — no super-linear plan "
+            "term; at production file counts the map parallelizes "
+            "with splits. Deliberately NOT repartitioned: an exchange "
+            "of the full text to buy local-mode parallelism would be "
+            "the wrong trade everywhere else.\n"
         )
     print(f"SCALING.md written ({len(rows)} queries)")
 
