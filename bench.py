@@ -162,9 +162,17 @@ def main() -> None:
             cold[name] = round(time.time() - t0, 3)
             # steady state = best of two post-compilation runs (single runs
             # swing ~20% on a shared box; min is the standard steady-state
-            # estimator and stays honest: nothing is cached between runs)
+            # estimator and stays honest: nothing is cached between runs).
+            # Load robustness (r09): this box takes BURSTY external load
+            # — when the two runs disagree by >30% the burst likely ate
+            # one of them, so take a third and keep the min (bounded
+            # cost: only unstable queries pay it).
             runs = []
             for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.time() - t0)
+            if max(runs) > 1.3 * min(runs):
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 runs.append(time.time() - t0)

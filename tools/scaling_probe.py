@@ -88,6 +88,23 @@ QUERIES = [
 ]
 
 
+def _warm_min(fn, spark, sf_dir: str) -> float:
+    """min of 2 warm runs — plus a third when the two disagree by >30%
+    (r09: this box takes BURSTY external load; a burst that eats one
+    run otherwise lands in the table as a fake regression, the exact
+    artifact that polluted the r08 driver bench)."""
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs.append(time.time() - t0)
+    if max(runs) > 1.3 * min(runs):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs.append(time.time() - t0)
+    return min(runs)
+
+
 def main() -> None:
     from eurovision_spark import get_spark
     from eurovision_spark.catalog import registry
@@ -107,12 +124,7 @@ def main() -> None:
         for sf in scales:
             sf_dir = str(X10_DIR) if sf == "x10" else f"/root/testdata/sf{sf}"
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # compile
-            runs = []
-            for _ in range(2):
-                t0 = time.time()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                runs.append(time.time() - t0)
-            times[sf] = min(runs)
+            times[sf] = _warm_min(fn, spark, sf_dir)
         rows.append((name, family, times))
 
     # duplicate-heavy x10 tier for the entity-resolution blocking: real
@@ -124,16 +136,11 @@ def main() -> None:
     fn = specs["id_typo_pairs"].fn
     dup_dir = str(X10_DIR / "dup")
     fn(spark, dup_dir).write.format("noop").mode("overwrite").save()
-    runs = []
-    for _ in range(2):
-        t0 = time.time()
-        fn(spark, dup_dir).write.format("noop").mode("overwrite").save()
-        runs.append(time.time() - t0)
     rows.append(
         (
             "id_typo_pairs (dup-heavy)",
             "same plan, exact-duplicate-dominated names: one hot name x1500 + 40% in classes of 10",
-            {"x10": min(runs)},
+            {"x10": _warm_min(fn, spark, dup_dir)},
         )
     )
 
@@ -141,7 +148,7 @@ def main() -> None:
     with out.open("w") as fh:
         fh.write(
             "# SCALING — warm query time vs data scale\n\n"
-            "Auto-generated by `tools/scaling_probe.py` (min of 2 warm runs\n"
+            "Auto-generated by `tools/scaling_probe.py` (min of 2 warm runs,\n+1 adaptive run when they disagree >30% — bursty-load guard;\n"
             "per scale, noop sink, one local[32] session). sf0.001 -> sf0.1\n"
             "is a 100x data range; documents/embeddings-based queries add a\n"
             "x10 tier over sf0.1 (tools/gen_x10.py — fresh same-distribution\n"
