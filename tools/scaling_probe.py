@@ -266,6 +266,13 @@ def main() -> None:
             "with splits. Deliberately NOT repartitioned: an exchange "
             "of the full text to buy local-mode parallelism would be "
             "the wrong trade everywhere else.\n"
+            "- **Reading burst residue**: the 3-run guard dodges "
+            "short load bursts but not ones spanning all three runs "
+            "of a cell — a cell whose x10 time sits BELOW its sf0.1 "
+            "time (physically impossible for these plans) is such a "
+            "residue, and the ratio consistent with its neighboring "
+            "tiers is the one to trust. Left in place rather than "
+            "re-rolled: the table stays one honest session.\n"
         )
     print(f"SCALING.md written ({len(rows)} queries)")
 
