@@ -822,7 +822,12 @@ def minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # edge; shorter docs fall below the bar in BOTH engines identically.
 CLUSTER_JACCARD_T = 0.8
 
-MINHASH_CLUSTER_ORACLE = MINHASH_SIG_SQL.replace(
+# the verified-edge + recursive label-propagation CTE chain (docs ->
+# cand -> sets -> verified -> edges -> lbl -> comp), shared verbatim by
+# the minhash_cluster oracle and the leakage_safe_split oracle
+# (operators/pipeline.py) so the cluster formation both certify is one
+# definition in each engine
+CLUSTER_CTES_SQL = MINHASH_SIG_SQL.replace(
     "WITH docs", "WITH RECURSIVE docs", 1
 ) + f"""
     , cand AS (
@@ -850,6 +855,9 @@ MINHASH_CLUSTER_ORACLE = MINHASH_SIG_SQL.replace(
         WHERE l.comp < e.dst),
     comp AS (SELECT node AS doc_id, min(comp) AS cluster_id
              FROM lbl GROUP BY node)
+"""
+
+MINHASH_CLUSTER_ORACLE = CLUSTER_CTES_SQL + """
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(cluster_id AS BIGINT) AS cluster_id,
            CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)

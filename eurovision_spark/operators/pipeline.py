@@ -141,6 +141,107 @@ def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _leak_split_oracle() -> str:
+    """hash_split's bucket rule applied to the near-dup GROUP key: the
+    recursive cluster CTE chain is shared verbatim with the
+    minhash_cluster oracle (dedup.CLUSTER_CTES_SQL), so the groups this
+    split certifies are the exact clusters that op certifies."""
+    from eurovision_spark.operators.dedup import CLUSTER_CTES_SQL
+
+    key = md5_long_sql(f"concat(CAST(group_id AS VARCHAR), '{SPLIT_SEED}')")
+    return (
+        CLUSTER_CTES_SQL
+        + f"""
+    , g AS (
+        SELECT d.doc_id,
+               CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS group_id
+        FROM docs d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+    SELECT doc_id, group_id,
+           CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size,
+           {key} % 100 AS bucket,
+           CASE WHEN {key} % 100 < 90 THEN 'train'
+                WHEN {key} % 100 < 95 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM g
+    """
+    )
+
+
+@register(
+    "leakage_safe_split",
+    _leak_split_oracle(),
+    "LEAKAGE-SAFE train/valid/test assignment — the split rule "
+    "hash_split cannot give: near-duplicate documents must land in the "
+    "SAME split (a test doc's near-copy in train is silent eval "
+    "contamination that survives exact dedup and per-doc hash splits "
+    "alike). Verified near-dup clusters form exactly as in "
+    "minhash_cluster (LSH candidates -> exact Jaccard verify -> "
+    "connected components, ids only), every doc's group key = its "
+    "cluster id (min member) or itself when unclustered, and the split "
+    "is hash_split's md5-bucket rule applied to the GROUP key — so "
+    "members of a group agree by construction, singletons keep "
+    "hash_split's exact assignment (same seed, same rule), and the "
+    "assignment stays rerun/growth-stable as long as the group "
+    "representative survives. Output: (doc_id, group_id, group_size, "
+    "bucket, split) — group_size > 1 rows are the docs whose naive "
+    "per-doc split WOULD have risked leakage. Scale shape: cluster "
+    "formation is the certified minhash_cluster plan (banded "
+    "signatures, density-tracking candidate join, id-only CC rounds); "
+    "the split itself adds one id-only left join + one group-keyed "
+    "window of (doc_id, group_id) rows + a per-row hash — document "
+    "text never moves. Oracle: the shared recursive cluster CTE chain "
+    "+ the same bucket arithmetic (CLUSTER_CTES_SQL — one cluster "
+    "definition per engine, this op and minhash_cluster cannot "
+    "diverge).",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eurovision_spark.operators.dedup import (
+        copies_shingle_sets,
+        docs_with_copies,
+        verified_near_edges,
+    )
+    from eurovision_spark.operators.imp_dedup import cc_edge_list
+
+    edges = verified_near_edges(None, sets=copies_shingle_sets(spark, sf_dir))
+    labels = cc_edge_list(
+        edges,
+        "doc_id_1",
+        "doc_id_2",
+        materialized=True,
+        leaf=False,
+        n_edges_hint=getattr(edges, "_sg_n_pairs", None),
+    )
+    g = (
+        docs_with_copies(spark, sf_dir)
+        .select("doc_id")
+        .join(
+            labels.select(
+                F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").cast("bigint").alias("group_id"),
+        )
+    )
+    bucket = (
+        md5_long(F.concat(F.col("group_id").cast("string"), F.lit(SPLIT_SEED))) % 100
+    )
+    return g.select(
+        "doc_id",
+        "group_id",
+        F.count("*").over(W.partitionBy("group_id")).cast("bigint").alias("group_size"),
+        bucket.alias("bucket"),
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 @register(
     "contamination_check",
     f"""

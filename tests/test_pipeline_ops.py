@@ -84,6 +84,47 @@ def test_hash_split_matches_python_and_is_deterministic(spark):
         assert split == ("train" if bucket < 90 else "valid" if bucket < 95 else "test")
 
 
+def test_leakage_safe_split_group_consistency(spark):
+    rows = {
+        r["doc_id"]: r
+        for r in registry()["leakage_safe_split"].fn(spark, SF).collect()
+    }
+    n_docs = (
+        spark.read.parquet(f"{SF}/documents.parquet").filter("n_chars > 0").count()
+    )
+    assert len(rows) == 2 * n_docs  # complete over originals + planted copies
+    # LEAKAGE-FREE by construction: every group's members share one split
+    by_group: dict[int, set[str]] = {}
+    for r in rows.values():
+        by_group.setdefault(r["group_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_group.values())
+    # group keys ARE minhash_cluster's cluster ids for clustered docs
+    comp = {
+        r["doc_id"]: r["cluster_id"]
+        for r in registry()["minhash_cluster"].fn(spark, SF).collect()
+    }
+    assert comp  # planted copies must cluster at this sf
+    for d, c in comp.items():
+        assert rows[d]["group_id"] == c and rows[d]["group_size"] > 1
+    # singletons keep hash_split's exact assignment (same seed + rule)
+    hs = {
+        r["doc_id"]: r["split"]
+        for r in registry()["hash_split"].fn(spark, SF).collect()
+    }
+    for d, r in rows.items():
+        if r["group_size"] == 1 and d in hs:
+            assert r["split"] == hs[d]
+    # non-vacuous: some clustered member's OWN-id hash bucket maps to a
+    # different split than its group got — the leakage a per-doc
+    # hash_split would have shipped
+    def own_split(doc_id: int) -> str:
+        b = int(hashlib.md5(f"{doc_id}{SPLIT_SEED}".encode()).hexdigest()[:15], 16) % 100
+        return "train" if b < 90 else "valid" if b < 95 else "test"
+
+    torn = sum(1 for d in comp if own_split(d) != rows[d]["split"])
+    assert torn > 0
+
+
 def test_contamination_flags_planted_copy(spark, tmp_path):
     # doc 0 (benchmark: 0 % BENCH_MOD == 0) and doc 1 (train) share the
     # full text -> every gram collides -> contaminated; doc 2 shares
