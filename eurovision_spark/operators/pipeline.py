@@ -1109,3 +1109,165 @@ def selection_pipeline(
         < SEL_TAIL_PCT
     )
     return bucketed.filter(keep)
+
+
+# ---------------------------------------------------------------------------
+# Corpus card: the per-source datasheet ("Datasheets for Datasets",
+# Gebru et al. 2021) a data owner publishes next to a training corpus
+# ---------------------------------------------------------------------------
+
+
+_CARD_SQL = """
+    WITH d AS (
+        SELECT source, lang, md5(text) AS digest,
+               CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+                    AS BIGINT) AS n_toks,
+               n_chars
+        FROM documents WHERE n_chars > 0),
+    g AS (
+        SELECT source, lang, digest,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               CAST(sum(n_toks) AS BIGINT) AS toks,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM d GROUP BY source, lang, digest),
+    s AS (
+        SELECT source,
+               CAST(sum(n_copies) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT digest) AS BIGINT) AS n_distinct,
+               CAST(sum(toks) AS BIGINT) AS n_tokens,
+               CAST(sum(chars) AS BIGINT) AS total_chars
+        FROM g GROUP BY source),
+    l AS (SELECT source, lang, CAST(sum(n_copies) AS BIGINT) AS n
+          FROM g GROUP BY source, lang),
+    e AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_langs,
+               CAST(sum(n) AS DOUBLE) AS tot,
+               list_sort(list(CAST(n AS DOUBLE))) AS ns
+        FROM l GROUP BY source),
+    ent AS (
+        SELECT source, n_langs,
+               list_reduce(
+                   list_prepend(0.0::DOUBLE,
+                       list_transform(ns, x -> -(x / tot) * ln(x / tot))),
+                   (a, b) -> a + b) AS h
+        FROM e),
+    t AS (SELECT source, lang AS top_lang,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n DESC, lang) AS rn
+          FROM l),
+    tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS all_docs FROM s)
+    SELECT s.source, s.n_docs,
+           round(s.n_docs / tot.all_docs, 6) AS pct_docs,
+           s.n_tokens,
+           round(CAST(s.n_tokens AS DOUBLE) / s.n_docs, 4) AS mean_tokens,
+           s.total_chars,
+           ent.n_langs, t.top_lang,
+           round(ent.h, 6) AS lang_entropy,
+           round(CAST(s.n_docs - s.n_distinct AS DOUBLE) / s.n_docs, 6)
+               AS dup_doc_frac
+    FROM s JOIN ent USING (source)
+    JOIN t ON t.source = s.source AND t.rn = 1
+    CROSS JOIN tot
+    """
+
+
+@register(
+    "corpus_card",
+    _CARD_SQL,
+    "the per-source corpus DATASHEET (Gebru et al. 2021's 'Datasheets "
+    "for Datasets' made a query): one row per source with doc count "
+    "and corpus share, token mass and mean doc length, char volume, "
+    "language spread (count, dominant language with a deterministic "
+    "count-then-name tie-break, Shannon entropy of the mix), and the "
+    "within-source exact-duplicate fraction — the summary a mixture "
+    "owner reads BEFORE pointing temperature_mixture/dsir/ccnet at a "
+    "source, and the audit row published next to the training "
+    "manifest. Scale shape: ONE tokenizing scan folds to the finest "
+    "(source, lang, digest) grouping — the digest index an exact-dedup "
+    "pass persists anyway, counts partial-aggregate map-side — "
+    "materialized once (localCheckpoint) so the per-source, per-"
+    "language, and distinct-digest aggregates all derive from it "
+    "without re-reading the corpus; everything downstream is bounded "
+    "(#sources x #langs rows), the corpus-total is a one-row broadcast "
+    "join. Cross-engine exact: counts are integers, every ratio "
+    "divides integers and rounds (4/6dp), the entropy is a left fold "
+    "over the VALUE-SORTED per-language counts so both engines add "
+    "identical doubles in identical order (the _TMIX_RATES_SQL "
+    "normalizer discipline).",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    g = (
+        d.select(
+            "source",
+            "lang",
+            F.md5("text").alias("digest"),
+            F.size(tokens(F.lower(F.col("text")))).cast("bigint").alias("n_toks"),
+            "n_chars",
+        )
+        .groupBy("source", "lang", "digest")
+        .agg(
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.sum("n_toks").cast("bigint").alias("toks"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+        # one tokenizing scan: the per-source, per-language, and
+        # distinct-digest aggregates below all read this leaf
+        .localCheckpoint()
+    )
+    s = g.groupBy("source").agg(
+        F.sum("n_copies").cast("bigint").alias("n_docs"),
+        F.countDistinct("digest").cast("bigint").alias("n_distinct"),
+        F.sum("toks").cast("bigint").alias("n_tokens"),
+        F.sum("chars").cast("bigint").alias("total_chars"),
+    )
+    l = g.groupBy("source", "lang").agg(
+        F.sum("n_copies").cast("bigint").alias("n")
+    )
+    ent = l.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_langs"),
+        F.sum("n").cast("double").alias("tot"),
+        F.array_sort(F.collect_list(F.col("n").cast("double"))).alias("ns"),
+    ).select(
+        "source",
+        "n_langs",
+        F.aggregate(
+            F.transform(
+                F.col("ns"), lambda x: -(x / F.col("tot")) * F.log(x / F.col("tot"))
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("h"),
+    )
+    rn = F.row_number().over(W.partitionBy("source").orderBy(F.desc("n"), F.asc("lang")))
+    top = (
+        l.select("source", "lang", "n", rn.alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    tot = s.agg(F.sum("n_docs").cast("double").alias("all_docs"))
+    return (
+        s.join(ent, "source")
+        .join(top, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("all_docs"), 6).alias("pct_docs"),
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / F.col("n_docs"), 4).alias(
+                "mean_tokens"
+            ),
+            "total_chars",
+            "n_langs",
+            "top_lang",
+            F.round("h", 6).alias("lang_entropy"),
+            F.round(
+                (F.col("n_docs") - F.col("n_distinct")).cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("dup_doc_frac"),
+        )
+    )

@@ -150,6 +150,35 @@ def test_contamination_flags_planted_copy(spark, tmp_path):
     assert CONTAM_THRESHOLD <= 38
 
 
+def test_corpus_card_planted_dups_and_lang_tiebreak(spark, tmp_path):
+    # source A: 4 docs, one exact-duplicate pair, en/fr tied 2-2 ->
+    # dup_doc_frac 0.25, top_lang 'en' (count-then-name tie-break),
+    # entropy ln 2; source B: 1 doc -> entropy 0, dup 0
+    texts = ["a b c", "a b c", "d e", "f", "g h i j"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(5)), pa.int64()),
+            "text": texts,
+            "lang": ["en", "en", "fr", "fr", "en"],
+            "source": ["A", "A", "A", "A", "B"],
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    rows = {
+        r["source"]: r
+        for r in registry()["corpus_card"].fn(spark, str(tmp_path)).collect()
+    }
+    a, b = rows["A"], rows["B"]
+    assert a["n_docs"] == 4 and a["n_tokens"] == 9 and a["mean_tokens"] == 2.25
+    assert a["dup_doc_frac"] == 0.25
+    assert a["n_langs"] == 2 and a["top_lang"] == "en"
+    assert abs(a["lang_entropy"] - 0.693147) < 1e-6
+    assert a["pct_docs"] == 0.8 and b["pct_docs"] == 0.2
+    assert b["n_docs"] == 1 and b["lang_entropy"] == 0.0 and b["dup_doc_frac"] == 0.0
+    assert b["top_lang"] == "en" and b["mean_tokens"] == 4.0
+
+
 def test_token_pack_conserves_tokens_and_bounds_overflow(spark):
     from eurovision_spark.operators.pipeline import CAPACITY
 
