@@ -121,6 +121,10 @@ HEADLINE = [
     "repetition_stats",
     "shard_plan",
     "quality_pipeline",
+    # round 9 (cont.): cluster-aware split assignment + the per-source
+    # corpus datasheet
+    "leakage_safe_split",
+    "corpus_card",
 ]
 
 

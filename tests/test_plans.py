@@ -908,6 +908,7 @@ def test_mad_outliers_sample_is_group_limited_and_stats_broadcast(spark):
         "dsir_sample",
         "selection_pipeline",
         "repetition_stats",
+        "corpus_card",
     ],
 )
 def test_r8_analytics_scan_once_and_bounded(spark, name):
@@ -952,6 +953,26 @@ def test_gopher_rules_is_pure_per_row_map(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan and "Window" not in plan, plan
     assert "[codegen id" in plan
+
+
+def test_leakage_safe_split_moves_ids_only(spark):
+    """The split op's 100 TB claim: on top of the certified cluster
+    plan (materialized as the checkpointed CC-label leaf), the
+    assignment itself touches document text NEVER — both final-plan
+    parquet scans are pruned to (doc_id, n_chars), and every hash
+    exchange is keyed on node/neighbor/group ids only."""
+    plan = plan_of(spark, "leakage_safe_split")
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan  # the checkpointed CC-label leaf
+    for read in re.findall(r"ReadSchema: (.+)", plan):
+        assert "text" not in read, read
+    keys = [
+        line for line in plan.splitlines() if "Arguments: hashpartitioning" in line
+    ]
+    assert keys
+    assert all(
+        ("node" in line) or ("nbr" in line) or ("group_id" in line) for line in keys
+    ), keys
 
 
 def test_ccnet_approx_has_no_corpus_window_sort(spark):

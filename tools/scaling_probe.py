@@ -85,6 +85,9 @@ QUERIES = [
     ("repetition_stats", "(doc_id, gram) partial/final count + per-doc rollups", True),
     ("shard_plan", "one shard-keyed exchange + per-shard external sort", True),
     ("quality_pipeline", "three narrow (id, flag) verdict joins, text never shuffles", True),
+    # round 9 (cont.): cluster-aware splits + the per-source datasheet
+    ("leakage_safe_split", "certified cluster plan + id-only join + group window", True),
+    ("corpus_card", "one tokenize scan -> (source, lang, digest) leaf, bounded tails", True),
 ]
 
 
