@@ -125,6 +125,7 @@ HEADLINE = [
     # corpus datasheet
     "leakage_safe_split",
     "corpus_card",
+    "source_overlap",
 ]
 
 

@@ -822,14 +822,12 @@ def minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # edge; shorter docs fall below the bar in BOTH engines identically.
 CLUSTER_JACCARD_T = 0.8
 
-# the verified-edge + recursive label-propagation CTE chain (docs ->
-# cand -> sets -> verified -> edges -> lbl -> comp), shared verbatim by
-# the minhash_cluster oracle and the leakage_safe_split oracle
-# (operators/pipeline.py) so the cluster formation both certify is one
-# definition in each engine
-CLUSTER_CTES_SQL = MINHASH_SIG_SQL.replace(
-    "WITH docs", "WITH RECURSIVE docs", 1
-) + f"""
+# candidate generation + exact-Jaccard verification CTEs (docs -> cand
+# -> sets -> verified) — the shared edge definition of every
+# cluster-consuming oracle (minhash_cluster / leakage_safe_split /
+# source_overlap): one edge definition per engine, the consumers
+# cannot diverge on what counts as a near-duplicate
+VERIFIED_EDGES_CTES_SQL = MINHASH_SIG_SQL + f"""
     , cand AS (
         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         FROM bands a JOIN bands b
@@ -844,8 +842,15 @@ CLUSTER_CTES_SQL = MINHASH_SIG_SQL.replace(
         WHERE len(list_distinct(list_concat(s1.sh, s2.sh))) > 0
           AND CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
               / len(list_distinct(list_concat(s1.sh, s2.sh)))
-              >= {CLUSTER_JACCARD_T}),
-    edges AS (SELECT d1 AS src, d2 AS dst FROM verified
+              >= {CLUSTER_JACCARD_T})
+"""
+
+# + the recursive label propagation (edges -> lbl -> comp), shared by
+# the minhash_cluster and leakage_safe_split oracles
+CLUSTER_CTES_SQL = VERIFIED_EDGES_CTES_SQL.replace(
+    "WITH docs", "WITH RECURSIVE docs", 1
+) + """
+    , edges AS (SELECT d1 AS src, d2 AS dst FROM verified
               UNION SELECT d2 AS src, d1 AS dst FROM verified),
     lbl AS (
         SELECT src AS node, src AS comp FROM edges
@@ -1144,6 +1149,74 @@ def minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.partitionBy("comp"))
         .cast("bigint")
         .alias("cluster_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source-overlap matrix: WHERE the near-duplication flows between sources
+# ---------------------------------------------------------------------------
+
+
+SOURCE_OVERLAP_ORACLE = VERIFIED_EDGES_CTES_SQL + f"""
+    , src AS (SELECT doc_id AS orig_id, source
+              FROM documents WHERE n_chars > 0),
+    es AS (
+        SELECT least(sa.source, sb.source) AS source_1,
+               greatest(sa.source, sb.source) AS source_2
+        FROM verified v
+        JOIN src sa ON sa.orig_id = CASE WHEN v.d1 >= {NEAR_COPY_OFFSET}
+                                         THEN v.d1 - {NEAR_COPY_OFFSET}
+                                         ELSE v.d1 END
+        JOIN src sb ON sb.orig_id = CASE WHEN v.d2 >= {NEAR_COPY_OFFSET}
+                                         THEN v.d2 - {NEAR_COPY_OFFSET}
+                                         ELSE v.d2 END)
+    SELECT source_1, source_2, CAST(count(*) AS BIGINT) AS n_edges
+    FROM es GROUP BY source_1, source_2
+"""
+
+
+@register(
+    "source_overlap",
+    SOURCE_OVERLAP_ORACLE,
+    "the inter-source near-duplication FLOW MATRIX — the audit that "
+    "tells a mixture owner WHERE the duplicate mass comes from (mirror "
+    "sites, re-crawled hosts, licensed re-publication), the question "
+    "per-doc dedup decisions can't answer: every verified near-dup "
+    "edge (minhash_cluster's exact edge definition, shared via "
+    "VERIFIED_EDGES_CTES_SQL — one edge definition per engine) is "
+    "mapped to its endpoints' sources (planted copies inherit their "
+    "original's) and counted per unordered source pair. A heavy "
+    "off-diagonal cell means two sources substantially mirror each "
+    "other — dedup ONE of them, or drop the lower-quality twin from "
+    "the mixture; the diagonal is within-source boilerplate. Scale "
+    "shape: the edge list is the certified LSH+verify plan (id pairs "
+    "only); the source map join is two edges-driven id-keyed "
+    "equi-joins of narrow (id, source) rows, and the output is a "
+    "bounded #sources^2/2 grid — document text never moves.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = verified_near_edges(None, sets=copies_shingle_sets(spark, sf_dir))
+    src = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+
+    def orig(c: str) -> Column:
+        return F.when(
+            F.col(c) >= NEAR_COPY_OFFSET, F.col(c) - NEAR_COPY_OFFSET
+        ).otherwise(F.col(c))
+
+    e = edges.select(orig("doc_id_1").alias("o1"), orig("doc_id_2").alias("o2"))
+    j = e.join(
+        src.select(F.col("doc_id").alias("o1"), F.col("source").alias("s1")), "o1"
+    ).join(
+        src.select(F.col("doc_id").alias("o2"), F.col("source").alias("s2")), "o2"
+    )
+    return (
+        j.select(
+            F.least("s1", "s2").alias("source_1"),
+            F.greatest("s1", "s2").alias("source_2"),
+        )
+        .groupBy("source_1", "source_2")
+        .agg(F.count("*").cast("bigint").alias("n_edges"))
     )
 
 

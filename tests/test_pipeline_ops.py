@@ -150,6 +150,41 @@ def test_contamination_flags_planted_copy(spark, tmp_path):
     assert CONTAM_THRESHOLD <= 38
 
 
+def test_source_overlap_counts_cross_source_mirror(spark, tmp_path):
+    # two sources sharing one verbatim doc (a mirror) + one doc unique
+    # to each: the cross-source cell must count exactly the mirrored
+    # pairs, the diagonal exactly the planted original<->copy edges
+    # all docs >= 20 tokens: copy-edge jaccard 18/19 keeps every
+    # original<->copy pair comfortably above the banded-LSH recall
+    # knee (a 6-token doc's 0.8-jaccard copy can miss all 4 bands)
+    mirrored = " ".join(f"tok{i}" for i in range(20))
+    ua = " ".join(f"ua{i}" for i in range(20))
+    ub = " ".join(f"ub{i}" for i in range(20))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": [mirrored, mirrored, ua, ub],
+            "lang": ["en"] * 4,
+            "source": ["A", "B", "A", "B"],
+            "n_chars": pa.array(
+                [len(mirrored), len(mirrored), len(ua), len(ub)], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    cells = {
+        (r["source_1"], r["source_2"]): r["n_edges"]
+        for r in registry()["source_overlap"].fn(spark, str(tmp_path)).collect()
+    }
+    # mirrored docs 0 (A) and 1 (B) + their planted copies form a
+    # 4-clique: 4 of its 6 edges are cross-source (0-1, 0-1copy,
+    # 0copy-1, 0copy-1copy), 2 within-source (0-0copy in A, 1-1copy
+    # in B); the unique docs add one within-source copy edge each
+    assert cells[("A", "B")] == 4
+    assert cells[("A", "A")] == 1 + 1 and cells[("B", "B")] == 1 + 1
+    assert set(cells) == {("A", "B"), ("A", "A"), ("B", "B")}
+
+
 def test_corpus_card_planted_dups_and_lang_tiebreak(spark, tmp_path):
     # source A: 4 docs, one exact-duplicate pair, en/fr tied 2-2 ->
     # dup_doc_frac 0.25, top_lang 'en' (count-then-name tie-break),

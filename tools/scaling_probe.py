@@ -88,6 +88,7 @@ QUERIES = [
     # round 9 (cont.): cluster-aware splits + the per-source datasheet
     ("leakage_safe_split", "certified cluster plan + id-only join + group window", True),
     ("corpus_card", "one tokenize scan -> (source, lang, digest) leaf, bounded tails", True),
+    ("source_overlap", "certified edge plan + id-keyed source map joins, bounded grid", True),
 ]
 
 
