@@ -126,6 +126,7 @@ HEADLINE = [
     "leakage_safe_split",
     "corpus_card",
     "source_overlap",
+    "media_region_dedup",
 ]
 
 

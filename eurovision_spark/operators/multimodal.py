@@ -385,3 +385,133 @@ def media_profile_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 )
 def media_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_table(spark, sf_dir).mapInPandas(media_profile_batch, PROFILE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Media region-fingerprint dedup: near-duplicate payload detection by
+# region voting (the content-ID shape: k of N region fingerprints match
+# => near-dup) — the dedup modality the text tier cannot express
+# ---------------------------------------------------------------------------
+
+N_REGIONS = 4
+REGION_MIN_SHARED = 3  # 3-of-4 region vote = near-dup
+MEDIA_COPY_OFFSET = 10**15  # planted same-length one-byte-mutated copies
+
+REGION_FP_SCHEMA = "doc_id bigint, band_id int, fp string"
+
+
+def region_fp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: payload bytes -> N_REGIONS equal-width region
+    fingerprints (md5 of each quarter's uppercase-hex — the byte-exact
+    representation DuckDB can reproduce, the _frame_slices convention).
+    A real system fingerprints DECODED content (keyframe pHashes, audio
+    chroma) so re-encodes collide; the codec is stubbed here, but the
+    plumbing — binary column in, (id, band, fingerprint) rows out, 1:N
+    inside the Arrow batch — is exactly the production shape."""
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+            hexs = bytes(payload).hex().upper()
+            q = len(hexs) // N_REGIONS
+            if q < 1:
+                continue  # payload too small to carve N regions
+            for i in range(N_REGIONS):
+                out.append(
+                    (
+                        doc_id,
+                        i,
+                        hashlib.md5(hexs[i * q : (i + 1) * q].encode()).hexdigest(),
+                    )
+                )
+        yield pd.DataFrame(out, columns=["doc_id", "band_id", "fp"])
+
+
+def media_dup_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media corpus + planted SAME-LENGTH one-byte-mutated copies
+    (byte k = len/2 flipped to '~'): the mutation lands inside exactly
+    one region, so each copy must match its original on 3 of 4
+    fingerprints — a planted near-dup that exact content_md5 dedup
+    (media_features) is provably blind to."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("n_chars") > 0) & (F.length("text") >= 2))
+        .select("doc_id", "text")
+    )
+    mutated = F.concat(
+        F.expr("substring(text, 1, cast(length(text) / 2 as int))"),
+        F.lit("~"),
+        F.expr("substring(text, cast(length(text) / 2 as int) + 2)"),
+    )
+    m = d.unionByName(
+        d.select(
+            (F.col("doc_id") + MEDIA_COPY_OFFSET).alias("doc_id"),
+            mutated.alias("text"),
+        )
+    )
+    return m.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", F.encode("text", "UTF-8").alias("content")
+    )
+
+
+@register(
+    "media_region_dedup",
+    f"""
+    WITH m AS (
+        SELECT doc_id, text FROM documents
+        WHERE n_chars > 0 AND length(text) >= 2
+        UNION ALL
+        SELECT doc_id + {MEDIA_COPY_OFFSET} AS doc_id,
+               substr(text, 1, length(text) // 2) || '~'
+                   || substr(text, length(text) // 2 + 2) AS text
+        FROM documents WHERE n_chars > 0 AND length(text) >= 2),
+    h AS (SELECT doc_id, hex(encode(text)) AS hx FROM m),
+    fp AS (
+        SELECT doc_id, CAST(i AS INT) AS band_id,
+               md5(substr(hx, i * (length(hx) // {N_REGIONS}) + 1,
+                          length(hx) // {N_REGIONS})) AS fp
+        FROM h CROSS JOIN (SELECT unnest(generate_series(0, {N_REGIONS - 1})) AS i)
+        WHERE length(hx) // {N_REGIONS} >= 1),
+    pairs AS (
+        SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+        FROM fp a JOIN fp b
+          ON a.band_id = b.band_id AND a.fp = b.fp AND a.doc_id < b.doc_id)
+    SELECT doc_id_1, doc_id_2, CAST(count(*) AS BIGINT) AS n_shared
+    FROM pairs GROUP BY doc_id_1, doc_id_2
+    HAVING count(*) >= {REGION_MIN_SHARED}
+    """,
+    "near-duplicate MEDIA detection by region-fingerprint voting — the "
+    f"content-ID shape (k-of-N matching region/keyframe fingerprints "
+    f"=> near-dup, here {REGION_MIN_SHARED}-of-{N_REGIONS}): each "
+    "payload is fingerprinted per equal-width region inside ONE "
+    "Arrow-batched mapInPandas pass (binary in, (id, band, "
+    "fingerprint) rows out — raw bytes never leave the scan stage), "
+    "candidates come from the SAME bucket equi-join machinery as the "
+    "text LSH families (pairs_in_buckets, one (band, fp) shuffle of "
+    "id+hash rows), and the vote is a pair-count aggregate: a pair "
+    "sharing >= k region fingerprints is a near-dup, with n_shared "
+    "reported for triage. Catches the planted same-length one-byte-"
+    "mutated copies (exactly 3 of 4 regions intact) that exact "
+    "content_md5 dedup is blind to. Codec stubbed (region hashes over "
+    "payload bytes, not decoded pixels — a real deploy swaps the "
+    "fingerprint fn inside the SAME worker); everything downstream of "
+    "the fingerprint is the production plan. Cost tracks collision "
+    "density, never n^2; a hot fingerprint (boilerplate intro frame) "
+    "is a degenerate band, same remedy as text LSH.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def media_region_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eurovision_spark.operators.dedup import pairs_in_buckets
+
+    fps = media_dup_table(spark, sf_dir).mapInPandas(
+        region_fp_batch, REGION_FP_SCHEMA
+    )
+    pairs = pairs_in_buckets(
+        fps.select("doc_id", "band_id", F.col("fp").alias("band_sig")),
+        "doc_id",
+        dedup_pairs=False,  # one row per shared band IS the vote count
+    )
+    return (
+        pairs.groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= REGION_MIN_SHARED)
+    )

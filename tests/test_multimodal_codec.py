@@ -151,3 +151,44 @@ def test_frame_fingerprints_match_oracle_on_non_ascii(spark, tmp_path):
     )
     orows = sorted(tuple(r) for r in con.execute(resolve_oracle(spec, str(sf))).fetchall())
     assert srows == orows and len(srows) == 3 * 4
+
+
+def test_media_region_dedup_vote_tiers(spark, tmp_path):
+    """Region-vote semantics pinned exactly: identical payloads share
+    all 4 region fingerprints, the one-byte-mutated planted copy
+    exactly 3, a half-different payload at most 2 (excluded)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eurovision_spark.catalog import registry
+    from eurovision_spark.operators.multimodal import MEDIA_COPY_OFFSET
+
+    base = "".join(f"t{i:02d}" for i in range(32))  # 96 chars
+    half_diff = base[:48] + "".join(f"z{i:02d}" for i in range(16))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": [base, base, half_diff],
+            "lang": ["en"] * 3,
+            "source": ["A"] * 3,
+            "n_chars": pa.array([96, 96, 96], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    cells = {
+        (r["doc_id_1"], r["doc_id_2"]): r["n_shared"]
+        for r in registry()["media_region_dedup"].fn(spark, str(tmp_path)).collect()
+    }
+    C = MEDIA_COPY_OFFSET
+    # identical docs 0 and 1: all four regions; each with the other's
+    # mutated copy: 3 (the copies are byte-identical to each other too)
+    assert cells[(0, 1)] == 4 and cells[(C, C + 1)] == 4
+    for a, b in [(0, C), (1, C + 1), (0, C + 1), (1, C)]:
+        assert cells[(a, b)] == 3, (a, b)
+    # doc 2 shares only its first two regions with 0/1 — every pair
+    # linking the 2-family to the 0/1-family is excluded; doc 2's one
+    # surviving pair is with its own mutated copy, at 3
+    fam2 = {2, C + 2}
+    cross = [p for p in cells if (set(p) & fam2) and not (set(p) <= fam2)]
+    assert not cross, cross
+    assert cells[(2, C + 2)] == 3

@@ -89,6 +89,7 @@ QUERIES = [
     ("leakage_safe_split", "certified cluster plan + id-only join + group window", True),
     ("corpus_card", "one tokenize scan -> (source, lang, digest) leaf, bounded tails", True),
     ("source_overlap", "certified edge plan + id-keyed source map joins, bounded grid", True),
+    ("media_region_dedup", "Arrow region fingerprints + (band, fp) bucket vote count", True),
 ]
 
 
