@@ -127,6 +127,7 @@ HEADLINE = [
     "corpus_card",
     "source_overlap",
     "media_region_dedup",
+    "classifier_calibration",
 ]
 
 

@@ -2246,6 +2246,103 @@ def quality_drift_frame(d: DataFrame, w: list[float], b: float) -> DataFrame:
     return psi_drift_frame(frame, value_col="qv", width=QDRIFT_W)
 
 
+CALIB_NBINS = 16
+CALIB_OFF = 8.0  # 16 width-1 bins covering logits in [-8, 8), clamped
+
+
+def _calib_oracle(sf_dir: str) -> str:
+    w, b = _qc_fit(_qc_sample_texts(sf_dir))
+    return f"""
+    WITH {_qc_score_ctes(w, b)},
+    hl AS (SELECT doc_id,
+                  CAST(CAST(len(list_distinct(
+                           string_split_regex(trim(lower(text)), '\\s+')))
+                       AS DOUBLE)
+                       / len(string_split_regex(trim(lower(text)), '\\s+'))
+                       >= {QC_DIV_T!r} AS INT) AS heur
+           FROM documents WHERE n_chars > 0),
+    r AS (SELECT s.doc_id, round(s.z, 4) AS lz,
+                 CAST(s.z >= 0 AS INT) AS pred, hl.heur
+          FROM scored s JOIN hl USING (doc_id)),
+    binned AS (SELECT least(greatest(CAST(floor(lz + {CALIB_OFF!r}) AS BIGINT),
+                                     0), {CALIB_NBINS - 1}) AS bin,
+                      pred, heur
+               FROM r)
+    SELECT bin, CAST(bin - {CALIB_OFF:.0f} AS DOUBLE) AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(heur), 6) AS heur_pos_rate,
+           round(avg(CASE WHEN pred = heur THEN 1 ELSE 0 END), 6) AS agree_rate
+    FROM binned GROUP BY bin
+    """
+
+
+@register(
+    "classifier_calibration",
+    _calib_oracle,
+    "RELIABILITY report for the learned quality filter — the check an "
+    "ML-ops owner runs BEFORE trusting quality_classifier's keep "
+    "decisions: per logit bin (16 width-1 bins over [-8, 8), clamped), "
+    "the document count, the rate at which the distilled heuristic "
+    "(lexical diversity >= QC_DIV_T — the label the model was trained "
+    "on) is positive, and the model-vs-heuristic agreement rate. A "
+    "calibrated distillation shows heur_pos_rate rising monotonically "
+    "through the bins and agreement dipping only near the logit-0 "
+    "decision boundary — a flat or inverted profile means the model "
+    "learned something other than its label and its corpus-wide "
+    "agreement number is luck. Scale shape: scoring is the "
+    "classifier's per-row zero-shuffle fold; the heuristic flag "
+    "rides the same select (no join back to the corpus), so the only "
+    "corpus-sized work is one scan into a partial/final 16-row bin "
+    "aggregate. Cross-engine: binning runs on the 4dp-ROUNDED logit "
+    "in both engines, the prediction on the unrounded sign (exactly "
+    "quality_classifier's contract), rates are integer-count "
+    "divisions rounded at 6dp.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w, b = train_quality_model(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    toks = tokens(F.lower(F.col("text")))
+    dh = d.select(
+        "doc_id",
+        "text",
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+            >= QC_DIV_T
+        )
+        .cast("int")
+        .alias("heur"),
+    )
+    scored = score_documents(dh, w, b, keep=("heur",))
+    binned = scored.select(
+        F.least(
+            F.greatest(F.floor(F.col("qc_logit") + CALIB_OFF), F.lit(0)),
+            F.lit(CALIB_NBINS - 1),
+        )
+        .cast("bigint")
+        .alias("bin"),
+        "qc_label",
+        "heur",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg("heur"), 6).alias("heur_pos_rate"),
+            F.round(
+                F.avg((F.col("qc_label") == F.col("heur")).cast("int")), 6
+            ).alias("agree_rate"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") - F.lit(CALIB_OFF)).cast("double").alias("bin_lo"),
+            "n_docs",
+            "heur_pos_rate",
+            "agree_rate",
+        )
+    )
+
+
 @register(
     "chisq_lang_drift",
     """

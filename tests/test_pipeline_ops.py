@@ -818,6 +818,33 @@ def test_quality_classifier_distills_the_heuristic(spark):
     assert labels == {0, 1}, f"degenerate classifier output: {labels}"
 
 
+def test_classifier_calibration_report_reads_correctly(spark):
+    """The reliability report must account for every document, carry
+    valid rates, reproduce the corpus-wide >= 0.90 agreement gate from
+    its own bins, and show the calibrated-distillation STRUCTURE: the
+    heuristic-positive rate is monotone non-decreasing through the
+    bins and the agreement minimum sits at the decision boundary."""
+    from eurovision_spark.operators.textstats import CALIB_OFF
+
+    rows = sorted(
+        registry()["classifier_calibration"].fn(spark, SF).collect(),
+        key=lambda r: r.bin,
+    )
+    n_docs = (
+        spark.read.parquet(f"{SF}/documents.parquet").filter("n_chars > 0").count()
+    )
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r.heur_pos_rate <= 1 and 0 <= r.agree_rate <= 1
+        assert r.bin_lo == r.bin - CALIB_OFF
+    overall = sum(r.n_docs * r.agree_rate for r in rows) / n_docs
+    assert overall >= 0.90, overall
+    pos_rates = [r.heur_pos_rate for r in rows]
+    assert pos_rates == sorted(pos_rates), pos_rates
+    worst = min(rows, key=lambda r: r.agree_rate)
+    assert worst.bin_lo in (-1.0, 0.0), worst
+
+
 def test_span_dedup_removes_planted_blocks_and_reassembles(spark):
     """Every planted copy doc (first 3 blocks lifted verbatim,
     block-aligned) must lose AT LEAST those 3 blocks (natural word-salad

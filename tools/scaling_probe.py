@@ -90,6 +90,7 @@ QUERIES = [
     ("corpus_card", "one tokenize scan -> (source, lang, digest) leaf, bounded tails", True),
     ("source_overlap", "certified edge plan + id-keyed source map joins, bounded grid", True),
     ("media_region_dedup", "Arrow region fingerprints + (band, fp) bucket vote count", True),
+    ("classifier_calibration", "per-row scorer fold + 16-row bin aggregate", True),
 ]
 
 
