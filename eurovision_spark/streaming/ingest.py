@@ -782,6 +782,151 @@ def intake_batch(spark: SparkSession, store_dir: str, batch_df: DataFrame) -> No
     upsert_parquet(updates, clusters_dir, ["doc_id"], keep="updates")
 
 
+def assign_splits_batch(
+    spark: SparkSession, store_dir: str, batch_ids: DataFrame
+) -> None:
+    """ONE split-assignment step over the intake store — the streaming
+    twin of ``leakage_safe_split`` (operators/pipeline.py), with the
+    constraint the batch op doesn't have: an assignment, once written,
+    is IMMUTABLE (a doc already served to a training run cannot move).
+
+    EVERY arriving doc gets a split — landed survivors AND dropped
+    dups: the training set reads landed/, but eval-set construction
+    samples the full ledger, and an unlabeled near-copy of a trained
+    doc is exactly the leaked eval item this op exists to prevent.
+    Rules, in order, for each batch doc with no split yet:
+
+    1. if its (transitive, relabeled) cluster already has a member with
+       a split, inherit the split of the MINIMUM-id such member —
+       deterministic, replay-stable, and the production semantics: a
+       new near-copy of an already-split doc must follow it, never
+       re-roll;
+    2. otherwise apply hash_split's md5-bucket rule to the GROUP key
+       (cluster label if clustered, own id if singleton) — exactly the
+       batch op's rule, so under min-member-first arrival the streamed
+       assignments match leakage_safe_split's on every doc whose
+       cluster relations are visible to the stream (in-batch co-landed
+       near-dups are the documented intake_batch elision)
+       (pinned in tests/test_streaming.py).
+
+    Because landed assignments are immutable, a LATE-discovered link
+    between docs already split differently (two singletons that a
+    bridge doc merges — the bridge itself may be a never-landed dup)
+    cannot be repaired, only DETECTED: the ``split_conflicts/`` store
+    carries one row per watched cluster whose members straddle splits
+    — the quarantine list a data owner drains before the next eval.
+    Per-batch cost: every frame here is batch-sized or
+    touched-clusters-sized (semi-joins against the batch's cluster
+    labels); the stores are keyed parquet like the rest of the intake
+    tier."""
+    import os
+
+    from eurovision_spark.operators.pipeline import SPLIT_SEED
+    from eurovision_spark.operators.textstats import md5_long
+    from eurovision_spark.sinks import upsert_parquet
+
+    clusters_dir = os.path.join(store_dir, "clusters")
+    splits_dir = os.path.join(store_dir, "splits")
+    conflicts_dir = os.path.join(store_dir, "split_conflicts")
+
+    clusters = _read_store_or_empty(
+        spark, clusters_dir, "doc_id bigint, cluster_id bigint"
+    )
+    splits = _read_store_or_empty(
+        spark, splits_dir, "doc_id bigint, split string, via string"
+    )
+    new_docs = batch_ids.select("doc_id").join(
+        splits.select("doc_id"), "doc_id", "left_anti"
+    )
+    g = new_docs.join(clusters, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("group_id")
+    ).localCheckpoint()
+    touched = g.select(F.col("group_id").alias("cluster_id")).distinct()
+    members = clusters.join(touched, "cluster_id", "leftsemi")
+    inherited = (
+        members.join(splits.select("doc_id", "split"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.min_by("split", "doc_id").alias("inherited"))
+    )
+    bucket = (
+        md5_long(F.concat(F.col("group_id").cast("string"), F.lit(SPLIT_SEED))) % 100
+    )
+    fresh = (
+        F.when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test")
+    )
+    assigned = g.join(
+        inherited, g.group_id == inherited.cluster_id, "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("inherited"), fresh).alias("split"),
+        F.when(F.col("inherited").isNotNull(), F.lit("inherited"))
+        .otherwise(F.lit("hash"))
+        .alias("via"),
+    )
+    upsert_parquet(assigned, splits_dir, ["doc_id"], keep="existing")
+    # conflict audit — watch the batch's clusters too: a never-landed
+    # bridge dup can merge two already-split clusters without any new
+    # landed doc, and only the batch's cluster labels reveal it.
+    # Re-read the splits STORE (post-upsert listing), the decisions
+    # ordering lesson above.
+    batch_clusters = (
+        clusters.join(batch_ids.select("doc_id"), "doc_id", "leftsemi")
+        .select("cluster_id")
+        .distinct()
+    )
+    watch = touched.unionByName(batch_clusters).distinct()
+    msplits = (
+        clusters.join(watch, "cluster_id", "leftsemi")
+        .join(spark.read.parquet(splits_dir).select("doc_id", "split"), "doc_id")
+    )
+    conf = (
+        msplits.groupBy("cluster_id")
+        .agg(
+            F.countDistinct("split").cast("bigint").alias("n_splits"),
+            F.concat_ws(",", F.array_sort(F.collect_set("split"))).alias("splits"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )
+    if not conf.isEmpty():
+        upsert_parquet(
+            conf.localCheckpoint(), conflicts_dir, ["cluster_id"], keep="updates"
+        )
+
+
+def stream_split_assign(
+    spark: SparkSession,
+    docs_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming leakage-safe split assignment at INTAKE: each
+    micro-batch runs the full incremental-dedup intake
+    (:func:`intake_batch` — probe, land, cluster) and then
+    :func:`assign_splits_batch` over every arriving doc, so every
+    document leaves ingest with an immutable train/valid/test label
+    that near-copies can never contradict silently (they inherit, or
+    the straddle lands in ``split_conflicts/``). The batch twin is
+    ``leakage_safe_split``; parity under min-member-first arrival and
+    replay stability are pinned in tests/test_streaming.py."""
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(docs_dir)
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", "text")
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        intake_batch(spark, store_dir, batch_df)
+        assign_splits_batch(spark, store_dir, batch_df.select("doc_id"))
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def snapshot_digests(docs: DataFrame) -> DataFrame:
     """(doc_id, digest) of a corpus snapshot — the per-crawl artifact a
     production pipeline persists so the NEXT refresh can diff against

@@ -1529,3 +1529,85 @@ def test_stream_embedding_gate_alerts_and_is_replay_stable(spark, tmp_path):
     )
     twin = {r.label: r.cos_vs_rest for r in embedding_drift_frame(union).collect()}
     assert abs(twin[1] - low.cos_vs_baseline) <= 1e-6
+
+
+def test_stream_split_assign_inherits_detects_conflicts_and_replays(spark, tmp_path):
+    """The streaming leakage-safe split: (1) singletons get hash_split's
+    exact rule; (2) a later near-copy INHERITS its cluster's min-id
+    member's split instead of re-rolling; (3) a bridge doc that merges
+    two already-differently-split singletons cannot repair them —
+    landed assignments are immutable — but the straddle lands in
+    split_conflicts/; (4) replay changes nothing."""
+    import hashlib
+    import shutil
+
+    from eurovision_spark.streaming.ingest import stream_split_assign
+
+    def hash_split(i):
+        b = int(hashlib.md5(f"{i}:splitseed".encode()).hexdigest()[:15], 16) % 100
+        return "train" if b < 90 else "valid" if b < 95 else "test"
+
+    # doc 1 hashes to 'valid', doc 2 to 'train' (computed, not assumed)
+    assert hash_split(1) == "valid" and hash_split(2) == "train"
+    base = [f"tok{i}" for i in range(20)]
+    extra = ["xa", "xb", "xc", "xd", "xe"]
+    t1 = " ".join(base)                    # 18 shingles
+    t2 = " ".join(base + extra)            # jaccard(1,2) = 18/23 < 0.8
+    bridge = " ".join(base + extra[:2])    # 0.90 vs doc1, 0.87 vs doc2
+    fresh = " ".join(f"zq{i}" for i in range(20))
+
+    docs_dir = tmp_path / "docs_in"
+    docs_dir.mkdir()
+    store = tmp_path / "store"
+
+    def write_wave(name, rows):
+        spark.createDataFrame(
+            [(i, t, len(t)) for i, t in rows],
+            "doc_id bigint, text string, n_chars int",
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = next((tmp_path / name).glob("part-*.parquet"))
+        shutil.copy(part, docs_dir / f"{name}.parquet")
+
+    def read_splits():
+        return {
+            r.doc_id: (r.split, r.via)
+            for r in spark.read.parquet(str(store / "splits")).collect()
+        }
+
+    write_wave("wave1", [(1, t1), (2, t2)])
+    q = stream_split_assign(spark, str(docs_dir), str(store), str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        s1 = read_splits()
+        assert s1 == {1: ("valid", "hash"), 2: ("train", "hash")}
+        import os
+
+        assert not os.path.exists(str(store / "split_conflicts"))
+        write_wave("wave2", [(300, bridge), (301, fresh)])
+        q.processAllAvailable()
+        s2 = read_splits()
+        # the bridge merged {1, 2, 300}: it INHERITS the min-id split
+        # member's split (doc 1, 'valid'); the fresh doc hash-rolls
+        assert s2[300] == ("valid", "inherited")
+        assert s2[301] == (hash_split(301), "hash")
+        # immutability: the pre-merge assignments never move
+        assert s2[1] == s1[1] and s2[2] == s1[2]
+        # the straddle is DETECTED: one conflict row for the merged
+        # cluster (label = min member id 1), splits sorted
+        conf = {
+            r.cluster_id: (r.n_splits, r.splits)
+            for r in spark.read.parquet(str(store / "split_conflicts")).collect()
+        }
+        assert conf == {1: (2, "train,valid")}
+        # replay wave 2 (at-least-once delivery): nothing changes
+        write_wave("wave2_replay", [(300, bridge), (301, fresh)])
+        q.processAllAvailable()
+        assert read_splits() == s2
+        conf2 = {
+            r.cluster_id: (r.n_splits, r.splits)
+            for r in spark.read.parquet(str(store / "split_conflicts")).collect()
+        }
+        assert conf2 == conf
+        assert spark.read.parquet(str(store / "splits")).count() == 4
+    finally:
+        q.stop()
