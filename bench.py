@@ -128,6 +128,7 @@ HEADLINE = [
     "source_overlap",
     "media_region_dedup",
     "classifier_calibration",
+    "ann_recall_report",
 ]
 
 

