@@ -337,18 +337,24 @@ def format_output(
         )
         yield lambda: out.pop("heavy", None)
 
-    compact = json.dumps(out)
+    # compact separators (",", ":") — the default ", "/": " spends two
+    # chars per key, ~200 chars of pure whitespace at 86 queries (r09:
+    # the whitespace alone pushed the worst-case line past the tail)
+    def _dumps(doc) -> str:
+        return json.dumps(doc, separators=(",", ":"))
+
+    compact = _dumps(out)
     for step in _steps():
         if len(compact) <= 1995:
             break
         step()
-        compact = json.dumps(out)
+        compact = _dumps(out)
     if len(compact) > 1995:
         raise RuntimeError(
             f"bench contract line is {len(compact)} chars (> 1995): the "
             "HEADLINE list outgrew the driver tail — split or shorten it"
         )
-    return [json.dumps(detail), compact]
+    return [_dumps(detail), compact]
 
 
 if __name__ == "__main__":
