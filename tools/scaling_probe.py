@@ -264,7 +264,8 @@ def main() -> None:
             "to dominate, which no local probe of a balanced corpus "
             "can exhibit — that divergence is the 100 TB case the "
             "sibling exists for.\n"
-            "- **gopher_rules / quality_drift x10 ratios (r09)**: both "
+            "- **gopher_rules / quality_drift / classifier_calibration "
+            "x10 ratios (r09)**: all "
             "are pure per-row expression maps; their x10 times are "
             "bounded by the x10 single-file parquet's ~6 input splits "
             "(the winsorized_stats parallelism-floor note) times "
