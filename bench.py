@@ -129,6 +129,7 @@ HEADLINE = [
     "media_region_dedup",
     "classifier_calibration",
     "ann_recall_report",
+    "rate_anomaly",
 ]
 
 

@@ -241,6 +241,135 @@ def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANOM_WIN = 24  # trailing window (hours), current hour excluded
+ANOM_Z = 3.0  # |z| alert threshold on the 4dp-rounded score
+
+
+@register(
+    "rate_anomaly",
+    f"""
+    WITH b AS (
+        SELECT event_type, epoch_us(ts) // {HOUR_US} AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, epoch_us(ts) // {HOUR_US}),
+    rng AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+            FROM b GROUP BY event_type),
+    spine AS (SELECT event_type, unnest(generate_series(lo, hi)) AS bucket
+              FROM rng),
+    g AS (SELECT s.event_type, s.bucket, CAST(coalesce(b.n, 0) AS BIGINT) AS n
+          FROM spine s LEFT JOIN b USING (event_type, bucket)),
+    w AS (SELECT event_type, bucket, n,
+                 CAST(count(*) OVER win AS BIGINT) AS k,
+                 CAST(sum(n) OVER win AS BIGINT) AS wsum,
+                 CAST(sum(n * n) OVER win AS BIGINT) AS wsumsq
+          FROM g
+          WINDOW win AS (PARTITION BY event_type ORDER BY bucket
+                         ROWS BETWEEN {ANOM_WIN} PRECEDING AND 1 PRECEDING)),
+    zc AS (SELECT event_type, bucket, n, k, wsum,
+                  {ANOM_WIN} * wsumsq = wsum * wsum AS flat,
+                  CASE WHEN k = {ANOM_WIN} THEN round(wsum / {ANOM_WIN}.0, 4)
+                       END AS mean_24h,
+                  CASE WHEN k = {ANOM_WIN}
+                            AND {ANOM_WIN} * wsumsq <> wsum * wsum
+                       THEN round((n - wsum / {ANOM_WIN}.0)
+                                  / sqrt(greatest(
+                                        (wsumsq - wsum * wsum / {ANOM_WIN}.0)
+                                            / {ANOM_WIN - 1}.0, 0.0)), 4)
+                       END AS z
+           FROM w)
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket, n AS n_events,
+           mean_24h, z,
+           CASE WHEN k < {ANOM_WIN} THEN NULL
+                WHEN flat THEN CAST(n * {ANOM_WIN} <> wsum AS INT)
+                ELSE CAST(abs(z) > {ANOM_Z!r} AS INT) END AS anomaly
+    FROM zc
+    """,
+    "event-RATE anomaly monitor — the stream-hygiene alert beside "
+    "event_health's structural audit: per (event_type, hour), the "
+    f"z-score of the hour's event count against its own trailing "
+    f"{ANOM_WIN}-hour window (current hour excluded), anomaly = "
+    f"|z| > {ANOM_Z} — catching BOTH spikes (a retry storm) and "
+    "silent dropouts (a dead producer), because the spine is gapfilled "
+    "to explicit zero-count hours first (gapfill_locf's spine — a "
+    "missing hour IS the anomaly, and a raw GROUP BY would never emit "
+    "it). Warm-up hours (k < window) report NULL, never a fake score. "
+    "The all-equal window (variance exactly 0) is decided in INTEGER "
+    "arithmetic (window*sumsq = sum^2 — no epsilon, no FP-negative-"
+    "variance sqrt(NaN)), where a deviating count alerts by exact "
+    "integer compare: the constant-traffic dropout fires without a "
+    "defined z. Scale shape: events collapse to (type, hour) counts "
+    "BEFORE anything else (one partial/final exchange bounded by "
+    "types x hours); the window runs per type over those bounded "
+    "rows, types carry the parallelism (the gapfill_locf posture). "
+    "Cross-engine: counts/window sums are exact integers, mean/z are "
+    "single divisions + one sqrt rounded at 4dp, the alert compares "
+    "the ROUNDED z.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rate_anomaly_core(load_events(spark, sf_dir))
+
+
+def rate_anomaly_core(ev: DataFrame) -> DataFrame:
+    """The anomaly grid over any (event_type, ts_us, ...) frame — split
+    out so planted spike/dropout tests drive the same plan."""
+    b = ev.groupBy(
+        "event_type", F.expr(f"ts_us div {HOUR_US}").alias("bucket")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    rng = b.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    spine = rng.select(
+        "event_type", F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("bucket")
+    )
+    g = spine.join(b, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+    )
+    win = (
+        W.partitionBy("event_type").orderBy("bucket").rowsBetween(-ANOM_WIN, -1)
+    )
+    k = F.count(F.lit(1)).over(win)
+    wsum = F.sum("n").over(win)
+    wsumsq = F.sum(F.col("n") * F.col("n")).over(win)
+    w = g.select(
+        "event_type",
+        "bucket",
+        "n",
+        k.cast("bigint").alias("k"),
+        wsum.cast("bigint").alias("wsum"),
+        wsumsq.cast("bigint").alias("wsumsq"),
+    )
+    flat = F.lit(ANOM_WIN) * F.col("wsumsq") == F.col("wsum") * F.col("wsum")
+    mean = F.col("wsum") / float(ANOM_WIN)
+    var = (
+        F.col("wsumsq") - F.col("wsum") * F.col("wsum") / float(ANOM_WIN)
+    ) / float(ANOM_WIN - 1)
+    z = F.round((F.col("n") - mean) / F.sqrt(F.greatest(var, F.lit(0.0))), 4)
+    zc = w.select(
+        "event_type",
+        "bucket",
+        "n",
+        "k",
+        "wsum",
+        flat.alias("flat"),
+        F.when(F.col("k") == ANOM_WIN, F.round(mean, 4)).alias("mean_24h"),
+        F.when((F.col("k") == ANOM_WIN) & ~flat, z).alias("z"),
+    )
+    return zc.select(
+        "event_type",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("n").alias("n_events"),
+        "mean_24h",
+        "z",
+        F.when(F.col("k") < ANOM_WIN, F.lit(None).cast("int"))
+        .when(F.col("flat"), (F.col("n") * ANOM_WIN != F.col("wsum")).cast("int"))
+        .otherwise((F.abs(F.col("z")) > ANOM_Z).cast("int"))
+        .alias("anomaly"),
+    )
+
+
 @register(
     "retention_cohorts",
     f"""

@@ -787,3 +787,65 @@ def test_dsir_sample_reproducible_and_target_biased(spark):
     rate = {lang: hit[lang] / tot[lang] for lang in tot}
     tgt = rate.pop(DSIR_TARGET_LANG)
     assert all(tgt > m for m in rate.values()), (tgt, rate)
+
+
+def test_rate_anomaly_flags_spike_and_flat_window_dropout(spark):
+    """Planted hourly series: a 10x spike over a varying window must
+    fire through the z-path; a zero-count hour inside CONSTANT traffic
+    must fire through the exact-integer flat-window path (variance 0 —
+    no defined z, the case an epsilon-guarded std would silently
+    skip); warm-up hours carry NULLs; steady hours stay quiet."""
+    from datetime import datetime, timedelta
+
+    from eurovision_spark.operators.analytics import (
+        ANOM_WIN,
+        HOUR_US,
+        rate_anomaly_core,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def add(event_type, hour, count):
+        nonlocal eid
+        for j in range(count):
+            rows.append(
+                (eid, base + timedelta(hours=hour, minutes=j % 60), 1, event_type)
+            )
+            eid += 1
+
+    # 'vary': alternating 4/6 per hour for 40h, a 60-event spike at h30
+    for h in range(40):
+        add("vary", h, 60 if h == 30 else (4 if h % 2 == 0 else 6))
+    # 'flat': exactly 5/hour for 40h with a DROPOUT (0 events) at h30
+    for h in range(40):
+        if h != 30:
+            add("flat", h, 5)
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    ).withColumn("ts_us", (F.unix_timestamp("ts") * 1_000_000).cast("bigint"))
+    out = {
+        (r.event_type, r.bucket): r
+        for r in rate_anomaly_core(ev).collect()
+    }
+    lo = min(b for (t, b) in out if t == "vary")
+    spike = out[("vary", lo + 30)]
+    assert spike.anomaly == 1 and spike.z is not None and spike.z > 3
+    drop = out[("flat", lo + 30)]
+    assert drop.n_events == 0 and drop.anomaly == 1
+    assert drop.z is None  # the flat window has no defined z — integer path
+    # warm-up: the first ANOM_WIN hours of each series report NULL
+    for t in ("vary", "flat"):
+        for h in range(ANOM_WIN):
+            assert out[(t, lo + h)].anomaly is None, (t, h)
+    # steady post-warm-up hours are quiet (excluding the planted hours
+    # and their contaminated trailing windows)
+    assert out[("vary", lo + 29)].anomaly == 0
+    assert out[("flat", lo + 29)].anomaly == 0
+    # after the dropout the window is no longer flat (it holds the 0),
+    # so steady 5-count hours get a defined, small z — still quiet
+    post = out[("flat", lo + 35)]
+    assert post.z is not None and post.anomaly == 0
+    quiet = [r for (t, b), r in out.items() if t == "flat" and ANOM_WIN <= b - lo < 30]
+    assert all(r.anomaly == 0 for r in quiet)

@@ -92,6 +92,7 @@ QUERIES = [
     ("media_region_dedup", "Arrow region fingerprints + (band, fp) bucket vote count", True),
     ("classifier_calibration", "per-row scorer fold + 16-row bin aggregate", True),
     ("ann_recall_report", "two certified ANN plans + id equi-join + probe count", True),
+    ("rate_anomaly", "bounded (type, hour) counts + per-type trailing window", False),
 ]
 
 
