@@ -130,6 +130,7 @@ HEADLINE = [
     "classifier_calibration",
     "ann_recall_report",
     "rate_anomaly",
+    "near_dup_thresholds",
 ]
 
 

@@ -1153,6 +1153,97 @@ def minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Threshold-tuning curve: the jaccard distribution over LSH candidates
+# ---------------------------------------------------------------------------
+
+JACC_NBINS = 20  # 0.05-wide jaccard bins over [0, 1]
+
+
+@register(
+    "near_dup_thresholds",
+    MINHASH_SIG_SQL
+    + f"""
+    , pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id),
+    sets AS (
+        SELECT doc_id, list_distinct(list_transform({SH_SQL}, s -> {md5_long_sql('s')})) AS sh FROM docs),
+    j AS (
+        SELECT round(CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(s1.sh, s2.sh))), 6) AS jac
+        FROM pairs p
+        JOIN sets s1 ON s1.doc_id = p.doc_id_1
+        JOIN sets s2 ON s2.doc_id = p.doc_id_2
+        WHERE len(list_distinct(list_concat(s1.sh, s2.sh))) > 0),
+    binned AS (
+        SELECT CAST(least(floor(jac * {JACC_NBINS}), {JACC_NBINS - 1}) AS BIGINT)
+                   AS bin
+        FROM j),
+    counts AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM binned GROUP BY bin),
+    grid AS (SELECT unnest(generate_series(0, {JACC_NBINS - 1})) AS bin)
+    SELECT CAST(g.bin AS BIGINT) AS bin,
+           round(g.bin / {JACC_NBINS}.0, 6) AS bin_lo,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_pairs,
+           CAST(sum(coalesce(c.n, 0)) OVER (
+               ORDER BY g.bin DESC ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS n_pairs_ge
+    FROM grid g LEFT JOIN counts c USING (bin)
+    """,
+    "the THRESHOLD-TUNING curve for the near-dup family — the other "
+    "measure-don't-guess report beside near_dup_eval: the exact-"
+    f"jaccard distribution of ALL LSH candidate pairs in {JACC_NBINS} "
+    "fixed 0.05 bins, each with the pair count and the cumulative "
+    "count at-or-above that bin's lower edge. An operator reads this "
+    "BEFORE fixing CLUSTER_JACCARD_T: the cumulative column is "
+    "exactly 'how many pairs would a threshold of bin_lo accept', and "
+    "a valley between the true-dup mass at the top and the chance-"
+    "collision mass at the bottom is where the threshold belongs. "
+    "Scale shape: candidates come from the certified banded equi-join "
+    "(cost tracks duplicate density), each pair's verify is the same "
+    "hash-set intersection the production op pays anyway, and "
+    "everything after is a 20-row grid — the descending cumulative "
+    "window runs over those 20 rows, never the pairs. Cross-engine: "
+    "binning floors the 6dp-ROUNDED jaccard times 20 in both engines "
+    "(identical doubles in, identical bins out); counts are exact "
+    "integers.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def near_dup_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs, sets = near_edges_plan(
+        None,
+        threshold=None,
+        with_jaccard=True,
+        sets=copies_shingle_sets(spark, sf_dir),
+    )
+    jac = pairs.select("jaccard").localCheckpoint()
+    sets.unpersist()
+    binned = jac.select(
+        F.least(
+            F.floor(F.col("jaccard") * JACC_NBINS), F.lit(JACC_NBINS - 1)
+        )
+        .cast("bigint")
+        .alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(F.count("*").cast("bigint").alias("n"))
+    grid = (
+        jac.sparkSession.range(JACC_NBINS)
+        .select(F.col("id").cast("bigint").alias("bin"))
+    )
+    g = grid.join(counts, "bin", "left").select(
+        "bin", F.coalesce("n", F.lit(0)).cast("bigint").alias("n_pairs")
+    )
+    w = W.orderBy(F.desc("bin")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    return g.select(
+        "bin",
+        F.round(F.col("bin") / float(JACC_NBINS), 6).alias("bin_lo"),
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("bigint").alias("n_pairs_ge"),
+    ).select("bin", "bin_lo", "n_pairs", "n_pairs_ge")
+
+
+# ---------------------------------------------------------------------------
 # Source-overlap matrix: WHERE the near-duplication flows between sources
 # ---------------------------------------------------------------------------
 

@@ -185,6 +185,34 @@ def test_source_overlap_counts_cross_source_mirror(spark, tmp_path):
     assert set(cells) == {("A", "B"), ("A", "A"), ("B", "B")}
 
 
+def test_near_dup_thresholds_curve_consistent_and_shows_valley(spark):
+    """The tuning curve must be recomputable from minhash_lsh_jaccard's
+    own pair list (same candidates, same 6dp jaccards), the cumulative
+    column must be the exact descending running sum, and the corpus
+    must exhibit the structure the op exists to reveal: the planted
+    true-dup mass ABOVE CLUSTER_JACCARD_T, the chance band-collision
+    mass at the bottom bin, and an empty valley between — the evidence
+    that 0.8 is a placed threshold, not a guess."""
+    from eurovision_spark.operators.dedup import CLUSTER_JACCARD_T, JACC_NBINS
+
+    pairs = registry()["minhash_lsh_jaccard"].fn(spark, SF).collect()
+    expected = [0] * JACC_NBINS
+    for r in pairs:
+        expected[min(int(r.jaccard * JACC_NBINS), JACC_NBINS - 1)] += 1
+    rows = sorted(
+        registry()["near_dup_thresholds"].fn(spark, SF).collect(),
+        key=lambda r: r.bin,
+    )
+    assert [r.n_pairs for r in rows] == expected
+    for r in rows:
+        assert r.n_pairs_ge == sum(expected[r.bin :])
+        assert r.bin_lo == round(r.bin / JACC_NBINS, 6)
+    t_bin = int(CLUSTER_JACCARD_T * JACC_NBINS)
+    assert sum(expected[t_bin:]) > 0  # true-dup mass above the threshold
+    assert expected[0] > 0  # chance collisions at the bottom
+    assert sum(expected[2 : t_bin - 2]) <= expected[0]  # the valley
+
+
 def test_corpus_card_planted_dups_and_lang_tiebreak(spark, tmp_path):
     # source A: 4 docs, one exact-duplicate pair, en/fr tied 2-2 ->
     # dup_doc_frac 0.25, top_lang 'en' (count-then-name tie-break),

@@ -93,6 +93,7 @@ QUERIES = [
     ("classifier_calibration", "per-row scorer fold + 16-row bin aggregate", True),
     ("ann_recall_report", "two certified ANN plans + id equi-join + probe count", True),
     ("rate_anomaly", "bounded (type, hour) counts + per-type trailing window", False),
+    ("near_dup_thresholds", "certified candidate join + 20-row curve grid", True),
 ]
 
 
