@@ -1798,3 +1798,130 @@ def stream_lang_gate(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+RATE_Z_ALERT = 3.0  # |z| above this flags a (type, hour) cell
+
+
+def stream_rate_gate(
+    spark: SparkSession,
+    events_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """EVENT-RATE intake gate — the events-modality member of the gate
+    suite (documents: stream_drift_gate / stream_lang_gate /
+    stream_quality_gate / stream_embedding_gate): every arriving
+    micro-batch's per-(event_type, hour) counts are z-scored against
+    the LANDED per-type hourly-rate distribution before the batch
+    folds in, catching the retry storm (spike) and the dead producer
+    (an arriving hour far below its type's norm) at the door instead
+    of in tomorrow's batch report (rate_anomaly is the corpus-wide
+    twin; this gate trades its trailing-window locality for the landed
+    corpus's FULL per-type hourly distribution — the baseline that is
+    incrementally maintainable from bounded per-batch histograms).
+
+    Stores (keyed parquet, the stream_drift_gate discipline):
+
+    - ``rate_batches/`` (batch_key, event_type, bucket, n) — each
+      batch's (type, hour) count grid under the versioned 64-bit
+      multiset batch digest (drift_batch_key over event ids);
+    - ``rate_ledger/`` (batch_key, n_events, n_cells, n_anomalous,
+      alert) — one decision row per distinct batch.
+
+    Baseline stats per type fold from all OTHER batches' stored grids
+    (bounded: batches x types x hours rows, never raw events):
+    exact-integer sum/sumsq over the type's landed [min, max] hour
+    span — hours with no landed events are genuine zero observations
+    (rate_anomaly's spine rule), entering k without touching the
+    integer sums. The all-equal span is decided exactly like
+    rate_anomaly (k*sumsq = sum^2 — no epsilon), where a deviating
+    arriving cell alerts by integer compare. Types unseen in the
+    baseline contribute no verdict (NULL z, not anomalous — nothing
+    to deviate from). First batch: no baseline, alert 0. Replay: the
+    baseline excludes the batch's own key, so the statistic recomputes
+    identically and both first-wins upserts no-op."""
+    import os
+
+    from eurovision_spark.sinks import upsert_parquet
+
+    rates_dir = os.path.join(store_dir, "rate_batches")
+    ledger_dir = os.path.join(store_dir, "rate_ledger")
+    HOUR_US = 3_600_000_000
+
+    raw = stream_events_source(spark, events_dir)
+    # dtype-adaptive hour axis (the timeaxis contract — never hand-coded
+    # arithmetic on the raw ts column)
+    ts_us = ts_us_col(raw.schema["ts"].dataType)
+    stream = raw.select(
+        "event_id",
+        "event_type",
+        F.floor(ts_us / HOUR_US).cast("bigint").alias("bucket"),
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        n_events, batch_key = drift_batch_key(
+            batch_df.select(F.col("event_id").alias("doc_id"))
+        )
+        if not n_events:
+            return
+        counts = (
+            batch_df.groupBy("event_type", "bucket")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .localCheckpoint()
+        )
+        base = _read_store_or_empty(
+            spark, rates_dir, "batch_key string, event_type string, bucket bigint, n bigint"
+        ).filter(F.col("batch_key") != batch_key)
+        landed = base.groupBy("event_type", "bucket").agg(
+            F.sum("n").cast("bigint").alias("n")
+        )
+        n_cells = counts.count()
+        if landed.isEmpty():
+            n_anom, alert = 0, 0
+        else:
+            # per-type exact-integer stats over the landed span: hours
+            # between a type's min and max with no events are genuine
+            # zeros — they enter k, never the sums
+            stats = landed.groupBy("event_type").agg(
+                (F.max("bucket") - F.min("bucket") + 1).cast("bigint").alias("k"),
+                F.sum("n").cast("bigint").alias("s"),
+                F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sq"),
+            )
+            j = counts.join(stats, "event_type", "left")
+            flat = F.col("k") * F.col("sq") == F.col("s") * F.col("s")
+            mean = F.col("s") / F.col("k")
+            var = (F.col("sq") - F.col("s") * F.col("s") / F.col("k")) / (
+                F.col("k") - 1
+            )
+            z = F.round(
+                (F.col("n") - mean) / F.sqrt(F.greatest(var, F.lit(0.0))), 4
+            )
+            anom = (
+                F.when(F.col("k").isNull(), F.lit(0))  # unseen type: no verdict
+                .when(F.col("k") < 2, F.lit(0))  # one landed hour: no spread
+                .when(flat, (F.col("n") * F.col("k") != F.col("s")).cast("int"))
+                .otherwise((F.abs(z) > RATE_Z_ALERT).cast("int"))
+            )
+            n_anom = int(
+                j.agg(F.coalesce(F.sum(anom), F.lit(0))).first()[0]
+            )
+            alert = int(n_anom > 0)
+        ledger_row = spark.createDataFrame(
+            [(batch_key, n_events, n_cells, n_anom, alert)],
+            "batch_key string, n_events bigint, n_cells bigint, "
+            "n_anomalous bigint, alert int",
+        )
+        upsert_parquet(ledger_row, ledger_dir, ["batch_key"], keep="existing")
+        upsert_parquet(
+            counts.select(F.lit(batch_key).alias("batch_key"), "*"),
+            rates_dir,
+            ["batch_key", "event_type", "bucket"],
+            keep="existing",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -1611,3 +1611,90 @@ def test_stream_split_assign_inherits_detects_conflicts_and_replays(spark, tmp_p
         assert spark.read.parquet(str(store / "splits")).count() == 4
     finally:
         q.stop()
+
+
+def test_stream_rate_gate_flags_spike_and_replays_stable(spark, tmp_path):
+    """The events-modality intake gate: a baseline wave of steady
+    hourly rates lands with no alert (nothing to drift from), a spike
+    wave whose (type, hour) cell sits far above the landed per-type
+    rate distribution fires, a steady same-rate wave stays quiet, and
+    a replayed wave changes neither ledger nor baseline (first-wins
+    upserts under the versioned batch digest)."""
+    import shutil
+    from datetime import datetime, timedelta
+
+    from eurovision_spark.streaming.ingest import stream_rate_gate
+
+    events_dir = tmp_path / "events_in"
+    events_dir.mkdir()
+    store = tmp_path / "store"
+    base = datetime(2024, 3, 1)
+
+    def write_wave(name, rows):
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double",
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = next((tmp_path / name).glob("part-*.parquet"))
+        shutil.copy(part, events_dir / f"{name}.parquet")
+
+    eid = 0
+
+    def hours(event_type, start_h, n_hours, per_hour):
+        nonlocal eid
+        out = []
+        for h in range(start_h, start_h + n_hours):
+            for j in range(per_hour):
+                out.append(
+                    (eid, base + timedelta(hours=h, minutes=j % 60), 1,
+                     event_type, 1.0)
+                )
+                eid += 1
+        return out
+
+    def ledger():
+        return sorted(
+            (
+                (r.batch_key, r.n_events, r.n_cells, r.n_anomalous, r.alert)
+                for r in spark.read.parquet(str(store / "rate_ledger")).collect()
+            )
+        )
+
+    # baseline: 30 steady hours, alternating 4/6 per hour (non-flat)
+    w1 = []
+    for h in range(30):
+        w1 += hours("click", h, 1, 4 if h % 2 == 0 else 6)
+    write_wave("wave1", w1)
+    q = stream_rate_gate(spark, str(events_dir), str(store), str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        l1 = ledger()
+        assert len(l1) == 1 and l1[0][4] == 0  # first batch: no baseline
+        # spike: one hour at 10x the landed mean
+        write_wave("wave2", hours("click", 31, 1, 50))
+        q.processAllAvailable()
+        l2 = ledger()
+        spike_rows = [r for r in l2 if r not in l1]
+        assert len(spike_rows) == 1 and spike_rows[0][3] == 1 and spike_rows[0][4] == 1
+        # steady continuation at the landed rate: quiet
+        write_wave("wave3", hours("click", 32, 1, 5))
+        q.processAllAvailable()
+        l3 = ledger()
+        quiet_rows = [r for r in l3 if r not in l2]
+        assert len(quiet_rows) == 1 and quiet_rows[0][4] == 0
+        # byte-identical replay (at-least-once delivery re-presents the
+        # SAME rows, same event ids -> same digest): ledger and baseline
+        # must not change
+        shutil.copy(events_dir / "wave2.parquet", events_dir / "wave2_again.parquet")
+        q.processAllAvailable()
+        assert ledger() == l3  # no new row, no mutation
+        n_batches = (
+            spark.read.parquet(str(store / "rate_batches"))
+            .select("batch_key")
+            .distinct()
+            .count()
+        )
+        assert n_batches == len(l3)  # baseline never double-counted
+    finally:
+        q.stop()
