@@ -313,6 +313,12 @@ def rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rate_anomaly_core(ev: DataFrame) -> DataFrame:
     """The anomaly grid over any (event_type, ts_us, ...) frame — split
     out so planted spike/dropout tests drive the same plan."""
+    # bucket arithmetic is exact cross-engine at EVERY bigint, negative
+    # (pre-epoch) ts included: Spark's integer `div` truncates toward
+    # zero and DuckDB's integer `//` does too (-5//2 = -2 there, unlike
+    # Python's floor) — pinned with a planted pre-1970 frame in
+    # tests/test_analytics_ops.py, so the oracle pairing carries no
+    # unguarded ts >= epoch assumption (ohlc_rollup's rule)
     b = ev.groupBy(
         "event_type", F.expr(f"ts_us div {HOUR_US}").alias("bucket")
     ).agg(F.count("*").cast("bigint").alias("n"))

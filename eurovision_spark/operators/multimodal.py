@@ -427,44 +427,65 @@ def region_fp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def media_dup_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The media corpus + planted SAME-LENGTH one-byte-mutated copies
-    (byte k = len/2 flipped to '~'): the mutation lands inside exactly
-    one region, so each copy must match its original on 3 of 4
-    fingerprints — a planted near-dup that exact content_md5 dedup
-    (media_features) is provably blind to."""
+    """The media corpus + planted SAME-LENGTH one-byte-mutated copies,
+    spliced in the HEX of the encoded payload (r09 advice fix): byte
+    k = floor(3q/4) (q = hex chars per region) is replaced by 0x7E —
+    or 0x23 when the original byte already IS 0x7E — so the copy
+    differs from its original in EXACTLY one byte, that byte sits
+    FULLY inside region 1 for every q >= 2 (hex span [2k, 2k+1] within
+    [q, 2q) — checked for all q), and every downstream byte keeps its
+    offset. The old form replaced one CHARACTER at len/2, which on
+    multi-byte UTF-8 shifted every subsequent byte (all regions
+    differ) and on odd q straddled a region boundary (2-of-4) — this
+    form's exactly-3-of-4 claim holds for ANY corpus, pinned with a
+    multi-byte doc in tests/test_multimodal_codec.py. Exact
+    content_md5 dedup (media_features) stays provably blind to it."""
     d = (
         load_table(spark, sf_dir, "documents")
-        .filter((F.col("n_chars") > 0) & (F.length("text") >= 2))
-        .select("doc_id", "text")
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", F.hex(F.encode("text", "UTF-8")).alias("hx"))
+        # >= 4 payload bytes => q >= 2, the region-interior guarantee
+        .filter(F.length("hx") >= 8)
+        # 0-based hex index of the mutation byte: 2 * floor(3q/4)
+        .withColumn(
+            "_p", F.expr(f"2 * ((3 * (length(hx) div {N_REGIONS})) div 4)")
+        )
     )
-    mutated = F.concat(
-        F.expr("substring(text, 1, cast(length(text) / 2 as int))"),
-        F.lit("~"),
-        F.expr("substring(text, cast(length(text) / 2 as int) + 2)"),
+    orig_byte = F.expr("substring(hx, _p + 1, 2)")
+    repl = F.when(orig_byte == "7E", F.lit("23")).otherwise(F.lit("7E"))
+    mut_hx = F.concat(
+        F.expr("substring(hx, 1, _p)"), repl, F.expr("substring(hx, _p + 3)")
     )
-    m = d.unionByName(
+    m = d.select("doc_id", "hx").unionByName(
         d.select(
             (F.col("doc_id") + MEDIA_COPY_OFFSET).alias("doc_id"),
-            mutated.alias("text"),
+            mut_hx.alias("hx"),
         )
     )
     return m.repartition(spark.sparkContext.defaultParallelism).select(
-        "doc_id", F.encode("text", "UTF-8").alias("content")
+        "doc_id", F.unhex("hx").alias("content")
     )
 
 
 @register(
     "media_region_dedup",
     f"""
-    WITH m AS (
-        SELECT doc_id, text FROM documents
-        WHERE n_chars > 0 AND length(text) >= 2
+    WITH m0 AS (
+        SELECT doc_id, hex(encode(text)) AS hx FROM documents
+        WHERE n_chars > 0 AND length(hex(encode(text))) >= 8),
+    mut AS (
+        SELECT doc_id, hx,
+               2 * ((3 * (length(hx) // {N_REGIONS})) // 4) AS p
+        FROM m0),
+    h AS (
+        SELECT doc_id, hx FROM mut
         UNION ALL
         SELECT doc_id + {MEDIA_COPY_OFFSET} AS doc_id,
-               substr(text, 1, length(text) // 2) || '~'
-                   || substr(text, length(text) // 2 + 2) AS text
-        FROM documents WHERE n_chars > 0 AND length(text) >= 2),
-    h AS (SELECT doc_id, hex(encode(text)) AS hx FROM m),
+               substr(hx, 1, p)
+                   || CASE WHEN substr(hx, p + 1, 2) = '7E'
+                           THEN '23' ELSE '7E' END
+                   || substr(hx, p + 3) AS hx
+        FROM mut),
     fp AS (
         SELECT doc_id, CAST(i AS INT) AS band_id,
                md5(substr(hx, i * (length(hx) // {N_REGIONS}) + 1,
@@ -490,7 +511,9 @@ def media_dup_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "id+hash rows), and the vote is a pair-count aggregate: a pair "
     "sharing >= k region fingerprints is a near-dup, with n_shared "
     "reported for triage. Catches the planted same-length one-byte-"
-    "mutated copies (exactly 3 of 4 regions intact) that exact "
+    "mutated copies (the splice is byte-aligned to the region grid in "
+    "the encoded payload's hex, so EXACTLY 3 of 4 regions stay intact "
+    "on any corpus, multi-byte UTF-8 included) that exact "
     "content_md5 dedup is blind to. Codec stubbed (region hashes over "
     "payload bytes, not decoded pixels — a real deploy swaps the "
     "fingerprint fn inside the SAME worker); everything downstream of "

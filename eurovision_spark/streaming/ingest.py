@@ -823,7 +823,7 @@ def assign_splits_batch(
 
     from eurovision_spark.operators.pipeline import SPLIT_SEED
     from eurovision_spark.operators.textstats import md5_long
-    from eurovision_spark.sinks import upsert_parquet
+    from eurovision_spark.sinks import delete_keys, upsert_parquet
 
     clusters_dir = os.path.join(store_dir, "clusters")
     splits_dir = os.path.join(store_dir, "splits")
@@ -891,6 +891,23 @@ def assign_splits_batch(
         upsert_parquet(
             conf.localCheckpoint(), conflicts_dir, ["cluster_id"], keep="updates"
         )
+    # stale-quarantine prune: a later merge RELABELS a conflicted
+    # cluster (min-member labels — the merged component takes the
+    # smallest id), and the keyed upsert above only overwrites
+    # same-key rows, so the OLD label's conflict row would otherwise
+    # persist forever against a cluster_id that no longer exists. The
+    # conflicts store is the bounded quarantine list, so one anti-join
+    # of its keys against the live label set per batch keeps every
+    # quarantine row naming a CURRENT cluster (the merged cluster's
+    # new label re-enters via `watch` in the same batch that merged it).
+    if os.path.exists(conflicts_dir):
+        stale = (
+            spark.read.parquet(conflicts_dir)
+            .select("cluster_id")
+            .join(clusters.select("cluster_id").distinct(), "cluster_id", "left_anti")
+        )
+        if not stale.isEmpty():
+            delete_keys(spark, conflicts_dir, "cluster_id", stale.localCheckpoint())
 
 
 def stream_split_assign(
@@ -1840,7 +1857,27 @@ def stream_rate_gate(
     baseline contribute no verdict (NULL z, not anomalous — nothing
     to deviate from). First batch: no baseline, alert 0. Replay: the
     baseline excludes the batch's own key, so the statistic recomputes
-    identically and both first-wins upserts no-op."""
+    identically and both first-wins upserts no-op.
+
+    Scope, stated plainly (what this gate can and cannot fire on):
+
+    - only (type, hour) cells PRESENT in the arriving batch are
+      scored, so a diminished-but-nonzero producer fires here, but a
+      producer gone fully silent contributes no cell and never fires
+      at the door — total silence is a property of what did NOT
+      arrive, and the batch twin ``rate_anomaly`` is the op that sees
+      it (its gapfilled spine emits the zero-count hour explicitly);
+      an intake-side dead-man switch would track per-type last-seen
+      hours against wall clock, which is an operational timer, not a
+      property of any batch.
+    - an arriving cell's count is the count IN THIS BATCH: the gate's
+      semantics assume micro-batch boundaries align with hour
+      boundaries (the landed grid folds same-hour cells across batches
+      back together, so the BASELINE self-heals, but a sliced arriving
+      hour is z-scored at partial volume and can raise a spurious
+      dropout alert for that batch). The replay/wave tests pin the
+      aligned form; an aligned trigger (processingTime on the hour) or
+      the batch twin adjudicates the sliced case."""
     import os
 
     from eurovision_spark.sinks import upsert_parquet
@@ -1851,12 +1888,18 @@ def stream_rate_gate(
 
     raw = stream_events_source(spark, events_dir)
     # dtype-adaptive hour axis (the timeaxis contract — never hand-coded
-    # arithmetic on the raw ts column)
-    ts_us = ts_us_col(raw.schema["ts"].dataType)
+    # arithmetic on the raw ts column); integer `div` (truncate toward
+    # zero) is rate_anomaly's exact bucket arithmetic — a double divide
+    # + floor would diverge from the batch twin at pre-epoch ts and
+    # lose integer exactness past 2^53
     stream = raw.select(
         "event_id",
         "event_type",
-        F.floor(ts_us / HOUR_US).cast("bigint").alias("bucket"),
+        ts_us_col(raw.schema["ts"].dataType).alias("_ts_us"),
+    ).select(
+        "event_id",
+        "event_type",
+        F.expr(f"_ts_us div {HOUR_US}").alias("bucket"),
     )
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:

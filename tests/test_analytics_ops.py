@@ -849,3 +849,37 @@ def test_rate_anomaly_flags_spike_and_flat_window_dropout(spark):
     assert post.z is not None and post.anomaly == 0
     quiet = [r for (t, b), r in out.items() if t == "flat" and ANOM_WIN <= b - lo < 30]
     assert all(r.anomaly == 0 for r in quiet)
+
+
+def test_hour_bucket_arithmetic_agrees_cross_engine_pre_epoch(spark):
+    """The r09 advice flagged Spark `div` (truncate toward zero) vs
+    DuckDB `//` as a floor/truncation divergence for pre-1970
+    timestamps. DuckDB's integer `//` in fact ALSO truncates toward
+    zero (-5 // 2 = -2, unlike Python's floor), so the engines agree
+    at every bigint — pinned here over a span of negative, boundary,
+    and positive microsecond timestamps so the oracle pairing carries
+    no ts >= epoch assumption."""
+    import duckdb
+
+    from eurovision_spark.operators.analytics import HOUR_US
+
+    ts = [
+        -3 * HOUR_US - 1, -3 * HOUR_US, -HOUR_US - 1, -HOUR_US, -1,
+        0, 1, HOUR_US - 1, HOUR_US, 3 * HOUR_US + 1,
+    ]
+    spark_buckets = [
+        r.b
+        for r in spark.createDataFrame([(t,) for t in ts], "ts_us bigint")
+        .select(F.expr(f"ts_us div {HOUR_US}").alias("b"))
+        .collect()
+    ]
+    duck_buckets = [
+        duckdb.sql(
+            f"SELECT CAST({t} AS BIGINT) // CAST({HOUR_US} AS BIGINT)"
+        ).fetchone()[0]
+        for t in ts
+    ]
+    assert spark_buckets == duck_buckets
+    # and the shared arithmetic is truncation, not floor: -1us lands
+    # in bucket 0 (hour 0), not bucket -1
+    assert spark_buckets[ts.index(-1)] == 0

@@ -156,7 +156,10 @@ def test_frame_fingerprints_match_oracle_on_non_ascii(spark, tmp_path):
 def test_media_region_dedup_vote_tiers(spark, tmp_path):
     """Region-vote semantics pinned exactly: identical payloads share
     all 4 region fingerprints, the one-byte-mutated planted copy
-    exactly 3, a half-different payload at most 2 (excluded)."""
+    exactly 3 — including a MULTI-BYTE UTF-8 payload and an odd region
+    width (the r09 advice cases: the splice is byte-aligned in the
+    encoded hex, so no downstream byte shifts and no region-boundary
+    straddle) — and a half-different payload at most 2 (excluded)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -165,13 +168,17 @@ def test_media_region_dedup_vote_tiers(spark, tmp_path):
 
     base = "".join(f"t{i:02d}" for i in range(32))  # 96 chars
     half_diff = base[:48] + "".join(f"z{i:02d}" for i in range(16))
+    multibyte = "héllo wörld données 数据 été"  # multi-byte UTF-8
+    odd_q = "abcdefghij"  # 10 bytes -> 20 hex chars -> q = 5 (odd)
     tbl = pa.table(
         {
-            "doc_id": pa.array([0, 1, 2], pa.int64()),
-            "text": [base, base, half_diff],
-            "lang": ["en"] * 3,
-            "source": ["A"] * 3,
-            "n_chars": pa.array([96, 96, 96], pa.int64()),
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": [base, base, half_diff, multibyte, odd_q],
+            "lang": ["en"] * 5,
+            "source": ["A"] * 5,
+            "n_chars": pa.array(
+                [96, 96, 96, len(multibyte), len(odd_q)], pa.int64()
+            ),
         }
     )
     pq.write_table(tbl, tmp_path / "documents.parquet")
@@ -189,6 +196,16 @@ def test_media_region_dedup_vote_tiers(spark, tmp_path):
     # linking the 2-family to the 0/1-family is excluded; doc 2's one
     # surviving pair is with its own mutated copy, at 3
     fam2 = {2, C + 2}
-    cross = [p for p in cells if (set(p) & fam2) and not (set(p) <= fam2)]
+    cross = [
+        p
+        for p in cells
+        if (set(p) & fam2) and not (set(p) <= fam2) and not (set(p) & {3, 4, C + 3, C + 4})
+    ]
     assert not cross, cross
     assert cells[(2, C + 2)] == 3
+    # the advice cases: the multi-byte payload's copy and the odd-q
+    # payload's copy each land at exactly 3 shared regions — the old
+    # character splice shifted every downstream byte of doc 3 (0 or 1
+    # shared) and straddled doc 4's region boundary (2 shared)
+    assert cells[(3, C + 3)] == 3
+    assert cells[(4, C + 4)] == 3

@@ -1537,7 +1537,11 @@ def test_stream_split_assign_inherits_detects_conflicts_and_replays(spark, tmp_p
     member's split instead of re-rolling; (3) a bridge doc that merges
     two already-differently-split singletons cannot repair them —
     landed assignments are immutable — but the straddle lands in
-    split_conflicts/; (4) replay changes nothing."""
+    split_conflicts/; (4) replay changes nothing; (5) a later merge
+    that RELABELS the conflicted cluster (new min member) moves the
+    quarantine row to the new label and prunes the stale one (the r09
+    advice fix — keyed upserts alone would leave the dead label's row
+    in the store forever)."""
     import hashlib
     import shutil
 
@@ -1609,6 +1613,19 @@ def test_stream_split_assign_inherits_detects_conflicts_and_replays(spark, tmp_p
         }
         assert conf2 == conf
         assert spark.read.parquet(str(store / "splits")).count() == 4
+        # (5) doc 0 near-dups doc 1 and merges into the cluster, whose
+        # min-member label RELABELS from 1 to 0: the straddle row must
+        # re-key to 0 and the stale key-1 row must be pruned
+        t0 = " ".join(base + ["xz"])  # jaccard vs t1 = 18/19 >= 0.8
+        write_wave("wave3", [(0, t0)])
+        q.processAllAvailable()
+        s3 = read_splits()
+        assert s3[0] == ("valid", "inherited")  # min split member: doc 1
+        conf3 = {
+            r.cluster_id: (r.n_splits, r.splits)
+            for r in spark.read.parquet(str(store / "split_conflicts")).collect()
+        }
+        assert conf3 == {0: (2, "train,valid")}
     finally:
         q.stop()
 
