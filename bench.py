@@ -131,6 +131,9 @@ HEADLINE = [
     "ann_recall_report",
     "rate_anomaly",
     "near_dup_thresholds",
+    # round 10: the end-to-end corpus-build capstone (dedup decisions ->
+    # quality verdicts -> selection keep -> leakage-safe split -> shard)
+    "corpus_build",
 ]
 
 

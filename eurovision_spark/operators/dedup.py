@@ -1570,7 +1570,12 @@ def minhash_chain_sql(src: str, p: str) -> str:
         FROM {p}sig GROUP BY doc_id, perm // {N_PERM // N_BANDS})"""
 
 
-DEDUP_PIPELINE_ORACLE = f"""
+# the full dedup-pass CTE chain (3-way planted corpus -> digest
+# collapse -> LSH+verify over exact survivors -> recursive CC labels),
+# split from the final decision SELECT so composed oracles
+# (corpus_build, operators/pipeline.py) can extend the SAME chain —
+# one dedup definition per engine, the CLUSTER_CTES_SQL discipline
+DEDUP_PIPELINE_CTES = f"""
     WITH RECURSIVE base AS (
         SELECT doc_id, text FROM documents WHERE n_chars > 0),
     docs AS (
@@ -1611,6 +1616,11 @@ DEDUP_PIPELINE_ORACLE = f"""
         WHERE l.comp < e.dst),
     lab AS (SELECT node AS doc_id, min(comp) AS cluster_id
             FROM lbl GROUP BY node)
+"""
+
+# the decision projection over the chain — also spliced as a CTE body
+# by the corpus_build oracle
+DEDUP_DECISION_SELECT = """
     SELECT m.doc_id,
            CASE WHEN m.doc_id <> m.c THEN 'exact_dup'
                 WHEN l.cluster_id IS NOT NULL AND l.cluster_id <> m.doc_id
@@ -1623,6 +1633,8 @@ DEDUP_PIPELINE_ORACLE = f"""
     LEFT JOIN lab l ON l.doc_id = m.doc_id
     LEFT JOIN lab lc ON lc.doc_id = m.c
 """
+
+DEDUP_PIPELINE_ORACLE = DEDUP_PIPELINE_CTES + DEDUP_DECISION_SELECT
 
 
 @register(
@@ -1645,6 +1657,22 @@ DEDUP_PIPELINE_ORACLE = f"""
     "rounds; the full text never shuffles anywhere).",
 )
 def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    decisions, _ = dedup_decision_frames(spark, sf_dir)
+    return decisions
+
+
+def dedup_decision_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(decisions, kept_docs) — dedup_pipeline's machinery split out so
+    corpus_build (operators/pipeline.py) can run the downstream tiers
+    on the SAME pass: ``decisions`` is the registered (doc_id,
+    decision, survivor_id) frame, ``kept_docs`` the (doc_id, text) of
+    the docs whose decision is 'kept' (exact canonicals that are their
+    own near-cluster representative) — both reading the one persisted
+    digest-collapse stage and the one checkpointed CC-label frame, so
+    the composition cannot diverge from the standalone op (its oracle
+    twin is DEDUP_PIPELINE_CTES + DEDUP_DECISION_SELECT)."""
     from eurovision_spark.operators.imp_dedup import cc_edge_list
 
     base = (
@@ -1682,7 +1710,7 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lab = labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
     lab_c = lab.select(F.col("doc_id").alias("c"), F.col("cluster_id").alias("c_cluster"))
-    return (
+    decisions = (
         mapc.select("doc_id", "c")
         .join(lab, "doc_id", "left")
         .join(lab_c, "c", "left")
@@ -1705,6 +1733,12 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("survivor_id"),
         )
     )
+    kept_docs = (
+        surv.join(lab, "doc_id", "left")
+        .filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+        .select("doc_id", "text")
+    )
+    return decisions, kept_docs
 
 
 # ---------------------------------------------------------------------------

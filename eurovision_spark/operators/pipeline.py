@@ -1067,9 +1067,13 @@ def _selection_oracle() -> str:
     "approx_terciles knob swaps stage 4 for ccnet_buckets_approx's "
     "bounded-sample cut points — the 100 TB form, no corpus window "
     "sort — with every other stage unchanged. "
-    "DRIVER-facing (r08): took anti_join's slot — that row's evidence "
-    "was an empty result set, while this one hash-certifies the whole "
-    "composed selection tier.",
+    "Driver history: took anti_join's slot in r08; ceded it to "
+    "corpus_build in r10 (the capstone exercises this op's entire "
+    "gate arithmetic — ccnet scoring, md5 tail sampling, source remap "
+    "— plus the three tiers it doesn't, so the driver row strictly "
+    "gained coverage); stays registry-gated (pytest sf0.001 + verify "
+    "sf0.01).",
+    driver=False,
 )
 def selection_pipeline(
     spark: SparkSession, sf_dir: str, approx_terciles: bool = False
@@ -1109,6 +1113,286 @@ def selection_pipeline(
         < SEL_TAIL_PCT
     )
     return bucketed.filter(keep)
+
+
+# ---------------------------------------------------------------------------
+# Corpus build: the END-TO-END composition — dedup decisions -> quality
+# verdicts on survivors -> selection keep policy -> leakage-safe split
+# -> shard plan, ONE auditable manifest row per document
+# ---------------------------------------------------------------------------
+
+
+def _corpus_build_oracle(sf_dir: str) -> str:
+    """The corpus_build oracle COMPOSES the certified parent CTE chains
+    verbatim (one definition per engine, the CLUSTER_CTES_SQL /
+    SURVIVOR_RANK_SQL discipline): DEDUP_PIPELINE_CTES +
+    DEDUP_DECISION_SELECT (dedup_pipeline's exact chain), _GOPHER_SQL /
+    _REPETITION_SQL / _qc_score_ctes re-pointed at the survivor CTE
+    (the only edit is the source-table substring; the qc fragment's CTE
+    names are prefixed to avoid colliding with the dedup chain's
+    ``base``/``scored``), ccnet_score_sql over the quality-kept
+    survivors, selection_pipeline's md5 tail gate, leakage_safe_split's
+    bucket rule on the survivor (= cluster) key, and shard_plan's
+    two-hash rank over the kept set."""
+    from eurovision_spark.operators.dedup import (
+        DEDUP_DECISION_SELECT,
+        DEDUP_PIPELINE_CTES,
+        NEAR_COPY_OFFSET,
+    )
+    from eurovision_spark.operators.textstats import (
+        _GOPHER_SQL,
+        _REPETITION_SQL,
+        _qc_fit,
+        _qc_sample_texts,
+        _qc_score_ctes,
+        ccnet_score_sql,
+    )
+
+    w, b = _qc_fit(_qc_sample_texts(sf_dir))
+    doc_src = "FROM documents WHERE n_chars > 0"
+    qc = (
+        _qc_score_ctes(w, b)
+        .replace(doc_src, "FROM sv")
+        .replace("base AS (", "qcb AS (", 1)
+        .replace("FROM base)", "FROM qcb)")
+        .replace("scored AS (", "qcs AS (", 1)
+    )
+    split_key = md5_long_sql(
+        f"concat(CAST(m.survivor_id AS VARCHAR), '{SPLIT_SEED}')"
+    )
+    sel_gate = md5_long_sql("concat('sel-', CAST(doc_id AS VARCHAR))")
+    # MATERIALIZED hints on the multi-consumer CTEs are semantics-free
+    # execution pins (DuckDB otherwise INLINES a CTE per reference, so
+    # the recursive cluster chain would re-run once per quality gate —
+    # measured ~4x the oracle wall time); the parent chains stay
+    # byte-identical in their own oracles
+    dedup_ctes = DEDUP_PIPELINE_CTES.replace(
+        "lab AS (", "lab AS MATERIALIZED ("
+    ).replace("mapc AS (", "mapc AS MATERIALIZED (")
+    return (
+        dedup_ctes
+        + f""",
+    man0 AS MATERIALIZED ({DEDUP_DECISION_SELECT}),
+    sv AS MATERIALIZED (
+           SELECT d.doc_id, d.text FROM docs d
+           JOIN man0 ON man0.doc_id = d.doc_id AND man0.decision = 'kept'),
+    qg AS ({_GOPHER_SQL.replace(doc_src, "FROM sv")}),
+    qr AS ({_REPETITION_SQL.replace(doc_src, "FROM sv")}),
+    {qc},
+    qual AS MATERIALIZED (
+        SELECT qg.doc_id, qg.pass_gopher, qr.pass_repetition,
+               CAST(qcs.z >= 0 AS INT) AS qc_label,
+               CAST(qg.pass_gopher = 1 AND qr.pass_repetition = 1
+                    AND qcs.z >= 0 AS INT) AS quality_keep
+        FROM qg JOIN qr USING (doc_id) JOIN qcs USING (doc_id)),
+    svq AS (
+        SELECT sv.doc_id, src.source, sv.text
+        FROM sv
+        JOIN (SELECT doc_id AS orig_id, source {doc_src}) src
+          ON src.orig_id = CASE WHEN sv.doc_id >= {NEAR_COPY_OFFSET}
+                                THEN sv.doc_id - {NEAR_COPY_OFFSET}
+                                ELSE sv.doc_id END),
+    {ccnet_score_sql("svq").strip().rstrip()},
+    sel AS MATERIALIZED (
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, avg_logprob,
+               bucket,
+               CAST(bucket <> 'tail' OR {sel_gate} % 100 < {SEL_TAIL_PCT}
+                    AS INT) AS sel_keep
+        FROM bucketed),
+    sharded AS (
+        SELECT doc_id,
+               {md5_long_sql("concat('shard-', CAST(doc_id AS VARCHAR))")}
+                   % {SHARD_N} AS shard,
+               {md5_long_sql("concat('ord-', CAST(doc_id AS VARCHAR))")}
+                   AS ord_key
+        FROM sel JOIN qual USING (doc_id)
+        WHERE sel.sel_keep = 1 AND qual.quality_keep = 1),
+    shardpos AS (
+        SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+               CAST(row_number() OVER (PARTITION BY shard
+                                       ORDER BY ord_key, doc_id) AS BIGINT)
+                   AS pos
+        FROM sharded)
+    SELECT m.doc_id, m.decision, m.survivor_id,
+           qual.pass_gopher, qual.pass_repetition, qual.qc_label,
+           qual.quality_keep,
+           sel.bucket, sel.n_tokens, sel.avg_logprob, sel.sel_keep,
+           CAST(coalesce(sel.sel_keep, 0) = 1
+                AND coalesce(qual.quality_keep, 0) = 1 AS INT) AS keep,
+           CASE WHEN {split_key} % 100 < 90 THEN 'train'
+                WHEN {split_key} % 100 < 95 THEN 'valid'
+                ELSE 'test' END AS split,
+           sp.shard, sp.pos
+    FROM man0 m
+    LEFT JOIN qual ON qual.doc_id = m.doc_id
+    LEFT JOIN sel ON sel.doc_id = m.doc_id
+    LEFT JOIN shardpos sp ON sp.doc_id = m.doc_id
+    """
+    )
+
+
+@register(
+    "corpus_build",
+    _corpus_build_oracle,
+    "the CAPSTONE composition — the one-call corpus build a training "
+    "run actually executes, chaining the certified tiers in production "
+    "order and emitting ONE auditable manifest row per document of the "
+    "planted 3-way corpus: (1) dedup_pipeline's decision pass verbatim "
+    "(digest collapse -> LSH+verify over exact survivors -> id-only CC "
+    "-> decision in {kept, exact_dup, near_dup} + survivor_id), "
+    "(2) quality_pipeline's verdict stack on the SURVIVORS (Gopher "
+    "rules + repetition gate + learned classifier, conjunction = "
+    "quality_keep — dropped dups are never re-scored), (3) the "
+    "selection tier on the SAME survivors: CCNet terciles (LM trained "
+    "on the DEDUPED corpus — the dedup-before-stats discipline; "
+    "quality verdicts stay parallel manifest columns rather than "
+    "gating the LM, so every gate's verdict is attributable per doc; "
+    "the approx_terciles knob swaps in ccnet_buckets_approx's bounded-"
+    "sample cut points — the 100 TB form) + selection_pipeline's "
+    "head+middle-full / 10%-tail md5 keep gate, (4) leakage_safe_"
+    "split's bucket rule applied to the SURVIVOR key (= the cluster "
+    "id), so every member of a duplicate group — dropped copies "
+    "included — carries the split its survivor carries, and an "
+    "eval-set sampler reading the manifest can never pull a near-copy "
+    "of a train doc, (5) shard_plan's two-hash (shard, pos) over the "
+    "kept set (keep = kept AND quality_keep AND sel_keep); split is "
+    "defined for EVERY row; shard/pos only for keep = 1. Every stage "
+    "is the SHARED machinery of its standalone op on BOTH engines "
+    "(dedup_decision_frames / gopher_rules_frame / "
+    "repetition_stats_frame / score_documents / ccnet_bucket_frame / "
+    "shard_plan_frame Spark-side; the verbatim parent CTE chains "
+    "oracle-side), and row-for-row equality with each standalone "
+    "parent is pinned in tests/test_pipeline_ops.py — the composition "
+    "cannot diverge from the parts. Scale shape: each tier keeps its "
+    "certified plan (digest groupBy, banded equi-joins, id-only CC, "
+    "per-row rule/classifier folds, one (doc_id, gram) count, bounded "
+    "vocab broadcast, per-source tercile — or the sample-cut sibling, "
+    "one shard-keyed exchange); the composition itself adds ONLY "
+    "narrow (id, verdict) joins — document text crosses a stage "
+    "boundary once, at the survivor checkpoint (the parquet "
+    "materialization a real pipeline writes between dedup and "
+    "quality). DRIVER-facing (r10): took selection_pipeline's slot — "
+    "this op exercises that op's entire gate arithmetic (ccnet + md5 "
+    "tail sampling + source remap) plus the three tiers it didn't, "
+    "and the standalone stays registry-gated.",
+)
+def corpus_build(
+    spark: SparkSession, sf_dir: str, approx_terciles: bool = False
+) -> DataFrame:
+    """``approx_terciles`` forwards to ccnet_bucket_frame exactly as in
+    selection_pipeline: False = the registered, hash-gated exact ntile;
+    True = the scale-safe bounded-sample cut points, every other stage
+    unchanged."""
+    from eurovision_spark.operators.dedup import (
+        NEAR_COPY_OFFSET,
+        dedup_decision_frames,
+    )
+    from eurovision_spark.operators.textstats import (
+        ccnet_bucket_frame,
+        gopher_rules_frame,
+        repetition_stats_frame,
+        score_documents,
+        train_quality_model,
+    )
+
+    decisions, kept = dedup_decision_frames(spark, sf_dir)
+    # the dedup->quality stage boundary, materialized: four consumers
+    # (rules, repetition, classifier, ccnet) read the survivor corpus —
+    # at 100 TB this is the parquet checkpoint a real pipeline writes
+    # between the dedup pass and the quality stack
+    kept = kept.localCheckpoint()
+    w, b = train_quality_model(spark, sf_dir)
+    g = gopher_rules_frame(kept).select("doc_id", "pass_gopher")
+    r = repetition_stats_frame(kept).select("doc_id", "pass_repetition")
+    q = score_documents(kept, w, b).select("doc_id", "qc_label")
+    qual = (
+        g.join(r, "doc_id")
+        .join(q, "doc_id")
+        .select(
+            "doc_id",
+            "pass_gopher",
+            "pass_repetition",
+            "qc_label",
+            (
+                (F.col("pass_gopher") == 1)
+                & (F.col("pass_repetition") == 1)
+                & (F.col("qc_label") == 1)
+            )
+            .cast("int")
+            .alias("quality_keep"),
+        )
+        # narrow (id, flag) verdict rows, read by the selection input
+        # AND the final manifest assembly
+        .localCheckpoint(eager=False)
+    )
+    src = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("orig_id"), "source"
+    )
+    # kept ids are base ids or near-copy ids (exact copies always
+    # collapse); copies inherit the original's source
+    orig = F.when(
+        F.col("doc_id") >= NEAR_COPY_OFFSET, F.col("doc_id") - NEAR_COPY_OFFSET
+    ).otherwise(F.col("doc_id"))
+    svq = (
+        kept.select("doc_id", orig.alias("orig_id"), "text")
+        .join(src, "orig_id")
+        .select("doc_id", "source", "text")
+    )
+    bucketed = ccnet_bucket_frame(svq, approx=approx_terciles)
+    sel_keep = (
+        (F.col("bucket") != "tail")
+        | (
+            md5_long(F.concat(F.lit("sel-"), F.col("doc_id").cast("string")))
+            % 100
+            < SEL_TAIL_PCT
+        )
+    ).cast("int")
+    sel = bucketed.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "avg_logprob",
+        "bucket",
+        sel_keep.alias("sel_keep"),
+    ).localCheckpoint(eager=False)  # read by the shard pass AND the manifest
+    sharded = shard_plan_frame(
+        sel.filter(F.col("sel_keep") == 1)
+        .join(qual.filter(F.col("quality_keep") == 1), "doc_id", "left_semi")
+        .select("doc_id")
+    )
+    skey = (
+        md5_long(F.concat(F.col("survivor_id").cast("string"), F.lit(SPLIT_SEED)))
+        % 100
+    )
+    return (
+        decisions.join(qual, "doc_id", "left")
+        .join(sel, "doc_id", "left")
+        .join(sharded, "doc_id", "left")
+        .select(
+            "doc_id",
+            "decision",
+            "survivor_id",
+            "pass_gopher",
+            "pass_repetition",
+            "qc_label",
+            "quality_keep",
+            "bucket",
+            "n_tokens",
+            "avg_logprob",
+            "sel_keep",
+            (
+                (F.coalesce("sel_keep", F.lit(0)) == 1)
+                & (F.coalesce("quality_keep", F.lit(0)) == 1)
+            )
+            .cast("int")
+            .alias("keep"),
+            F.when(skey < 90, "train")
+            .when(skey < 95, "valid")
+            .otherwise("test")
+            .alias("split"),
+            "shard",
+            "pos",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

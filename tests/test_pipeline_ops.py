@@ -1136,3 +1136,106 @@ def test_selection_pipeline_approx_terciles_knob(spark):
     assert len(set(exact) ^ set(approx)) <= 0.15 * len(exact)
     n_relabel = sum(1 for k in shared if exact[k][0] != approx[k][0])
     assert n_relabel <= 0.10 * len(shared), (n_relabel, len(shared))
+
+
+def test_corpus_build_composes_parents_row_for_row(spark):
+    """The capstone pin (r10): every tier of corpus_build equals its
+    standalone parent ROW-FOR-ROW — the composition cannot diverge from
+    the parts. (1) decision/survivor == dedup_pipeline; (2) quality
+    verdicts on kept base docs == quality_pipeline; (3) split ==
+    leakage_safe_split on the common corpus, and every doc carries its
+    SURVIVOR's split (the leakage-safety property extended to exact
+    dups); (4) shard == shard_plan's per-doc hash, pos dense per shard;
+    (5) keep is the exact three-gate conjunction; dropped docs carry
+    NULL verdicts, a real split, and keep = 0."""
+    from collections import defaultdict
+
+    man = registry()["corpus_build"].fn(spark, SF).collect()
+    by_id = {r.doc_id: r for r in man}
+
+    # (1) the dedup tier
+    ded = {r.doc_id: r for r in registry()["dedup_pipeline"].fn(spark, SF).collect()}
+    assert set(by_id) == set(ded)
+    for i, r in by_id.items():
+        assert (r.decision, r.survivor_id) == (ded[i].decision, ded[i].survivor_id)
+
+    # (2) the quality tier on kept base docs
+    qp = {r.doc_id: r for r in registry()["quality_pipeline"].fn(spark, SF).collect()}
+    kept_base = [r for r in man if r.decision == "kept" and r.doc_id in qp]
+    assert kept_base
+    for r in kept_base:
+        q = qp[r.doc_id]
+        assert (r.pass_gopher, r.pass_repetition, r.qc_label) == (
+            q.pass_gopher,
+            q.pass_repetition,
+            q.qc_label,
+        )
+
+    # dropped docs: never re-scored, never sharded, always split
+    dropped = [r for r in man if r.decision != "kept"]
+    assert dropped
+    for r in dropped:
+        assert r.pass_gopher is None and r.bucket is None
+        assert r.keep == 0 and r.shard is None and r.pos is None
+        assert r.split in ("train", "valid", "test")
+
+    # (3) the split tier
+    ls = {
+        r.doc_id: r.split
+        for r in registry()["leakage_safe_split"].fn(spark, SF).collect()
+    }
+    common = [r for r in man if r.doc_id in ls]
+    assert common and all(r.split == ls[r.doc_id] for r in common)
+    for r in man:  # exact dups inherit through the survivor key
+        assert r.split == by_id[r.survivor_id].split
+
+    # (4) the shard tier
+    sp = {r.doc_id: r.shard for r in registry()["shard_plan"].fn(spark, SF).collect()}
+    kept_rows = [r for r in man if r.keep == 1]
+    assert kept_rows
+    for r in kept_rows:
+        assert r.shard is not None and r.pos is not None
+        if r.doc_id in sp:  # shard = hash % N is set-independent
+            assert r.shard == sp[r.doc_id]
+    per_shard = defaultdict(list)
+    for r in kept_rows:
+        per_shard[r.shard].append(r.pos)
+    for shard, ps in per_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+
+    # (5) the keep conjunction, every row
+    for r in man:
+        expected = int(
+            r.decision == "kept"
+            and r.quality_keep == 1
+            and (r.sel_keep or 0) == 1
+        )
+        assert r.keep == expected, r
+
+
+def test_corpus_build_approx_terciles_knob(spark):
+    """The 100 TB knob carries into the capstone: approx_terciles=True
+    swaps ONLY the tercile stage — dedup decisions, quality verdicts,
+    splits, and LM scores are IDENTICAL; membership of the kept set
+    differs only through bounded cut-boundary relabels (the
+    selection_pipeline knob test's contract)."""
+    from eurovision_spark.operators.pipeline import corpus_build
+
+    exact = {r.doc_id: r for r in corpus_build(spark, SF).collect()}
+    approx = {
+        r.doc_id: r for r in corpus_build(spark, SF, approx_terciles=True).collect()
+    }
+    assert set(exact) == set(approx)
+    n_relabel = 0
+    for i, r in exact.items():
+        a = approx[i]
+        assert (r.decision, r.survivor_id, r.split) == (a.decision, a.survivor_id, a.split)
+        assert (r.pass_gopher, r.pass_repetition, r.qc_label) == (
+            a.pass_gopher,
+            a.pass_repetition,
+            a.qc_label,
+        )
+        assert r.avg_logprob == a.avg_logprob
+        n_relabel += int(r.bucket != a.bucket)
+    scored = sum(1 for r in exact.values() if r.bucket is not None)
+    assert n_relabel <= 0.10 * scored, (n_relabel, scored)

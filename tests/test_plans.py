@@ -1075,3 +1075,30 @@ def test_pair_count_hint_survives_the_edge_chain(spark):
     sets.unpersist()
     hint = getattr(edges, "_sg_n_pairs", None)
     assert isinstance(hint, int) and hint > 0, hint
+
+
+def test_corpus_build_manifest_assembly_moves_ids_only(spark):
+    """The capstone's composition claim (r10): document text crosses a
+    stage boundary ONCE (the survivor checkpoint) and the manifest
+    assembly adds only narrow id/verdict joins — NO exchange in the
+    final plan carries a text column, the persisted digest-collapse
+    stage is read PRUNED (InMemoryTableScan outputs ids, never text —
+    the embedded cache-BUILD subtree is the dedup pass's own certified
+    one-time job, not a runtime read), quality verdicts and selection
+    scores enter as checkpointed leaves, and nothing degenerates into
+    a cartesian product."""
+    plan = plan_of(spark, "corpus_build")
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan  # the checkpointed tier leaves
+    # per-node audit: formatted explain lists each node as
+    # "(n) NodeName" followed by Output/Input/Arguments lines
+    nodes = re.split(r"\n(?=\(\d+\) )", plan)
+    imts = [n for n in nodes if n.startswith("(") and "InMemoryTableScan" in n.splitlines()[0]]
+    exchanges = [n for n in nodes if n.startswith("(") and "Exchange" in n.splitlines()[0]]
+    assert imts and exchanges
+    for node in imts:
+        out = re.search(r"Output \[\d+\]: (.+)", node)
+        assert out and "text#" not in out.group(1), node.splitlines()[0] + out.group(1)
+    for node in exchanges:
+        inp = re.search(r"Input \[\d+\]: (.+)", node)
+        assert inp and "text#" not in inp.group(1), node.splitlines()[0] + inp.group(1)

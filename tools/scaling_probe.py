@@ -45,6 +45,7 @@ QUERIES = [
     ("semantic_dedup", "adaptive-k cells + within-cell cosine pruning", True),
     ("html_strip", "per-row tag strip + entity decode", True),
     ("dedup_pipeline", "digest collapse + clustered near-dup + remap", True),
+    ("corpus_build", "dedup decisions + quality verdicts + selection + split + shard manifest", True),
     ("substring_dedup", "k-gram hash explode + shared-gram coverage", True),
     ("span_dedup", "block-hash survivor window + one rewrite join", True),
     ("corpus_diff", "in-row digests + id-keyed full outer delta join", True),
@@ -276,6 +277,28 @@ def main() -> None:
             "with splits. Deliberately NOT repartitioned: an exchange "
             "of the full text to buy local-mode parallelism would be "
             "the wrong trade everywhere else.\n"
+            "- **embedding_near_dup's x1000 ratio (r10, adjudicated with "
+            "a measured breakdown)**: the steep step is CANDIDATE volume "
+            "crossing a designed regime boundary, not output and not a "
+            "runaway plan term. Measured at sf0.1 vs the x10 tier: "
+            "vectors 4k -> 40k (10x), verified output 2,000 -> 20,000 "
+            "(exactly the planted pairs, 10x), candidate pairs 39,124 -> "
+            "1,039,568 (26.6x). The arithmetic: bits/band b = "
+            "max(8, ceil(log2(n/64))), so at 4k vectors the b=8 FLOOR "
+            "over-provisions buckets (254 occupied, ~16 vectors each — "
+            "a quarter of the 64-vector design point) while at 40k "
+            "vectors b=10 lands AT the design density (1,024 buckets, "
+            "~39 each, max 166 = skew factor ~4 from correlated "
+            "directions; candidate total matches n^2/2^b within 5%). "
+            "Past this one-time floor exit, candidates-per-vector are "
+            "bounded by the design constant (~TARGET_BUCKET_SIZE/2 x "
+            "skew, independent of n — each further bit doubling halves "
+            "bucket population), so cost tracks n linearly; the "
+            "verify itself is the broadcast small-n path here and the "
+            "density-adaptive shuffled-hash path above 100k vectors. "
+            "Benign: the id_typo_pairs precedent, with the one-time "
+            "step explained by the floor arithmetic instead of output "
+            "volume.\n"
             "- **Reading burst residue**: the 3-run guard dodges "
             "short load bursts but not ones spanning all three runs "
             "of a cell — a cell whose x10 time sits BELOW its sf0.1 "
