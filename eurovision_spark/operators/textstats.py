@@ -1771,7 +1771,6 @@ def psi_drift_frame(
     """(source, n_docs, psi_vs_rest) smoothed-PSI drift report over a
     (source, <value_col>) frame — same split as :func:`ks_drift_frame`
     so planted-distribution tests and any numeric column reuse it."""
-    spark = d.sparkSession
     bin_ = (
         F.least(
             F.greatest(F.floor(F.col(value_col) / F.lit(width)), F.lit(0)),
@@ -1786,6 +1785,20 @@ def psi_drift_frame(
         .agg(F.count("*").cast("double").alias("n"))
         .localCheckpoint()
     )
+    return psi_from_bin_counts(counts)
+
+
+def psi_from_bin_counts(counts: DataFrame) -> DataFrame:
+    """(source, bin, n) -> (source, n_docs, psi_vs_rest): the smoothed-
+    PSI arithmetic over pre-aggregated bin counts — split out of
+    :func:`psi_drift_frame` so the streaming quality gate
+    (ingest.stream_quality_drift_gate) can run the IDENTICAL formula over its
+    stored batch/baseline histograms (with exactly two labels,
+    label-vs-rest IS batch-vs-baseline — the stream_embedding_gate
+    precedent), which is what pins the stream statistic equal to the
+    batch quality_drift by construction. Callers materialize ``counts``
+    (it feeds both the label list and the grid join)."""
+    spark = counts.sparkSession
     srcs = counts.select("source").distinct()
     bins = spark.range(KS_NBINS).select(F.col("id").cast("bigint").alias("bin"))
     grid = srcs.crossJoin(F.broadcast(bins))

@@ -1673,6 +1673,260 @@ def stream_embedding_gate(
     )
 
 
+QGATE_PSI_ALERT = 0.25  # the PSI runbook's 'significant shift' line (psi_drift)
+
+
+def stream_quality_drift_gate(
+    spark: SparkSession,
+    docs_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    w: list[float],
+    b: float,
+) -> StreamingQuery:
+    """Streaming QUALITY-MARGINAL intake gate — the sixth member of the
+    gate suite (length KS / language chi-square / embedding cosine /
+    event-rate z / this), closing the r09 gap: a boilerplate-flood
+    source passes every one of those gates at the door (normal lengths,
+    normal language mix, in-distribution embeddings if the encoder is
+    robust) and was previously caught only by the BATCH quality_drift
+    after landing. Every arriving micro-batch is scored by the FROZEN
+    quality classifier (train offline on the landed corpus — the
+    score_documents production shape; the weights are an argument, not
+    a per-batch fit), its logits binned on quality_drift's exact grid
+    (64 bins of width QDRIFT_W over [-QDRIFT_OFF, QDRIFT_OFF), clamped,
+    binning the 4dp-ROUNDED logit), and the batch histogram's smoothed
+    PSI against the LANDED histogram is computed by the SAME
+    psi_from_bin_counts arithmetic as the batch op (two labels:
+    label-vs-rest IS batch-vs-baseline), so the ledger statistic is
+    pinned EQUAL to quality_drift on the matching split by
+    construction (tests/test_streaming.py). Alert fires HIGH at the
+    runbook's significant-shift line (PSI > QGATE_PSI_ALERT).
+
+    Stores (keyed parquet, the stream_drift_gate discipline):
+
+    - ``qlogit_batches/`` (batch_key, bin, n) — each batch's 64-bin
+      logit histogram under the versioned 64-bit multiset batch digest,
+      tagged with the WEIGHTS digest (the grid-tag rule: a new
+      classifier version starts a new baseline instead of silently
+      mixing distributions);
+    - ``qlogit_ledger/`` (batch_key, n_docs, psi_vs_baseline, alert).
+
+    Per batch the only batch-sized work is the classifier's per-row
+    zero-shuffle fold into one (bin) partial/final count (<= 64 rows
+    out); the baseline folds from stored histograms (bounded: batches x
+    64 rows), never from raw text. First batch: no baseline, PSI null,
+    alert 0. Replay: the baseline excludes the batch's own key, the
+    statistic recomputes identically, both first-wins upserts no-op."""
+    import hashlib
+    import os
+
+    from eurovision_spark.operators.textstats import (
+        KS_NBINS,
+        QDRIFT_OFF,
+        QDRIFT_W,
+        psi_from_bin_counts,
+        score_documents,
+    )
+    from eurovision_spark.sinks import upsert_parquet
+
+    hist_dir = os.path.join(store_dir, "qlogit_batches")
+    ledger_dir = os.path.join(store_dir, "qlogit_ledger")
+    wtag = hashlib.md5(repr((list(w), b)).encode()).hexdigest()[:8]
+
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(docs_dir)
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", "text")
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        n_docs, batch_key = drift_batch_key(batch_df.select("doc_id"))
+        if not n_docs:
+            return
+        batch_key = f"{batch_key}-q{wtag}"
+        qv = F.col("qc_logit") + F.lit(QDRIFT_OFF)
+        bin_ = (
+            F.least(
+                F.greatest(F.floor(qv / F.lit(QDRIFT_W)), F.lit(0)),
+                F.lit(KS_NBINS - 1),
+            )
+        ).cast("bigint")
+        counts = (
+            score_documents(batch_df, w, b)
+            .select(bin_.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").cast("double").alias("n"))
+            .localCheckpoint()
+        )
+        base = _read_store_or_empty(
+            spark, hist_dir, "batch_key string, bin bigint, n double"
+        ).filter(
+            (F.col("batch_key") != batch_key)
+            & F.col("batch_key").endswith(f"-q{wtag}")
+        )
+        if base.isEmpty():
+            psi_val, alert = None, 0
+        else:
+            base_counts = base.groupBy("bin").agg(F.sum("n").alias("n"))
+            two = (
+                counts.select(F.lit("__batch__").alias("source"), "bin", "n")
+                .unionByName(
+                    base_counts.select(
+                        F.lit("__baseline__").alias("source"), "bin", "n"
+                    )
+                )
+                .localCheckpoint()
+            )
+            row = (
+                psi_from_bin_counts(two)
+                .filter(F.col("source") == "__batch__")
+                .first()
+            )
+            psi_val = row.psi_vs_rest if row else None
+            alert = int(psi_val is not None and psi_val > QGATE_PSI_ALERT)
+        ledger_row = spark.createDataFrame(
+            [(batch_key, n_docs, psi_val, alert)],
+            "batch_key string, n_docs bigint, psi_vs_baseline double, alert int",
+        )
+        upsert_parquet(ledger_row, ledger_dir, ["batch_key"], keep="existing")
+        upsert_parquet(
+            counts.select(F.lit(batch_key).alias("batch_key"), "bin", "n"),
+            hist_dir,
+            ["batch_key", "bin"],
+            keep="existing",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def stream_media_dedup(
+    spark: SparkSession,
+    media_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming MEDIA-intake dedup — the modality member the intake
+    tier was missing (r09 gap #3): text has stream_incremental_dedup,
+    vectors stream_vector_dedup, blocks stream_span_dedup; this probes
+    arriving BINARY payloads' region fingerprints against the landed
+    fingerprint store, so a re-upload or a near-copy (same content, one
+    corrupted byte / region) is decided at the door. The batch twin is
+    ``media_region_dedup`` (operators/multimodal.py): the SAME Arrow
+    worker fingerprints each payload per equal-width region
+    (region_fp_batch — binary never leaves the scan stage), and a new
+    payload matching any landed doc on >= REGION_MIN_SHARED of its
+    N_REGIONS fingerprints is a near-dup of the EARLIEST such landed
+    doc (min doc_id — the text twin's earlier-landed-member rule);
+    everything else lands and indexes its fingerprints.
+
+    Stores (keyed parquet, the intake-tier discipline):
+
+    - ``media_fpindex/``    (doc_id, band_id, fp) — one row per landed
+      doc x region: the probe target. Probed by (band_id, fp)
+      equi-join only, so per-batch cost tracks batch fingerprint count
+      x collision density, never store size;
+    - ``media_decisions/``  (doc_id, decision in {landed, media_dup},
+      matched_id, n_shared) — one immutable row per arriving doc.
+
+    Arrival-order semantics, stated plainly (the intake_batch elision):
+    near-dup pairs CO-ARRIVING in one batch both land — the in-batch
+    pass is elided by design, exactly like the text twin; under
+    min-id-first arrival the streamed decisions match the batch op's
+    pairs on the union (pinned in tests/test_streaming.py, n_shared
+    equal row-for-row via the shared pair machinery). Replay: a landed
+    doc re-probing excludes its own store rows (the stream_span_dedup
+    self-collision rule), recomputes the identical decision, and both
+    first-wins upserts no-op. A real deploy swaps the stubbed
+    fingerprint fn (payload-hex region md5) for decoded-content pHash /
+    chroma INSIDE the same worker; every store and join here is the
+    production shape."""
+    import os
+
+    from eurovision_spark.operators.multimodal import (
+        REGION_FP_SCHEMA,
+        REGION_MIN_SHARED,
+        region_fp_batch,
+    )
+    from eurovision_spark.sinks import upsert_parquet
+
+    fpindex_dir = os.path.join(store_dir, "media_fpindex")
+    decisions_dir = os.path.join(store_dir, "media_decisions")
+
+    schema = spark.read.parquet(media_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(media_dir)
+        .select("doc_id", "content")
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        fps = batch_df.mapInPandas(
+            region_fp_batch, REGION_FP_SCHEMA
+        ).localCheckpoint()
+        if fps.isEmpty():
+            return
+        store = _read_store_or_empty(
+            spark, fpindex_dir, "doc_id bigint, band_id int, fp string"
+        )
+        hits = (
+            fps.alias("new")
+            .join(
+                store.alias("l"),
+                (F.col("new.band_id") == F.col("l.band_id"))
+                & (F.col("new.fp") == F.col("l.fp"))
+                & (F.col("new.doc_id") != F.col("l.doc_id")),
+            )
+            .groupBy(
+                F.col("new.doc_id").alias("doc_id"),
+                F.col("l.doc_id").alias("landed_id"),
+            )
+            .agg(F.count("*").cast("bigint").alias("n_shared"))
+            .filter(F.col("n_shared") >= REGION_MIN_SHARED)
+        )
+        best = hits.groupBy("doc_id").agg(
+            F.min_by(
+                F.struct("landed_id", "n_shared"), F.col("landed_id")
+            ).alias("m")
+        )
+        decisions = (
+            fps.select("doc_id")
+            .distinct()
+            .join(best, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("m").isNotNull(), F.lit("media_dup"))
+                .otherwise(F.lit("landed"))
+                .alias("decision"),
+                F.col("m.landed_id").alias("matched_id"),
+                F.col("m.n_shared").alias("n_shared"),
+            )
+            .localCheckpoint()
+        )
+        upsert_parquet(decisions, decisions_dir, ["doc_id"], keep="existing")
+        landed_ids = decisions.filter(F.col("decision") == "landed").select(
+            "doc_id"
+        )
+        upsert_parquet(
+            fps.join(landed_ids, "doc_id", "leftsemi"),
+            fpindex_dir,
+            ["doc_id", "band_id"],
+            keep="existing",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 CHISQ_ALERT_PER_DOF = 10.0  # chi-square per degree of freedom above this flags
 
 
@@ -1828,7 +2082,7 @@ def stream_rate_gate(
 ) -> StreamingQuery:
     """EVENT-RATE intake gate — the events-modality member of the gate
     suite (documents: stream_drift_gate / stream_lang_gate /
-    stream_quality_gate / stream_embedding_gate): every arriving
+    stream_quality_drift_gate / stream_embedding_gate): every arriving
     micro-batch's per-(event_type, hour) counts are z-scored against
     the LANDED per-type hourly-rate distribution before the batch
     folds in, catching the retry storm (spike) and the dead producer

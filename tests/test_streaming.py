@@ -1715,3 +1715,203 @@ def test_stream_rate_gate_flags_spike_and_replays_stable(spark, tmp_path):
         assert n_batches == len(l3)  # baseline never double-counted
     finally:
         q.stop()
+
+
+def test_stream_quality_gate_flags_boilerplate_flood_and_replays(spark, tmp_path):
+    """The quality-marginal intake gate (r10, closing the r09 gap): a
+    boilerplate flood keeps lengths/language/embeddings normal-looking
+    and was previously caught only by the batch quality_drift after
+    landing. Same-distribution waves pass (PSI near 0), the planted
+    flood fires (PSI > 0.25), the ledger statistic equals the BATCH
+    quality_drift on the matching two-source split (the gate runs
+    psi_from_bin_counts verbatim, so equality is by construction), and
+    an at-least-once replay changes neither ledger nor histograms."""
+    import shutil
+
+    from eurovision_spark.operators.textstats import _qc_fit, quality_drift_frame
+    from eurovision_spark.streaming.ingest import stream_quality_drift_gate
+
+    def normal(i):
+        # diverse vocabulary, varying length: the in-distribution doc
+        return " ".join(f"w{i}x{j}" for j in range(10 + i % 25))
+
+    def flood(i):
+        # low-diversity template chrome: the quality collapse
+        return " ".join(["click here subscribe now"] * (4 + i % 3))
+
+    # frozen classifier: fit once on a mixed sample (offline training
+    # on the landed corpus — the production shape), shared by gate+twin
+    w, b = _qc_fit([normal(i) for i in range(8)] + [flood(i) for i in range(8)])
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    store = tmp_path / "store"
+
+    def wave(name, rows):
+        spark.createDataFrame(
+            [(i, t, len(t)) for i, t in rows],
+            "doc_id bigint, text string, n_chars int",
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = next((tmp_path / name).glob("part-*.parquet"))
+        shutil.copy(part, docs_dir / f"{name}.parquet")
+
+    w1 = [(i, normal(i)) for i in range(100)]
+    w2 = [(1000 + i, normal(50 + i)) for i in range(100)]  # same distribution
+    w3 = [(2000 + i, flood(i)) for i in range(80)]  # the flood
+
+    wave("w1", w1)
+    q = stream_quality_drift_gate(
+        spark, str(docs_dir), str(store), str(tmp_path / "ck"), w, b
+    )
+    try:
+        q.processAllAvailable()
+        wave("w2", w2)
+        q.processAllAvailable()
+        wave("w3", w3)
+        q.processAllAvailable()
+        ledger_before = sorted(
+            map(tuple, spark.read.parquet(str(store / "qlogit_ledger")).collect())
+        )
+        hists_before = sorted(
+            map(tuple, spark.read.parquet(str(store / "qlogit_batches")).collect())
+        )
+        shutil.copy(docs_dir / "w3.parquet", docs_dir / "w3_replay.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = sorted(
+        spark.read.parquet(str(store / "qlogit_ledger")).collect(),
+        key=lambda r: (r.psi_vs_baseline is not None, r.psi_vs_baseline or -1),
+    )
+    assert len(rows) == 3
+    first, quiet, loud = rows
+    assert first.psi_vs_baseline is None and first.alert == 0  # no baseline
+    assert quiet.psi_vs_baseline < 0.1 and quiet.alert == 0  # same distribution
+    assert loud.psi_vs_baseline > 0.25 and loud.alert == 1  # the flood
+
+    # replay mutated nothing
+    assert ledger_before == sorted(
+        map(tuple, spark.read.parquet(str(store / "qlogit_ledger")).collect())
+    )
+    assert hists_before == sorted(
+        map(tuple, spark.read.parquet(str(store / "qlogit_batches")).collect())
+    )
+
+    # batch-twin parity: quality_drift over the two-source split
+    # (flood vs landed) must report the gate's exact statistic
+    landed = spark.createDataFrame(
+        [(i, t, "landed") for i, t in w1 + w2], "doc_id bigint, text string, source string"
+    )
+    fl = spark.createDataFrame(
+        [(i, t, "flood") for i, t in w3], "doc_id bigint, text string, source string"
+    )
+    twin = {
+        r.source: r.psi_vs_rest
+        for r in quality_drift_frame(landed.unionByName(fl), w, b).collect()
+    }
+    assert abs(twin["flood"] - loud.psi_vs_baseline) <= 1e-6
+
+
+def test_stream_media_dedup_probes_store_and_replays_stable(spark, tmp_path):
+    """The media-intake dedup gate (r10, closing the r09 gap): landed
+    payloads index their region fingerprints; an arriving one-byte-
+    mutated copy is decided media_dup against the EARLIEST landed match
+    (3-of-4 regions), an identical re-upload at 4-of-4, fresh content
+    lands; a replayed wave changes neither decisions nor the
+    fingerprint index; and every streamed dup decision's n_shared
+    equals the batch pair machinery's count on the union (the shared
+    region_fp_batch + pairs_in_buckets plan — batch-twin parity under
+    min-id-first arrival)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from eurovision_spark.operators.dedup import pairs_in_buckets
+    from eurovision_spark.operators.multimodal import (
+        REGION_FP_SCHEMA,
+        region_fp_batch,
+    )
+    from eurovision_spark.streaming.ingest import stream_media_dedup
+
+    base = "".join(f"t{i:02d}" for i in range(32))  # 96 ASCII bytes
+    # one byte inside region 1 (bytes 24-47 of 96) flipped
+    near = base[:36] + "~" + base[37:]
+    half = base[:48] + "".join(f"z{i:02d}" for i in range(16))
+    fresh = "".join(f"q{i:02d}" for i in range(32))
+
+    media_dir = tmp_path / "media"
+    media_dir.mkdir()
+    store = tmp_path / "store"
+
+    def wave(name, rows):
+        spark.createDataFrame(rows, "doc_id bigint, text string").select(
+            "doc_id", F.encode("text", "UTF-8").alias("content")
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = next((tmp_path / name).glob("part-*.parquet"))
+        shutil.copy(part, media_dir / f"{name}.parquet")
+
+    wave("w1", [(0, base), (1, base), (2, half)])  # co-arriving: all land
+    q = stream_media_dedup(spark, str(media_dir), str(store), str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+        # the near-copy of 0 (also 3-shares with identical doc 1 -> min
+        # id 0 wins) and an identical re-upload of 2
+        wave("w2", [(100, near), (101, half)])
+        q.processAllAvailable()
+        wave("w3", [(102, fresh)])
+        q.processAllAvailable()
+        dec_before = sorted(
+            map(tuple, spark.read.parquet(str(store / "media_decisions")).collect())
+        )
+        idx_before = sorted(
+            map(tuple, spark.read.parquet(str(store / "media_fpindex")).collect())
+        )
+        shutil.copy(media_dir / "w2.parquet", media_dir / "w2_replay.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dec = {
+        r.doc_id: (r.decision, r.matched_id, r.n_shared)
+        for r in spark.read.parquet(str(store / "media_decisions")).collect()
+    }
+    assert dec[0] == ("landed", None, None)  # in-batch pair elided
+    assert dec[1] == ("landed", None, None)
+    assert dec[2] == ("landed", None, None)
+    assert dec[100] == ("media_dup", 0, 3)  # one region mutated, min-id match
+    assert dec[101] == ("media_dup", 2, 4)  # identical re-upload
+    assert dec[102] == ("landed", None, None)
+    # only landed docs index fingerprints: 4 docs x 4 regions
+    assert spark.read.parquet(str(store / "media_fpindex")).count() == 16
+
+    # replay mutated nothing
+    assert dec_before == sorted(
+        map(tuple, spark.read.parquet(str(store / "media_decisions")).collect())
+    )
+    assert idx_before == sorted(
+        map(tuple, spark.read.parquet(str(store / "media_fpindex")).collect())
+    )
+
+    # batch-twin parity: the union corpus through the SAME fingerprint
+    # worker + bucket pair generator must count each streamed dup
+    # decision's (min, max) pair at the same n_shared
+    union = spark.createDataFrame(
+        [(0, base), (1, base), (2, half), (100, near), (101, half), (102, fresh)],
+        "doc_id bigint, text string",
+    ).select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    fps = union.mapInPandas(region_fp_batch, REGION_FP_SCHEMA)
+    pairs = {
+        (r.doc_id_1, r.doc_id_2): r.n
+        for r in pairs_in_buckets(
+            fps.select("doc_id", "band_id", F.col("fp").alias("band_sig")),
+            "doc_id",
+            dedup_pairs=False,
+        )
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for doc_id, (decision, matched, n) in dec.items():
+        if decision == "media_dup":
+            assert pairs[(matched, doc_id)] == n, (doc_id, matched, n)
