@@ -1395,6 +1395,100 @@ def corpus_build(
     )
 
 
+def _build_report_oracle(sf_dir: str) -> str:
+    """One aggregation over the corpus_build oracle AS A SUBQUERY — the
+    manifest definition exists once per engine (the composition
+    discipline), and every report number is an integer count off it."""
+    return f"""
+    SELECT
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN decision = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_exact_dup,
+        CAST(sum(CASE WHEN decision = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_near_dup,
+        CAST(sum(CASE WHEN decision = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_survivors,
+        CAST(sum(CASE WHEN pass_gopher = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_gopher_fail,
+        CAST(sum(CASE WHEN pass_repetition = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_repetition_fail,
+        CAST(sum(CASE WHEN qc_label = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_classifier_fail,
+        CAST(sum(CASE WHEN quality_keep = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_quality_kept,
+        CAST(sum(CASE WHEN bucket = 'head' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_head,
+        CAST(sum(CASE WHEN bucket = 'middle' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_middle,
+        CAST(sum(CASE WHEN bucket = 'tail' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_tail,
+        CAST(sum(CASE WHEN bucket = 'tail' AND sel_keep = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_tail_sampled,
+        CAST(sum(keep) AS BIGINT) AS n_kept,
+        CAST(sum(CASE WHEN keep = 1 AND split = 'train' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_train_kept,
+        CAST(sum(CASE WHEN keep = 1 AND split = 'valid' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_valid_kept,
+        CAST(sum(CASE WHEN keep = 1 AND split = 'test' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_test_kept,
+        CAST(count(DISTINCT shard) AS BIGINT) AS n_shards,
+        CAST(max(pos) AS BIGINT) AS max_shard_docs
+    FROM ({_corpus_build_oracle(sf_dir)}) man
+    """
+
+
+@register(
+    "build_report",
+    _build_report_oracle,
+    "the ATTRITION FUNNEL over corpus_build's manifest — the one-row "
+    "audit a pipeline owner reads before shipping the corpus: how many "
+    "documents entered, how many each dedup decision removed, how many "
+    "survivors each quality gate failed (independently attributable — "
+    "the quality_pipeline posture), the tercile distribution and how "
+    "many tail docs the sampler admitted, the final kept count, its "
+    "train/valid/test composition, and the shard-plan shape (shard "
+    "count + largest shard via max(pos) — pos is dense 1..n per shard, "
+    "so the corpus-wide max IS the biggest shard's size, no second "
+    "group-by pass). Every number is an integer count in ONE "
+    "aggregation pass over the manifest (the manifest definition is "
+    "corpus_build's, once per engine: the Spark side aggregates "
+    "corpus_build's frame, the oracle aggregates the composed CTE "
+    "chain as a subquery), so the report can never disagree with the "
+    "manifest it summarizes. Scale shape: corpus_build's certified "
+    "plan + one partial/final aggregate of narrow verdict rows.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def build_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    man = corpus_build(spark, sf_dir)
+    c = F.count("*").cast("bigint")
+
+    def n(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    return man.agg(
+        c.alias("n_docs"),
+        n(F.col("decision") == "exact_dup").alias("n_exact_dup"),
+        n(F.col("decision") == "near_dup").alias("n_near_dup"),
+        n(F.col("decision") == "kept").alias("n_survivors"),
+        n(F.col("pass_gopher") == 0).alias("n_gopher_fail"),
+        n(F.col("pass_repetition") == 0).alias("n_repetition_fail"),
+        n(F.col("qc_label") == 0).alias("n_classifier_fail"),
+        n(F.col("quality_keep") == 1).alias("n_quality_kept"),
+        n(F.col("bucket") == "head").alias("n_head"),
+        n(F.col("bucket") == "middle").alias("n_middle"),
+        n(F.col("bucket") == "tail").alias("n_tail"),
+        n((F.col("bucket") == "tail") & (F.col("sel_keep") == 1)).alias(
+            "n_tail_sampled"
+        ),
+        F.sum("keep").cast("bigint").alias("n_kept"),
+        n((F.col("keep") == 1) & (F.col("split") == "train")).alias("n_train_kept"),
+        n((F.col("keep") == 1) & (F.col("split") == "valid")).alias("n_valid_kept"),
+        n((F.col("keep") == 1) & (F.col("split") == "test")).alias("n_test_kept"),
+        F.countDistinct("shard").cast("bigint").alias("n_shards"),
+        F.max("pos").cast("bigint").alias("max_shard_docs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus card: the per-source datasheet ("Datasheets for Datasets",
 # Gebru et al. 2021) a data owner publishes next to a training corpus
