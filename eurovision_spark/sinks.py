@@ -258,3 +258,40 @@ def compact_parquet(
     os.rename(path + "_next", path)
     shutil.rmtree(path + "_old")
     return n
+
+
+def write_training_shards(
+    manifest: DataFrame, docs: DataFrame, out_dir: str
+) -> int:
+    """Materialize a ``corpus_build`` manifest as ORDERED training
+    shard files — the last physical step of the pipeline, closing the
+    loop from shard_plan's (shard, pos) assignment to the files a
+    trainer actually streams: kept rows join back to their text (an
+    id-keyed join — the manifest never carried text, so this is the
+    single place the kept documents move), and land under
+    ``out_dir/split=<s>/shard=<k>/`` with rows in ``pos`` order.
+
+    Physical plan = exactly the price shard_plan's docstring promises:
+    ONE exchange keyed on (split, shard) + an in-partition external
+    sort on (split, shard, pos) — hash collisions may co-locate two
+    shards in one task, which ``partitionBy`` then fans into their own
+    directories with row order preserved per directory. Reproducible
+    BY CONTENT: (shard, pos) come from shard_plan's two md5 hashes, so
+    re-running the whole pipeline yields the same rows in the same
+    order per shard directory (file NAMES carry fresh task uuids —
+    content identity is the audit property, pinned in
+    tests/test_file_sources.py along with per-shard pos density).
+
+    Returns the number of kept documents written."""
+    kept = manifest.filter(F.col("keep") == 1).select(
+        "doc_id", "split", "shard", "pos"
+    )
+    rows = kept.join(docs.select("doc_id", "text"), "doc_id")
+    (
+        rows.repartition(F.col("split"), F.col("shard"))
+        .sortWithinPartitions("split", "shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("split", "shard")
+        .parquet(out_dir)
+    )
+    return rows.sparkSession.read.parquet(out_dir).count()

@@ -46,6 +46,7 @@ QUERIES = [
     ("html_strip", "per-row tag strip + entity decode", True),
     ("dedup_pipeline", "digest collapse + clustered near-dup + remap", True),
     ("corpus_build", "dedup decisions + quality verdicts + selection + split + shard manifest", True),
+    ("build_report", "corpus_build manifest -> one-row attrition funnel", True),
     ("substring_dedup", "k-gram hash explode + shared-gram coverage", True),
     ("span_dedup", "block-hash survivor window + one rewrite join", True),
     ("corpus_diff", "in-row digests + id-keyed full outer delta join", True),
