@@ -130,7 +130,7 @@ def test_bench_compact_line_survives_driver_tail():
     heavy = {  # worst-case widths for the r09 floor-evidence fields
         "q": max(bench.HEADLINE, key=len),
         "jobs": 99,
-        "floor_bound_sec": 99.999,
+        "bound_sec": 99.999,
         "rerun_sec": 999.999,
     }
     lines = bench.format_output(

@@ -150,6 +150,38 @@ def test_contamination_flags_planted_copy(spark, tmp_path):
     assert CONTAM_THRESHOLD <= 38
 
 
+def test_contamination_bloom_superset_and_planted_copy(spark, tmp_path):
+    """The bloom property the op's docstring pins: a bloom can only
+    over-flag, never under-flag. Row-by-row bloom_hits >= n_shared (a
+    truly-shared gram's positions are set by the very gram that shares
+    them), so contaminated == 1 forces bloom_flag == 1 — checked on
+    the planted-copy fixture (where the positive case is guaranteed)
+    AND across the whole sf0.001 corpus; false_pos is exactly
+    bloom_flag & ~contaminated everywhere."""
+    shared = " ".join(f"tok{i}" for i in range(40))
+    clean = " ".join(f"other{i}" for i in range(40))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": [shared, shared, clean],
+            "n_chars": pa.array([len(shared), len(shared), len(clean)], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    fn = registry()["contamination_bloom"].fn
+    rows = {r["doc_id"]: r for r in fn(spark, str(tmp_path)).collect()}
+    assert set(rows) == {1, 2}  # benchmark doc 0 never emitted
+    assert rows[1]["n_shared"] == 38 and rows[1]["contaminated"] == 1
+    assert rows[1]["bloom_hits"] >= 38 and rows[1]["bloom_flag"] == 1
+    assert rows[1]["false_pos"] == 0
+
+    for r in fn(spark, SF).collect():
+        assert r["bloom_hits"] >= r["n_shared"], r
+        if r["contaminated"]:
+            assert r["bloom_flag"] == 1, r
+        assert r["false_pos"] == int(bool(r["bloom_flag"]) and not r["contaminated"]), r
+
+
 def test_source_overlap_counts_cross_source_mirror(spark, tmp_path):
     # two sources sharing one verbatim doc (a mirror) + one doc unique
     # to each: the cross-source cell must count exactly the mirrored
