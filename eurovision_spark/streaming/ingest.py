@@ -2222,3 +2222,133 @@ def stream_rate_gate(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+# contamination gate: alert when more than this fraction of a batch's
+# docs share >= CONTAM_THRESHOLD grams with the benchmark suite (a
+# handful of organic collisions is normal; a crawl that ingested the
+# eval suite itself is not)
+CGATE_FRAC_ALERT = 0.05
+
+
+def build_bench_gram_store(bench_docs: DataFrame, store_dir: str) -> int:
+    """Persist the benchmark suite's distinct gram hashes — the frozen
+    artifact every arriving batch probes. Bounded by the SUITE size
+    (eval suites are MBs in production; contamination_check's premise),
+    never by the corpus, so overwrite-on-rebuild is the right
+    versioning: a new suite release replaces the store wholesale and
+    the gate picks it up at the next batch. Grams are the exact
+    lowercased word-3-gram md5_long hashes of the batch twin
+    (operators/pipeline.py contamination_check), so gate verdicts are
+    comparable row-for-row with the batch op. Returns the gram count."""
+    from eurovision_spark.operators.dedup import shingles
+    from eurovision_spark.operators.textstats import md5_long, tokens
+
+    grams = (
+        bench_docs.filter(F.col("n_chars") > 0)
+        .select(tokens(F.lower(F.col("text"))).alias("_toks"))
+        .select(F.explode(F.array_distinct(shingles(F.col("_toks")))).alias("sh"))
+        .select(md5_long(F.col("sh")).alias("gh"))
+        .distinct()
+    )
+    grams.write.mode("overwrite").parquet(store_dir)
+    return grams.sparkSession.read.parquet(store_dir).count()
+
+
+def stream_contamination_gate(
+    spark: SparkSession,
+    docs_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming BENCHMARK-CONTAMINATION intake gate — the door-side
+    twin of contamination_check (operators/pipeline.py): every arriving
+    micro-batch's docs are probed against the persisted benchmark gram
+    store (build_bench_gram_store) and docs sharing >=
+    CONTAM_THRESHOLD distinct grams with the suite are flagged BEFORE
+    they land in the training corpus — the gate the batch op can only
+    emulate after the fact. Completes the intake suite's seventh
+    marginal: exact text (incremental_dedup), vectors, spans, media,
+    length/language/quality/embedding/rate drift — and now eval-suite
+    leakage.
+
+    Stores (keyed parquet, the gate-suite discipline):
+
+    - ``contam_verdicts/`` (doc_id, n_shared, contaminated) — one
+      first-wins verdict per doc, row-for-row EQUAL to the batch twin's
+      output on the same docs (pinned in tests/test_streaming.py);
+    - ``contam_ledger/`` (batch_key, n_docs, n_contaminated,
+      contam_frac, alert) under the versioned 64-bit multiset batch
+      digest; alert fires when contam_frac > CGATE_FRAC_ALERT.
+
+    Per batch the only batch-sized work is one per-row distinct-gram
+    explode + a BROADCAST probe of the bounded suite store + one
+    doc_id-keyed partial/final count — gram text never shuffles and
+    the store side is suite-sized at any corpus scale. At extreme
+    suite sizes the broadcast store swaps for contamination_bloom's
+    word-map pre-probe (the batch pair documents the trade). Replay:
+    recomputed verdicts are identical and both first-wins upserts
+    no-op."""
+    import os
+
+    from eurovision_spark.operators.dedup import shingles
+    from eurovision_spark.operators.pipeline import CONTAM_THRESHOLD
+    from eurovision_spark.operators.textstats import md5_long, tokens
+    from eurovision_spark.sinks import upsert_parquet
+
+    gram_dir = os.path.join(store_dir, "bench_grams")
+    verdict_dir = os.path.join(store_dir, "contam_verdicts")
+    ledger_dir = os.path.join(store_dir, "contam_ledger")
+
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(docs_dir)
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", "text")
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        n_docs, batch_key = drift_batch_key(batch_df.select("doc_id"))
+        if not n_docs:
+            return
+        bench = _read_store_or_empty(spark, gram_dir, "gh bigint")
+        grams = (
+            batch_df.select("doc_id", tokens(F.lower(F.col("text"))).alias("_toks"))
+            .select(
+                "doc_id",
+                F.explode(F.array_distinct(shingles(F.col("_toks")))).alias("sh"),
+            )
+            .select("doc_id", md5_long(F.col("sh")).alias("gh"))
+        )
+        shared = (
+            grams.join(F.broadcast(bench), "gh")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("gh").alias("n"))
+        )
+        n_shared = F.coalesce(F.col("n"), F.lit(0))
+        verdicts = (
+            batch_df.select("doc_id")
+            .join(shared, "doc_id", "left")
+            .select(
+                "doc_id",
+                n_shared.cast("bigint").alias("n_shared"),
+                (n_shared >= CONTAM_THRESHOLD).cast("int").alias("contaminated"),
+            )
+            .localCheckpoint()
+        )
+        n_contam = verdicts.filter(F.col("contaminated") == 1).count()
+        frac = round(n_contam / n_docs, 6)
+        ledger_row = spark.createDataFrame(
+            [(batch_key, n_docs, n_contam, frac, int(frac > CGATE_FRAC_ALERT))],
+            "batch_key string, n_docs bigint, n_contaminated bigint, "
+            "contam_frac double, alert int",
+        )
+        upsert_parquet(ledger_row, ledger_dir, ["batch_key"], keep="existing")
+        upsert_parquet(verdicts, verdict_dir, ["doc_id"], keep="existing")
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -1915,3 +1915,102 @@ def test_stream_media_dedup_probes_store_and_replays_stable(spark, tmp_path):
     for doc_id, (decision, matched, n) in dec.items():
         if decision == "media_dup":
             assert pairs[(matched, doc_id)] == n, (doc_id, matched, n)
+
+
+def test_stream_contamination_gate_flags_suite_copies_and_replays_stable(
+    spark, tmp_path
+):
+    """The seventh intake marginal (r10): arriving docs probed against
+    the persisted benchmark gram store. Clean waves pass (alert 0), a
+    wave carrying verbatim suite copies fires (contam_frac 0.5 >>
+    CGATE_FRAC_ALERT), replay mutates nothing, and the per-doc verdict
+    store is row-for-row EQUAL to batch contamination_check on the
+    union corpus (suite docs at doc_id % BENCH_MOD == 0 + every
+    arrived doc)."""
+    import shutil
+
+    from eurovision_spark.streaming.ingest import (
+        build_bench_gram_store,
+        stream_contamination_gate,
+    )
+
+    def fresh(tag, i):
+        return " ".join(f"{tag}{i}w{j}" for j in range(40))
+
+    # the frozen eval suite: ids = 0 mod 20 (the batch twin's slice)
+    suite = [(20 * i, fresh("suite", i)) for i in range(3)]
+    suite_df = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in suite], "doc_id bigint, text string, n_chars int"
+    )
+    store = tmp_path / "store"
+    n_grams = build_bench_gram_store(suite_df, str(store / "bench_grams"))
+    assert n_grams == 3 * 38  # 40 tokens -> 38 distinct 3-grams each
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+
+    def wave(name, rows):
+        spark.createDataFrame(
+            [(i, t, len(t)) for i, t in rows],
+            "doc_id bigint, text string, n_chars int",
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = next((tmp_path / name).glob("part-*.parquet"))
+        shutil.copy(part, docs_dir / f"{name}.parquet")
+
+    # odd ids are never 0 mod 20: no arriving doc collides with the slice
+    w1 = [(101 + 2 * i, fresh("a", i)) for i in range(20)]
+    w2 = [(1001 + 2 * i, fresh("b", i)) for i in range(20)]
+    w3 = [(2001 + 2 * i, fresh("c", i)) for i in range(10)] + [
+        (3001 + 2 * i, suite[i % 3][1]) for i in range(10)  # suite copies
+    ]
+
+    wave("w1", w1)
+    q = stream_contamination_gate(spark, str(docs_dir), str(store), str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+        wave("w2", w2)
+        q.processAllAvailable()
+        wave("w3", w3)
+        q.processAllAvailable()
+        ledger_before = sorted(
+            map(tuple, spark.read.parquet(str(store / "contam_ledger")).collect())
+        )
+        verdicts_before = sorted(
+            map(tuple, spark.read.parquet(str(store / "contam_verdicts")).collect())
+        )
+        shutil.copy(docs_dir / "w3.parquet", docs_dir / "w3_replay.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = sorted(
+        spark.read.parquet(str(store / "contam_ledger")).collect(),
+        key=lambda r: r.contam_frac,
+    )
+    assert len(rows) == 3
+    assert [r.alert for r in rows] == [0, 0, 1]
+    assert rows[0].contam_frac == 0.0 and rows[1].contam_frac == 0.0
+    assert rows[2].contam_frac == 0.5 and rows[2].n_contaminated == 10
+
+    # replay mutated nothing
+    assert ledger_before == sorted(
+        map(tuple, spark.read.parquet(str(store / "contam_ledger")).collect())
+    )
+    assert verdicts_before == sorted(
+        map(tuple, spark.read.parquet(str(store / "contam_verdicts")).collect())
+    )
+
+    # batch-twin parity: contamination_check on suite + arrived docs
+    union = suite + w1 + w2 + w3
+    union_dir = tmp_path / "union"
+    union_dir.mkdir()
+    spark.createDataFrame(
+        [(i, t, len(t)) for i, t in union],
+        "doc_id bigint, text string, n_chars int",
+    ).write.mode("overwrite").parquet(str(union_dir / "documents.parquet"))
+    from eurovision_spark.catalog import registry
+
+    batch = sorted(
+        map(tuple, registry()["contamination_check"].fn(spark, str(union_dir)).collect())
+    )
+    assert batch == verdicts_before
