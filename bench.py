@@ -134,6 +134,12 @@ HEADLINE = [
     # round 10: the end-to-end corpus-build capstone (dedup decisions ->
     # quality verdicts -> selection keep -> leakage-safe split -> shard)
     "corpus_build",
+    # NOT here (r10): contamination_bloom / epoch_plan /
+    # ivf_nprobe_curve / bm25_search. 86 keys mathematically cannot fit
+    # the driver's 2000-char tail even at integer precision (the names
+    # alone are ~1.9k chars), and per-query decimals for the
+    # established set outrank four more keys — the new ops' warm
+    # timings live in SCALING.md's x1-x1000 tier rows instead.
 ]
 
 

@@ -29,7 +29,7 @@ DuckDB ``string_split_regex``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from eurovision_spark.catalog import register
@@ -491,6 +491,135 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "src_tokens",
         F.round(powed / total, 6).alias("weight"),
+    )
+
+
+# data-constrained epoch allocation (Muennighoff et al. 2023: repeating
+# data up to ~4 epochs is nearly as good as fresh data, beyond that the
+# value decays fast): water-fill a token budget across sources
+# proportionally to their mixture weight, but cap every source at
+# EPOCH_CAP passes over its own tokens and redistribute the spill to
+# the uncapped sources. The budget is EPOCH_BUDGET_X x the corpus'
+# token count so both regimes appear at every sf (weights ∝ sqrt(n)
+# give small sources the highest epochs-per-budget rate, so caps bind
+# on the small end first).
+EPOCH_CAP = 4.0
+EPOCH_BUDGET_X = 2.0
+
+
+@register(
+    "epoch_plan",
+    f"""
+    WITH s AS (
+        SELECT source,
+               CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+                   AS src_tokens
+        FROM documents WHERE n_chars > 0 GROUP BY source),
+    w AS (SELECT source, src_tokens,
+                 pow(CAST(src_tokens AS DOUBLE), {MIX_ALPHA}) AS wt
+          FROM s),
+    t AS (SELECT source, src_tokens, wt,
+                 sum(wt) OVER () AS w_tot,
+                 sum(CAST(src_tokens AS DOUBLE)) OVER () AS n_tot,
+                 {EPOCH_CAP} * src_tokens / wt AS ratio,
+                 coalesce(sum(CAST(src_tokens AS DOUBLE)) OVER (
+                     ORDER BY {EPOCH_CAP} * src_tokens / wt, source
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS cum_n_prev,
+                 coalesce(sum(wt) OVER (
+                     ORDER BY {EPOCH_CAP} * src_tokens / wt, source
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS cum_w_prev
+          FROM w),
+    c AS (SELECT *,
+                 ({EPOCH_BUDGET_X} * n_tot - {EPOCH_CAP} * cum_n_prev)
+                     / (w_tot - cum_w_prev) >= ratio AS is_capped
+          FROM t),
+    k AS (SELECT coalesce(sum(CAST(src_tokens AS DOUBLE))
+                              FILTER (WHERE is_capped), 0) AS n_cap,
+                 coalesce(sum(wt) FILTER (WHERE is_capped), 0) AS w_cap
+          FROM c)
+    SELECT c.source, c.src_tokens,
+           round(c.wt / c.w_tot, 6) AS weight,
+           CAST(c.is_capped AS INT) AS capped,
+           round(CASE WHEN c.is_capped THEN {EPOCH_CAP}
+                      ELSE ({EPOCH_BUDGET_X} * c.n_tot - {EPOCH_CAP} * k.n_cap)
+                           / (c.w_tot - k.w_cap) * c.wt / c.src_tokens
+                 END, 4) AS epochs,
+           round(CASE WHEN c.is_capped THEN {EPOCH_CAP} * c.src_tokens
+                      ELSE ({EPOCH_BUDGET_X} * c.n_tot - {EPOCH_CAP} * k.n_cap)
+                           / (c.w_tot - k.w_cap) * c.wt
+                 END, 2) AS alloc_tokens
+    FROM c, k
+    """,
+    "data-constrained epoch allocation (the Muennighoff 2023 repeat "
+    f"rule): water-fill a {EPOCH_BUDGET_X}x-corpus token budget across "
+    f"sources ∝ mixture weight (tokens^{MIX_ALPHA}) with every source "
+    f"capped at {EPOCH_CAP} epochs of its own tokens, spill "
+    "redistributed to uncapped sources — the EXACT closed-form "
+    "water-fill: sources sorted by the lambda at which their cap "
+    "binds, the binding set identified by one prefix-sum window, the "
+    "shared water level from one aggregate row. Everything past the "
+    "per-source token count (one partial/final agg) runs on the "
+    "#sources-row table — the mixture_weights bounded-window "
+    "discipline, safe at any corpus size. sum(alloc_tokens) = budget "
+    "by construction (pinned in tests/test_pipeline_ops.py).",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    s = d.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("src_tokens")
+    )
+    n_d = F.col("src_tokens").cast("double")
+    w = s.select("source", "src_tokens", F.pow(n_d, F.lit(MIX_ALPHA)).alias("wt"))
+    # every window below runs over the per-source aggregate: #sources rows
+    ratio = (F.lit(EPOCH_CAP) * n_d / F.col("wt")).alias("ratio")
+    ordered = W.orderBy(F.lit(EPOCH_CAP) * n_d / F.col("wt"), "source").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    t = w.select(
+        "source",
+        "src_tokens",
+        "wt",
+        F.sum("wt").over(W.partitionBy()).alias("w_tot"),
+        F.sum(n_d).over(W.partitionBy()).alias("n_tot"),
+        ratio,
+        F.coalesce(F.sum(n_d).over(ordered), F.lit(0.0)).alias("cum_n_prev"),
+        F.coalesce(F.sum("wt").over(ordered), F.lit(0.0)).alias("cum_w_prev"),
+    )
+    c = t.withColumn(
+        "is_capped",
+        (F.lit(EPOCH_BUDGET_X) * F.col("n_tot") - F.lit(EPOCH_CAP) * F.col("cum_n_prev"))
+        / (F.col("w_tot") - F.col("cum_w_prev"))
+        >= F.col("ratio"),
+    )
+    k = c.groupBy().agg(
+        F.coalesce(F.sum(F.when(F.col("is_capped"), n_d)), F.lit(0.0)).alias("n_cap"),
+        F.coalesce(F.sum(F.when(F.col("is_capped"), F.col("wt"))), F.lit(0.0)).alias(
+            "w_cap"
+        ),
+    )
+    lam = (
+        F.lit(EPOCH_BUDGET_X) * F.col("n_tot") - F.lit(EPOCH_CAP) * F.col("n_cap")
+    ) / (F.col("w_tot") - F.col("w_cap"))
+    return c.crossJoin(F.broadcast(k)).select(
+        "source",
+        "src_tokens",
+        F.round(F.col("wt") / F.col("w_tot"), 6).alias("weight"),
+        F.col("is_capped").cast("int").alias("capped"),
+        F.round(
+            F.when(F.col("is_capped"), F.lit(EPOCH_CAP)).otherwise(
+                lam * F.col("wt") / n_d
+            ),
+            4,
+        ).alias("epochs"),
+        F.round(
+            F.when(F.col("is_capped"), F.lit(EPOCH_CAP) * n_d).otherwise(
+                lam * F.col("wt")
+            ),
+            2,
+        ).alias("alloc_tokens"),
     )
 
 
@@ -1037,6 +1166,19 @@ DIFF_ADDED_OFFSET = 5 * 10**15  # new-doc ids (other plant tiers use 1-4e15)
     driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
 )
 def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v1, v2 = diff_versions(spark, sf_dir)
+    # digest IN-ROW on each side: the join moves (doc_id, digest) only
+    return digest_delta(
+        v1.select("doc_id", md5_long(F.col("text")).alias("old_digest")),
+        v2.select("doc_id", md5_long(F.col("text")).alias("new_digest")),
+    )
+
+
+def diff_versions(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The (v1, v2) snapshot pair corpus_diff certifies: v2 is v1's
+    deterministic recrawl transform (one removed, one changed, one
+    added doc_id stripe) — split out so shard_invalidation composes
+    the SAME two versions the diff op's oracle pins."""
     v1 = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("n_chars") > 0)
@@ -1058,11 +1200,7 @@ def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    # digest IN-ROW on each side: the join moves (doc_id, digest) only
-    return digest_delta(
-        v1.select("doc_id", md5_long(F.col("text")).alias("old_digest")),
-        v2.select("doc_id", md5_long(F.col("text")).alias("new_digest")),
-    )
+    return v1, v2
 
 
 def digest_delta(d1: DataFrame, d2: DataFrame) -> DataFrame:
@@ -1157,6 +1295,127 @@ def shard_plan_frame(d: DataFrame, n_shards: int = SHARD_N) -> DataFrame:
         W.partitionBy("shard").orderBy(F.asc("ord_key"), F.asc("doc_id"))
     )
     return keyed.select("doc_id", "shard", pos.cast("bigint").alias("pos"))
+
+
+# DuckDB twin of shard_plan's shard key (md5 of the salted doc_id)
+_SHARD_OF_SQL = (
+    md5_long_sql("concat('shard-', CAST(doc_id AS VARCHAR))") + f" % {SHARD_N}"
+)
+
+
+@register(
+    "shard_invalidation",
+    f"""
+    WITH v1 AS (SELECT doc_id, text FROM documents WHERE n_chars > 0),
+    v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {DIFF_MOD} = {DIFF_CHANGED_RES}
+                    THEN concat(text, ' rev-', CAST(doc_id AS VARCHAR))
+                    ELSE text END AS text
+        FROM v1 WHERE doc_id % {DIFF_MOD} != {DIFF_REMOVED_RES}
+        UNION ALL
+        SELECT doc_id + {DIFF_ADDED_OFFSET} AS doc_id,
+               concat('new-', CAST(doc_id AS VARCHAR), ' ', text) AS text
+        FROM v1 WHERE doc_id % {DIFF_MOD} = {DIFF_ADDED_RES}),
+    d1 AS (SELECT doc_id, {md5_long_sql('text')} AS old_digest FROM v1),
+    d2 AS (SELECT doc_id, {md5_long_sql('text')} AS new_digest FROM v2),
+    delta AS (
+        SELECT coalesce(d1.doc_id, d2.doc_id) AS doc_id,
+               CASE WHEN d1.doc_id IS NULL THEN 'added'
+                    WHEN d2.doc_id IS NULL THEN 'removed'
+                    ELSE 'changed' END AS status
+        FROM d1 FULL OUTER JOIN d2 ON d1.doc_id = d2.doc_id
+        WHERE d1.doc_id IS NULL OR d2.doc_id IS NULL
+           OR d1.old_digest != d2.new_digest),
+    dcnt AS (
+        SELECT {_SHARD_OF_SQL} AS shard,
+               CAST(count(*) FILTER (WHERE status = 'added') AS BIGINT) AS n_added,
+               CAST(count(*) FILTER (WHERE status = 'removed') AS BIGINT) AS n_removed,
+               CAST(count(*) FILTER (WHERE status = 'changed') AS BIGINT) AS n_changed
+        FROM delta GROUP BY 1),
+    r1 AS (SELECT {_SHARD_OF_SQL} AS shard, CAST(count(*) AS BIGINT) AS v1_rows
+           FROM v1 GROUP BY 1),
+    r2 AS (SELECT {_SHARD_OF_SQL} AS shard, CAST(count(*) AS BIGINT) AS v2_rows
+           FROM v2 GROUP BY 1),
+    spine AS (SELECT unnest(generate_series(0, {SHARD_N - 1})) AS shard)
+    SELECT CAST(spine.shard AS BIGINT) AS shard,
+           coalesce(r1.v1_rows, 0) AS v1_rows,
+           coalesce(r2.v2_rows, 0) AS v2_rows,
+           coalesce(dcnt.n_added, 0) AS n_added,
+           coalesce(dcnt.n_removed, 0) AS n_removed,
+           coalesce(dcnt.n_changed, 0) AS n_changed,
+           CAST(coalesce(dcnt.n_added, 0) + coalesce(dcnt.n_removed, 0)
+                + coalesce(dcnt.n_changed, 0) > 0 AS INT) AS dirty
+    FROM spine
+    LEFT JOIN r1 ON r1.shard = spine.shard
+    LEFT JOIN r2 ON r2.shard = spine.shard
+    LEFT JOIN dcnt ON dcnt.shard = spine.shard
+    """,
+    "incremental shard maintenance: which of shard_plan's "
+    f"{SHARD_N} shard files does a recrawl delta dirty, and how much "
+    "of each version lands there — corpus_diff's certified delta "
+    "(added / removed / changed, nothing for the unchanged bulk) keyed "
+    "by shard_plan's exact md5 shard arithmetic, so a pipeline owner "
+    "rewrites ONLY the dirty shard files instead of re-materializing "
+    "the corpus (write_training_shards' per-directory content identity "
+    "makes the clean shards provably byte-stable). Scale shape: both "
+    "versions collapse to in-row (doc_id, digest) before the one "
+    "id-keyed delta join (corpus_diff's plan); everything after is "
+    f"bounded — (shard, status) counts over delta rows and two "
+    f"{SHARD_N}-row per-shard tallies joined on a generated spine. "
+    "Dirty-set size vs stripe arithmetic pinned in "
+    "tests/test_pipeline_ops.py.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def shard_invalidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v1, v2 = diff_versions(spark, sf_dir)
+    delta = digest_delta(
+        v1.select("doc_id", md5_long(F.col("text")).alias("old_digest")),
+        v2.select("doc_id", md5_long(F.col("text")).alias("new_digest")),
+    ).select("doc_id", "status")
+    shard_of = (
+        md5_long(F.concat(F.lit("shard-"), F.col("doc_id").cast("string"))) % SHARD_N
+    ).cast("bigint")
+
+    def tally(status: str) -> Column:
+        return (
+            F.sum(F.when(F.col("status") == status, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{status}")
+        )
+
+    dcnt = (
+        delta.select(shard_of.alias("shard"), "status")
+        .groupBy("shard")
+        .agg(tally("added"), tally("removed"), tally("changed"))
+    )
+    r1 = (
+        v1.select(shard_of.alias("shard"))
+        .groupBy("shard")
+        .agg(F.count("*").cast("bigint").alias("v1_rows"))
+    )
+    r2 = (
+        v2.select(shard_of.alias("shard"))
+        .groupBy("shard")
+        .agg(F.count("*").cast("bigint").alias("v2_rows"))
+    )
+    spine = spark.range(SHARD_N).select(F.col("id").cast("bigint").alias("shard"))
+    z = F.lit(0).cast("bigint")
+    n_a, n_r, n_c = (F.coalesce(F.col(c), z) for c in ("n_added", "n_removed", "n_changed"))
+    return (
+        spine.join(F.broadcast(r1), "shard", "left")
+        .join(F.broadcast(r2), "shard", "left")
+        .join(F.broadcast(dcnt), "shard", "left")
+        .select(
+            "shard",
+            F.coalesce("v1_rows", z).alias("v1_rows"),
+            F.coalesce("v2_rows", z).alias("v2_rows"),
+            n_a.alias("n_added"),
+            n_r.alias("n_removed"),
+            n_c.alias("n_changed"),
+            ((n_a + n_r + n_c) > 0).cast("int").alias("dirty"),
+        )
+    )
 
 
 SEL_TAIL_PCT = 10  # CCNet-style keep policy: head+middle fully, tail sampled

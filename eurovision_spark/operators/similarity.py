@@ -671,7 +671,8 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivf_topk_candidates(
-    spark: SparkSession, sf_dir: str, with_labels: bool = False
+    spark: SparkSession, sf_dir: str, with_labels: bool = False,
+    all_cands: bool = False,
 ) -> DataFrame:
     """The IVF candidate generator, shared verbatim by ``cosine_ivf``
     and ``knn_classify_ivf``: sample-trained k-means codebook as a
@@ -680,7 +681,12 @@ def ivf_topk_candidates(
     cells, top-TOP_K per probe. Returns (probe_id, neighbor_id, cos)
     plus (true_label, nbr_label) when ``with_labels`` — the label
     columns ride the existing rows, so composing the kNN vote tail
-    adds zero extra shuffles to the ANN stage."""
+    adds zero extra shuffles to the ANN stage.
+
+    ``all_cands=True`` (ivf_nprobe_curve's path) returns EVERY scored
+    candidate with the 1-based rank of the probed cell it came from
+    (cell_rank 1 = the probe's best cell) and no top-K cut, so one
+    candidate pass prices every nprobe <= N_PROBE setting at once."""
     cols = ["vec_id", "label"] if with_labels else ["vec_id"]
     raw = (
         load_table(spark, sf_dir, "embeddings")
@@ -740,6 +746,38 @@ def ivf_topk_candidates(
         -F.least(F.lit(N_PROBE), F.size(sims)),
         F.lit(N_PROBE),
     )
+    if all_cands:
+        # posexplode the ASCENDING-sorted slice: 0-based pos i in a
+        # slice of length L is the (L - i)-th best cell, so cell_rank
+        # = L - pos (1 = best) — the oracle's `rn` per (vec, cent).
+        slice_len = F.least(F.lit(N_PROBE), F.size(sims))
+        rank_probes = (
+            e.filter(F.col("vec_id") % PROBE_MOD == 0)
+            .select(
+                F.col("vec_id").alias("probe_id"),
+                F.col("v").alias("pv"),
+                F.col("nv").alias("np"),
+                slice_len.alias("_len"),
+                F.posexplode(top_cells).alias("pos", "pc"),
+            )
+            .select(
+                "probe_id",
+                "pv",
+                "np",
+                (F.col("_len") - F.col("pos")).cast("int").alias("cell_rank"),
+                (-F.col("pc.neg_cent")).cast("bigint").alias("cent_id"),
+            )
+        )
+        return cells.join(
+            F.broadcast(rank_probes),
+            (cells.cent_id == rank_probes.cent_id)
+            & (F.col("vec_id") != F.col("probe_id")),
+        ).select(
+            "probe_id",
+            "cell_rank",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("pv"), F.col("v")) / (F.col("np") * F.col("nv"))).alias("cos"),
+        )
     probe_cols = (
         [F.col("label").alias("true_label")] if with_labels else []
     )
@@ -780,6 +818,131 @@ def ivf_topk_candidates(
     return cand.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= TOP_K
     ).drop("rn")
+
+
+# nprobe tuning curve: the settings priced by one candidate pass
+NPROBE_POINTS = [1, 2, 4, 8]
+
+
+def _nprobe_curve_oracle(sf_dir: str) -> str:
+    """Dynamic oracle: the IVF side re-derives _ivf_oracle's CTE chain
+    with the probe's cell RANK kept (rn in `assigned`), the exact side
+    is TOPK_SQL verbatim — so every curve point is measured against
+    exactly what cosine_ivf and cosine_topk certify."""
+    cents = ivf_codebook(sf_dir)
+    values = ",\n          ".join(
+        f"({i}, [{', '.join(repr(v) for v in row)}]::DOUBLE[])"
+        for i, row in enumerate(cents)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nv
+               FROM embeddings
+               WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+    cent_vals(cent_id, cv) AS (
+        VALUES {values}),
+    cents AS (SELECT cent_id, cv, sqrt(list_dot_product(cv, cv)) AS ncv
+              FROM cent_vals),
+    assigned AS (
+        SELECT e.vec_id, e.v, e.nv, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.cv) / (e.nv * c.ncv) DESC,
+                            c.cent_id) AS rn
+        FROM e CROSS JOIN cents c),
+    cells AS (SELECT vec_id, v, nv, cent_id FROM assigned WHERE rn = 1),
+    probe_cells AS (
+        SELECT vec_id AS probe_id, v AS pv, nv AS pn, cent_id,
+               CAST(rn AS INT) AS cell_rank
+        FROM assigned WHERE vec_id % {PROBE_MOD} = 0 AND rn <= {N_PROBE}),
+    cand AS (
+        SELECT p.probe_id, p.cell_rank, s.vec_id AS neighbor_id,
+               list_dot_product(p.pv, s.v) / (p.pn * s.nv) AS cos
+        FROM probe_cells p JOIN cells s
+          ON s.cent_id = p.cent_id AND s.vec_id <> p.probe_id),
+    pts(nprobe) AS (VALUES {', '.join(f'({p})' for p in NPROBE_POINTS)}),
+    curve AS (
+        SELECT pts.nprobe, c.probe_id, c.neighbor_id,
+               row_number() OVER (
+                   PARTITION BY pts.nprobe, c.probe_id
+                   ORDER BY c.cos DESC, c.neighbor_id) AS rn
+        FROM cand c JOIN pts ON c.cell_rank <= pts.nprobe),
+    ncand AS (SELECT pts.nprobe, count(*) AS nc
+              FROM cand c JOIN pts ON c.cell_rank <= pts.nprobe
+              GROUP BY pts.nprobe),
+    exact AS ({TOPK_SQL}),
+    hits AS (SELECT cv.nprobe, count(*) AS h
+             FROM curve cv JOIN exact x
+               ON x.probe_id = cv.probe_id AND x.neighbor_id = cv.neighbor_id
+             WHERE cv.rn <= {TOP_K}
+             GROUP BY cv.nprobe),
+    np_tot AS (SELECT CAST(count(DISTINCT probe_id) AS BIGINT) AS n_probes
+               FROM exact)
+    SELECT CAST(pts.nprobe AS INT) AS nprobe,
+           np_tot.n_probes,
+           round(coalesce(ncand.nc, 0) / CAST(np_tot.n_probes AS DOUBLE), 2)
+               AS avg_cands,
+           round(coalesce(hits.h, 0)
+                 / ({TOP_K}.0 * np_tot.n_probes), 6) AS mean_recall
+    FROM pts
+    CROSS JOIN np_tot
+    LEFT JOIN ncand ON ncand.nprobe = pts.nprobe
+    LEFT JOIN hits ON hits.nprobe = pts.nprobe
+    """
+
+
+@register(
+    "ivf_nprobe_curve",
+    _nprobe_curve_oracle,
+    "the nprobe TUNING CURVE for the IVF index — near_dup_thresholds' "
+    "similarity-search twin: mean recall@k against the exact "
+    "brute-force truth AND the average candidates scanned per probe "
+    f"at every nprobe in {NPROBE_POINTS}, from ONE candidate pass "
+    "(candidates tagged with the 1-based rank of the probed cell they "
+    "came from; a setting's candidate set is just cell_rank <= "
+    "nprobe). This is THE recall-vs-compute trade an index owner "
+    "reads before pinning nprobe at 100 TB — avg_cands IS the "
+    "per-probe scan cost the recall is bought with. Scale shape: the "
+    "only corpus-sized work is the certified IVF candidate join and "
+    "exact-truth plan (both registered ops); the curve explode "
+    f"multiplies only the bounded candidate set (x{len(NPROBE_POINTS)}), "
+    "and everything aggregates to len(points) rows. Cross-engine: "
+    "integer hit/candidate counts aggregated exactly, divided once.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = ivf_topk_candidates(spark, sf_dir, all_cands=True)
+    pts = spark.createDataFrame([(p,) for p in NPROBE_POINTS], "nprobe int")
+    c = cand.join(F.broadcast(pts), F.col("cell_rank") <= F.col("nprobe"))
+    w = W.partitionBy("nprobe", "probe_id").orderBy(
+        F.col("cos").desc(), "neighbor_id"
+    )
+    topk = c.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K)
+    exact = cosine_topk(spark, sf_dir).select("probe_id", "neighbor_id")
+    hits = topk.join(exact, ["probe_id", "neighbor_id"]).groupBy("nprobe").agg(
+        F.count("*").alias("h")
+    )
+    ncand = c.groupBy("nprobe").agg(F.count("*").alias("nc"))
+    np_tot = exact.select("probe_id").distinct().agg(
+        F.count("*").cast("bigint").alias("n_probes")
+    )
+    return (
+        pts.join(ncand, "nprobe", "left")
+        .join(hits, "nprobe", "left")
+        .crossJoin(F.broadcast(np_tot))
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            "n_probes",
+            F.round(
+                F.coalesce("nc", F.lit(0)) / F.col("n_probes").cast("double"), 2
+            ).alias("avg_cands"),
+            F.round(
+                F.coalesce("h", F.lit(0))
+                / (F.lit(float(TOP_K)) * F.col("n_probes")),
+                6,
+            ).alias("mean_recall"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -600,6 +600,133 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 retrieval: the Robertson/Sparck-Jones defaults; queries are the
+# first QUERY_LEN tokens of every QUERY_MOD-th doc (deterministic,
+# guaranteed-relevant probes — each query's source doc must surface)
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPN = 10
+BM25_QUERY_MOD = 100
+BM25_QUERY_LEN = 5
+
+
+@register(
+    "bm25_search",
+    f"""
+    WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+               FROM documents WHERE n_chars > 0),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(toks)) AS avgdl
+              FROM d),
+    tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM (
+               SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                      unnest(toks) AS term FROM d)
+           GROUP BY doc_id, dl, term),
+    q AS (SELECT DISTINCT query_id, term FROM (
+              SELECT doc_id AS query_id,
+                     unnest(toks[1:{BM25_QUERY_LEN}]) AS term
+              FROM d WHERE doc_id % {BM25_QUERY_MOD} = 0)),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           FROM tf WHERE term IN (SELECT term FROM q) GROUP BY term),
+    scores AS (
+        SELECT q.query_id, tf.doc_id,
+               round(sum(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                         * tf.tf * ({BM25_K1} + 1)
+                         / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                                                 + {BM25_B} * tf.dl / stats.avgdl))),
+                     4) AS bm25
+        FROM q JOIN tf USING (term) JOIN df ON df.term = q.term CROSS JOIN stats
+        GROUP BY q.query_id, tf.doc_id)
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, bm25 FROM (
+        SELECT query_id, doc_id, bm25,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY bm25 DESC, doc_id) AS rank
+        FROM scores)
+    WHERE rank <= {BM25_TOPN}
+    """,
+    "full-text BM25 retrieval (Okapi k1=1.2, b=0.75): top-10 docs per "
+    "query for a deterministic probe set (first "
+    f"{BM25_QUERY_LEN} tokens of every {BM25_QUERY_MOD}-th doc). "
+    "Plan shape: per-doc (term, tf) postings build IN-ROW (distinct "
+    "terms x in-row count over the token array — a doc's tokens never "
+    "leave their row, so the postings leaf adds ZERO corpus exchange, "
+    "one step beyond tfidf_top_terms' (doc_id, term) shuffle); the "
+    "bounded query-term table BROADCASTS onto the postings so only "
+    "matching rows survive into the (query, doc) partial/final score "
+    "aggregate; df is a query-term-only aggregate (bounded), N/avgdl "
+    "one broadcast row. Cross-engine rank discipline: scores are "
+    "ROUNDED to 4dp on both engines BEFORE the rank window "
+    "(tfidf_top_terms' libm-ulp rule: never rank on raw floats), "
+    "doc_id tiebreak.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    toksed = d.select("doc_id", tokens(F.lower(F.col("text"))).alias("_toks"))
+    # in-row postings: (term, tf) pairs from each doc's own token array
+    pairs = toksed.select(
+        "doc_id",
+        F.size("_toks").cast("bigint").alias("dl"),
+        F.explode(
+            F.transform(
+                F.array_distinct("_toks"),
+                lambda t: F.struct(
+                    t.alias("term"),
+                    F.size(
+                        F.filter(F.col("_toks"), lambda x: x == t)
+                    ).alias("tf"),
+                ),
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id", "dl", F.col("p.term").alias("term"),
+        F.col("p.tf").cast("bigint").alias("tf"),
+    )
+    queries = (
+        toksed.filter(F.col("doc_id") % BM25_QUERY_MOD == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.array_distinct(F.slice("_toks", 1, BM25_QUERY_LEN))
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    df = (
+        pairs.join(F.broadcast(queries.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("df"))
+    )
+    stats = toksed.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.size("_toks")).alias("avgdl"),
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    part = (
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scores = (
+        pairs.join(F.broadcast(queries), "term")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(part), 4).alias("bm25"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPN)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "doc_id", "bm25")
+    )
+
+
 TOKEN_BUDGET_PER_LANG = 5000
 
 

@@ -883,3 +883,97 @@ def test_hour_bucket_arithmetic_agrees_cross_engine_pre_epoch(spark):
     # and the shared arithmetic is truncation, not floor: -1us lands
     # in bucket 0 (hour 0), not bucket -1
     assert spark_buckets[ts.index(-1)] == 0
+
+
+def test_bm25_search_python_recompute_and_planted_relevance(spark, tmp_path):
+    """bm25_search vs an independent pure-Python Okapi BM25 over the
+    sf0.001 corpus — identical (query, rank, doc) triples and scores
+    within rounding slack — and a planted distinctive-vocabulary
+    fixture where each query's source doc MUST rank first (the random
+    corpus's common-token queries can't guarantee that; the fixture
+    makes the relevance claim provable rather than hoped-for)."""
+    import math
+    import re
+    from collections import Counter
+
+    from eurovision_spark.catalog import registry
+    from eurovision_spark.operators.textstats import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY_LEN,
+        BM25_QUERY_MOD,
+        BM25_TOPN,
+    )
+
+    def py_bm25(docs: dict[int, str]) -> dict[int, list[tuple[int, int, float]]]:
+        toks = {
+            i: re.split(r"\s+", t.strip().lower()) for i, t in docs.items() if t.strip()
+        }
+        n = len(toks)
+        avgdl = sum(len(v) for v in toks.values()) / n
+        tf = {i: Counter(v) for i, v in toks.items()}
+        out = {}
+        for qid in sorted(toks):
+            if qid % BM25_QUERY_MOD:
+                continue
+            qterms = set(toks[qid][:BM25_QUERY_LEN])
+            df = {t: sum(1 for c in tf.values() if t in c) for t in qterms}
+            scored = []
+            for d, c in tf.items():
+                s = 0.0
+                for t in qterms:
+                    if c[t]:
+                        idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1)
+                        dl = len(toks[d])
+                        s += (
+                            idf
+                            * c[t]
+                            * (BM25_K1 + 1)
+                            / (c[t] + BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl))
+                        )
+                if s > 0:
+                    scored.append((round(s, 4), d))
+            scored.sort(key=lambda x: (-x[0], x[1]))
+            out[qid] = [
+                (rk + 1, d, s) for rk, (s, d) in enumerate(scored[:BM25_TOPN])
+            ]
+        return out
+
+    def check(sf_dir: str, docs: dict[int, str]) -> dict[int, list]:
+        got: dict[int, list] = {}
+        for r in registry()["bm25_search"].fn(spark, sf_dir).collect():
+            got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.bm25))
+        for q in got:
+            got[q].sort()
+        want = py_bm25(docs)
+        assert set(got) == set(want)
+        for q in want:
+            assert [(rk, d) for rk, d, _ in got[q]] == [
+                (rk, d) for rk, d, _ in want[q]
+            ], q
+            for (_, _, a), (_, _, b) in zip(got[q], want[q]):
+                assert abs(a - b) < 2e-4, (q, a, b)
+        return got
+
+    corpus = {
+        r.doc_id: r.text
+        for r in spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter("n_chars > 0")
+        .collect()
+    }
+    check("/root/testdata/sf0.001", corpus)
+
+    # planted fixture: per-doc unique vocabulary -> query terms only
+    # exist in the source doc, so it is the unique (and thus top) hit
+    fix = {
+        i: " ".join(f"doc{i}term{j}" for j in range(20))
+        for i in range(0, 401, BM25_QUERY_MOD // 2)
+    }
+    spark.createDataFrame(
+        [(i, t, len(t)) for i, t in fix.items()],
+        "doc_id bigint, text string, n_chars int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = check(str(tmp_path), fix)
+    for q, rows in got.items():
+        assert rows[0][1] == q, (q, rows)  # self doc at rank 1
+        assert len(rows) == 1  # nothing else shares any query term

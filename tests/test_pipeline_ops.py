@@ -1271,3 +1271,133 @@ def test_corpus_build_approx_terciles_knob(spark):
         n_relabel += int(r.bucket != a.bucket)
     scored = sum(1 for r in exact.values() if r.bucket is not None)
     assert n_relabel <= 0.10 * scored, (n_relabel, scored)
+
+
+def _epoch_plan_reference(n: dict[str, int]) -> tuple[dict[str, float], set[str]]:
+    """Independent iterative water-fill: repeatedly cap sources whose
+    proportional share exceeds EPOCH_CAP epochs and redistribute the
+    spill, until stable — the fixed point the operator's one-pass
+    prefix-sum formulation must hit exactly."""
+    from eurovision_spark.operators.pipeline import EPOCH_BUDGET_X, EPOCH_CAP, MIX_ALPHA
+
+    budget = EPOCH_BUDGET_X * sum(n.values())
+    w = {s: n[s] ** MIX_ALPHA for s in n}
+    capped: set[str] = set()
+    while True:
+        rest = [s for s in n if s not in capped]
+        lam = (budget - EPOCH_CAP * sum(n[s] for s in capped)) / sum(w[s] for s in rest)
+        newly = {s for s in rest if lam * w[s] / n[s] >= EPOCH_CAP}
+        if not newly:
+            break
+        capped |= newly
+    epochs = {
+        s: (EPOCH_CAP if s in capped else lam * w[s] / n[s]) for s in n
+    }
+    return epochs, capped
+
+
+def test_epoch_plan_waterfill_exact(spark, tmp_path):
+    """epoch_plan vs the iterative reference on the sf0.001 corpus
+    (budget conservation + exact agreement — the generator keeps
+    sources balanced, so this exercises the uncapped regime), AND on a
+    planted skewed fixture where the cap PROVABLY binds (one tiny
+    source among four large ones: its uncapped share would be ~20
+    epochs), so both branches of the closed form are certified."""
+    from eurovision_spark.operators.pipeline import EPOCH_BUDGET_X, EPOCH_CAP
+
+    def check(sf_dir: str) -> list:
+        rows = {r.source: r for r in registry()["epoch_plan"].fn(spark, sf_dir).collect()}
+        n = {s: r.src_tokens for s, r in rows.items()}
+        budget = EPOCH_BUDGET_X * sum(n.values())
+        assert all(r.epochs <= EPOCH_CAP + 1e-9 for r in rows.values())
+        assert abs(sum(r.alloc_tokens for r in rows.values()) - budget) < 1.0
+        want, capped = _epoch_plan_reference(n)
+        for s, r in rows.items():
+            assert abs(r.epochs - want[s]) < 1e-3, (s, r.epochs, want[s])
+            assert r.capped == int(s in capped), (s, r.capped, s in capped)
+        return list(rows.values())
+
+    corpus_rows = check(SF)
+    assert all(not r.capped for r in corpus_rows)  # balanced corpus: no cap
+
+    # skewed fixture: source "tiny" holds 10 tokens, four others 1000
+    def doc(i, src, n_tok):
+        t = " ".join(f"{src}w{j}" for j in range(n_tok))
+        return (i, t, src, len(t))
+
+    docs = [doc(0, "tiny", 10)] + [
+        doc(1 + i, f"big{i}", 1000) for i in range(4)
+    ]
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, source string, n_chars int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    fix_rows = check(str(tmp_path))
+    by_src = {r.source: r for r in fix_rows}
+    assert by_src["tiny"].capped == 1 and by_src["tiny"].epochs == EPOCH_CAP
+    assert all(by_src[f"big{i}"].capped == 0 for i in range(4))
+
+
+def test_shard_invalidation_matches_stripe_arithmetic(spark):
+    """shard_invalidation vs a pure-Python recomputation of the
+    planted recrawl stripes: per shard, the added/removed/changed
+    tallies follow directly from corpus_diff's doc_id stripe rules and
+    shard_plan's md5 shard key; dirty is exactly (any tally > 0); and
+    clean shards hold v1_rows == v2_rows (the byte-stable files an
+    incremental writer skips)."""
+    from eurovision_spark.operators.pipeline import (
+        DIFF_ADDED_OFFSET,
+        DIFF_ADDED_RES,
+        DIFF_CHANGED_RES,
+        DIFF_MOD,
+        DIFF_REMOVED_RES,
+        SHARD_N,
+    )
+
+    ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .filter("n_chars > 0")
+        .select("doc_id")
+        .collect()
+    ]
+
+    def shard(i: int) -> int:
+        return int(hashlib.md5(f"shard-{i}".encode()).hexdigest()[:15], 16) % SHARD_N
+
+    want = {
+        s: {"v1": 0, "v2": 0, "added": 0, "removed": 0, "changed": 0}
+        for s in range(SHARD_N)
+    }
+    for i in ids:
+        want[shard(i)]["v1"] += 1
+        m = i % DIFF_MOD
+        if m == DIFF_REMOVED_RES:
+            want[shard(i)]["removed"] += 1
+        else:
+            want[shard(i)]["v2"] += 1
+            if m == DIFF_CHANGED_RES:
+                want[shard(i)]["changed"] += 1
+        if m == DIFF_ADDED_RES:
+            ni = i + DIFF_ADDED_OFFSET
+            want[shard(ni)]["v2"] += 1
+            want[shard(ni)]["added"] += 1
+
+    rows = {r.shard: r for r in registry()["shard_invalidation"].fn(spark, SF).collect()}
+    assert set(rows) == set(range(SHARD_N))
+    n_dirty = 0
+    for s, w in want.items():
+        r = rows[s]
+        assert (r.v1_rows, r.v2_rows) == (w["v1"], w["v2"]), s
+        assert (r.n_added, r.n_removed, r.n_changed) == (
+            w["added"],
+            w["removed"],
+            w["changed"],
+        ), s
+        expect_dirty = int(w["added"] + w["removed"] + w["changed"] > 0)
+        assert r.dirty == expect_dirty, s
+        n_dirty += expect_dirty
+        if not expect_dirty:
+            assert r.v1_rows == r.v2_rows, s
+    # non-vacuous both ways at sf0.001: some shards dirty, and the
+    # clean set is what the incremental writer actually saves
+    assert 0 < n_dirty < SHARD_N

@@ -510,3 +510,29 @@ def test_ann_recall_report_consistent_with_its_sides(spark):
         assert abs(row.recall - expected / TOP_K) < 1e-9
         assert 0 <= row.n_hits <= TOP_K
     assert sum(r_.n_hits for r_ in report.values()) > 0  # non-degenerate
+
+
+def test_ivf_nprobe_curve_monotone_and_endpoint_parity(spark):
+    """The curve's physics: both recall and scan cost are
+    NON-DECREASING in nprobe (a larger cell set is a superset, so the
+    top-K can only improve and the candidate count only grow), and the
+    nprobe=N_PROBE endpoint must equal ann_recall_report's mean recall
+    exactly (same candidate set, same truth) with avg_cands consistent
+    with the raw candidate pass."""
+    from eurovision_spark.catalog import registry
+    from eurovision_spark.operators.similarity import N_PROBE, NPROBE_POINTS, TOP_K
+
+    sf = "/root/testdata/sf0.001"
+    r = registry()
+    rows = sorted(r["ivf_nprobe_curve"].fn(spark, sf).collect(), key=lambda x: x.nprobe)
+    assert [x.nprobe for x in rows] == NPROBE_POINTS
+    assert all(rows[0].n_probes == x.n_probes for x in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert a.mean_recall <= b.mean_recall + 1e-9, (a, b)
+        assert a.avg_cands <= b.avg_cands + 1e-9, (a, b)
+    assert rows[-1].mean_recall > 0.3  # non-degenerate index at sf0.001
+
+    assert NPROBE_POINTS[-1] == N_PROBE
+    report = r["ann_recall_report"].fn(spark, sf).collect()
+    mean = sum(x.n_hits for x in report) / (TOP_K * len(report))
+    assert abs(rows[-1].mean_recall - round(mean, 6)) < 1e-9
