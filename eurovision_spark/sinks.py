@@ -295,3 +295,96 @@ def write_training_shards(
         .parquet(out_dir)
     )
     return rows.sparkSession.read.parquet(out_dir).count()
+
+
+def rewrite_dirty_shards(
+    manifest_old: DataFrame, manifest_new: DataFrame, docs: DataFrame, out_dir: str
+) -> tuple[int, int]:
+    """Incremental twin of :func:`write_training_shards` — the sink
+    side of shard_invalidation's promise: when a recrawl produces a
+    new corpus_build manifest, rewrite ONLY the (split, shard)
+    directories whose kept membership/order changed and leave every
+    clean directory's files physically untouched (name-identical, the
+    byte-stability write_training_shards pins).
+
+    Dirty detection is manifest-only: each side's kept rows fold to
+    one 60-bit bit_xor digest per (split, shard) over md5(doc_id:pos)
+    — order-insensitive by construction yet order-sensitive in effect
+    (pos IS the order, and pos values are unique per directory) — then
+    a tiny full-outer digest join names the dirty directories. Text
+    moves only for dirty rows, through the same one-exchange sorted
+    write, committed with Spark's DYNAMIC partition-overwrite mode so
+    only the written directories are replaced. Directories whose
+    entire membership vanished in the new manifest are deleted
+    driver-side (the bounded dir list, not data).
+
+    Returns (n_dirty_dirs, n_rows_written)."""
+    import shutil
+
+    def digests(m: DataFrame) -> DataFrame:
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("pos").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return (
+            m.filter(F.col("keep") == 1)
+            .select("split", "shard", h.alias("h"))
+            .groupBy("split", "shard")
+            .agg(F.expr("bit_xor(h)").alias("dig"))
+        )
+
+    old_d = digests(manifest_old).withColumnRenamed("dig", "old_dig")
+    new_d = digests(manifest_new).withColumnRenamed("dig", "new_dig")
+    delta = (
+        old_d.join(new_d, ["split", "shard"], "full_outer")
+        .filter(
+            F.col("old_dig").isNull()
+            | F.col("new_dig").isNull()
+            | (F.col("old_dig") != F.col("new_dig"))
+        )
+        .select("split", "shard", F.col("new_dig").isNull().alias("gone"))
+        .collect()  # bounded: one row per dirty directory
+    )
+    dirty = [(r.split, r.shard) for r in delta if not r.gone]
+    for r in delta:
+        if r.gone:
+            shutil.rmtree(
+                f"{out_dir}/split={r.split}/shard={r.shard}", ignore_errors=True
+            )
+    if not dirty:
+        return len(delta), 0
+    spark = manifest_new.sparkSession
+    dirty_df = spark.createDataFrame(dirty, "split string, shard int")
+    rows = (
+        manifest_new.filter(F.col("keep") == 1)
+        .select("doc_id", "split", "shard", "pos")
+        .join(F.broadcast(dirty_df), ["split", "shard"], "left_semi")
+        .join(docs.select("doc_id", "text"), "doc_id")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            rows.repartition(F.col("split"), F.col("shard"))
+            .sortWithinPartitions("split", "shard", "pos")
+            .write.mode("overwrite")
+            .partitionBy("split", "shard")
+            .parquet(out_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    n_rows = sum(
+        spark.read.parquet(f"{out_dir}/split={s}/shard={k}").count() for s, k in dirty
+    )
+    return len(delta), n_rows

@@ -290,3 +290,79 @@ def test_write_training_shards_orders_and_reproduces(spark, tmp_path):
     assert n2 == 40
     second = read_shards(tmp_path / "shards2")
     assert {k: v for k, v in first.items()} == second
+
+
+def test_rewrite_dirty_shards_touches_only_dirty_dirs(spark, tmp_path):
+    """The incremental shard writer (r10): after a manifest delta,
+    only changed (split, shard) directories are rewritten — clean
+    directories keep their exact files (name-identical, untouched),
+    vanished directories are removed, and the incremental result is
+    content-identical per directory to a from-scratch write of the new
+    manifest (write_training_shards' reproducibility makes that
+    comparable)."""
+    import pathlib
+
+    from eurovision_spark.sinks import rewrite_dirty_shards, write_training_shards
+
+    def manifest(rows):
+        return spark.createDataFrame(
+            rows, "doc_id bigint, split string, shard int, pos int, keep int"
+        )
+
+    docs = spark.createDataFrame(
+        [(i, f"text of document {i}") for i in range(100)],
+        "doc_id bigint, text string",
+    )
+    # v1: shards 0/1/2 in train + shard 0 in test
+    v1 = (
+        [(i, "train", 0, i + 1, 1) for i in range(10)]
+        + [(20 + i, "train", 1, i + 1, 1) for i in range(10)]
+        + [(40 + i, "train", 2, i + 1, 1) for i in range(10)]
+        + [(60 + i, "test", 0, i + 1, 1) for i in range(5)]
+    )
+    # v2: shard 0 drops doc 0 (repacked pos), shard 1 gains doc 90,
+    # shard 2 unchanged, test shard 0 vanishes entirely
+    v2 = (
+        [(i, "train", 0, i, 1) for i in range(1, 10)]
+        + [(20 + i, "train", 1, i + 1, 1) for i in range(10)]
+        + [(90, "train", 1, 11, 1)]
+        + [(40 + i, "train", 2, i + 1, 1) for i in range(10)]
+    )
+
+    out = tmp_path / "shards"
+    n = write_training_shards(manifest(v1), docs, str(out))
+    assert n == 35
+
+    def listing(d):
+        return {
+            p.relative_to(d).as_posix(): p.stat().st_mtime_ns
+            for p in pathlib.Path(d).rglob("*.parquet")
+        }
+
+    before = listing(out)
+    n_dirty, n_rows = rewrite_dirty_shards(manifest(v1), manifest(v2), docs, str(out))
+    assert n_dirty == 3  # train/0 changed, train/1 changed, test/0 gone
+    assert n_rows == 9 + 11  # the two rewritten dirs' new row counts
+    after = listing(out)
+
+    clean = {k: v for k, v in before.items() if k.startswith("split=train/shard=2")}
+    assert clean and all(after.get(k) == v for k, v in clean.items()), (
+        "clean directory files were touched"
+    )
+    assert not any(k.startswith("split=test/shard=0") for k in after), (
+        "vanished directory survives"
+    )
+
+    # content parity with a from-scratch v2 write, per directory
+    fresh = tmp_path / "fresh"
+    write_training_shards(manifest(v2), docs, str(fresh))
+
+    def read_dirs(d):
+        res = {}
+        for sd in pathlib.Path(d).glob("split=*/shard=*"):
+            key = sd.relative_to(d).as_posix()
+            df = spark.read.parquet(str(sd))
+            res[key] = sorted((r.doc_id, r.pos, r.text) for r in df.collect())
+        return res
+
+    assert read_dirs(out) == read_dirs(fresh)
