@@ -278,7 +278,15 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.array_distinct(shingles(F.col("_toks")))).alias("sh"))
         .select("doc_id", md5_long(F.col("sh")).alias("gh"))
     )
-    bench_grams = grams.filter(F.col("doc_id") % BENCH_MOD == 0).select("gh").distinct()
+    # the bench gram set is eval-suite-sized (the op's own broadcast
+    # premise) — checkpoint it so the probe/report legs don't re-derive
+    # the gram scan behind it (6 parquet scans before this, 2 after)
+    bench_grams = (
+        grams.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select("gh")
+        .distinct()
+        .localCheckpoint()
+    )
     shared = (
         grams.filter(F.col("doc_id") % BENCH_MOD != 0)
         .join(F.broadcast(bench_grams), "gh")
@@ -416,6 +424,9 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.expr("bit_or(shiftleft(cast(1 as bigint), b))").alias("bits"))
         .agg(F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("_bloom"))
+        # one row, bounded at BLOOM_BITS/64 entries: checkpoint so the
+        # bench-side gram scan behind it never re-runs
+        .localCheckpoint()
     )
     probe = (
         shs.filter(F.col("doc_id") % BENCH_MOD != 0)
@@ -572,7 +583,12 @@ def epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("src_tokens")
     )
     n_d = F.col("src_tokens").cast("double")
-    w = s.select("source", "src_tokens", F.pow(n_d, F.lit(MIX_ALPHA)).alias("wt"))
+    # ONE tokenizing scan: the per-source table is #sources rows —
+    # checkpoint it so the window/aggregate legs below don't re-derive
+    # the corpus scan (Spark re-executes shared subtrees per reference)
+    w = s.select(
+        "source", "src_tokens", F.pow(n_d, F.lit(MIX_ALPHA)).alias("wt")
+    ).localCheckpoint()
     # every window below runs over the per-source aggregate: #sources rows
     ratio = (F.lit(EPOCH_CAP) * n_d / F.col("wt")).alias("ratio")
     ordered = W.orderBy(F.lit(EPOCH_CAP) * n_d / F.col("wt"), "source").rowsBetween(
@@ -1369,13 +1385,25 @@ _SHARD_OF_SQL = (
 )
 def shard_invalidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1, v2 = diff_versions(spark, sf_dir)
-    delta = digest_delta(
-        v1.select("doc_id", md5_long(F.col("text")).alias("old_digest")),
-        v2.select("doc_id", md5_long(F.col("text")).alias("new_digest")),
-    ).select("doc_id", "status")
     shard_of = (
         md5_long(F.concat(F.lit("shard-"), F.col("doc_id").cast("string"))) % SHARD_N
     ).cast("bigint")
+
+    # ONE text pass per version: collapse to (doc_id, digest, shard)
+    # in-row and checkpoint the narrow triple (the dedup digest-index
+    # discipline) — the delta join and both per-shard tallies read it,
+    # never the corpus again (12 parquet scans before this; the plan
+    # test pins the returned plan parquet-scan-free)
+    def aug(v: DataFrame, dig: str) -> DataFrame:
+        return v.select(
+            "doc_id", md5_long(F.col("text")).alias(dig), shard_of.alias("shard")
+        ).localCheckpoint()
+
+    v1a = aug(v1, "old_digest")
+    v2a = aug(v2, "new_digest")
+    delta = digest_delta(
+        v1a.select("doc_id", "old_digest"), v2a.select("doc_id", "new_digest")
+    ).select("doc_id", "status")
 
     def tally(status: str) -> Column:
         return (
@@ -1389,16 +1417,8 @@ def shard_invalidation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("shard")
         .agg(tally("added"), tally("removed"), tally("changed"))
     )
-    r1 = (
-        v1.select(shard_of.alias("shard"))
-        .groupBy("shard")
-        .agg(F.count("*").cast("bigint").alias("v1_rows"))
-    )
-    r2 = (
-        v2.select(shard_of.alias("shard"))
-        .groupBy("shard")
-        .agg(F.count("*").cast("bigint").alias("v2_rows"))
-    )
+    r1 = v1a.groupBy("shard").agg(F.count("*").cast("bigint").alias("v1_rows"))
+    r2 = v2a.groupBy("shard").agg(F.count("*").cast("bigint").alias("v2_rows"))
     spine = spark.range(SHARD_N).select(F.col("id").cast("bigint").alias("shard"))
     z = F.lit(0).cast("bigint")
     n_a, n_r, n_c = (F.coalesce(F.col(c), z) for c in ("n_added", "n_removed", "n_changed"))

@@ -911,14 +911,19 @@ def _nprobe_curve_oracle(sf_dir: str) -> str:
     driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
 )
 def ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cand = ivf_topk_candidates(spark, sf_dir, all_cands=True)
+    # the candidate set and exact truth are bounded (probes x cells /
+    # probes x k) — checkpoint both so the two aggregate legs and the
+    # hits join don't re-run the IVF/brute-force corpus passes
+    cand = ivf_topk_candidates(spark, sf_dir, all_cands=True).localCheckpoint()
     pts = spark.createDataFrame([(p,) for p in NPROBE_POINTS], "nprobe int")
     c = cand.join(F.broadcast(pts), F.col("cell_rank") <= F.col("nprobe"))
     w = W.partitionBy("nprobe", "probe_id").orderBy(
         F.col("cos").desc(), "neighbor_id"
     )
     topk = c.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K)
-    exact = cosine_topk(spark, sf_dir).select("probe_id", "neighbor_id")
+    exact = cosine_topk(spark, sf_dir).select(
+        "probe_id", "neighbor_id"
+    ).localCheckpoint()
     hits = topk.join(exact, ["probe_id", "neighbor_id"]).groupBy("nprobe").agg(
         F.count("*").alias("h")
     )

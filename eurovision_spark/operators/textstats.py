@@ -681,6 +681,10 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "dl", F.col("p.term").alias("term"),
         F.col("p.tf").cast("bigint").alias("tf"),
     )
+    # the three bounded sides checkpoint (query terms, per-term df,
+    # corpus stats) so the returned plan scans the corpus ONCE — the
+    # scores leg — instead of re-deriving the tokenize scan per
+    # reference (10 scans before this; tests/test_plans.py pins 1)
     queries = (
         toksed.filter(F.col("doc_id") % BM25_QUERY_MOD == 0)
         .select(
@@ -690,16 +694,18 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("term"),
         )
         .distinct()
+        .localCheckpoint()
     )
     df = (
         pairs.join(F.broadcast(queries.select("term").distinct()), "term")
         .groupBy("term")
         .agg(F.count("*").cast("bigint").alias("df"))
+        .localCheckpoint()
     )
     stats = toksed.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg(F.size("_toks")).alias("avgdl"),
-    )
+    ).localCheckpoint()
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
     )

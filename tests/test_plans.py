@@ -1102,3 +1102,50 @@ def test_corpus_build_manifest_assembly_moves_ids_only(spark):
     for node in exchanges:
         inp = re.search(r"Input \[\d+\]: (.+)", node)
         assert inp and "text#" not in inp.group(1), node.splitlines()[0] + inp.group(1)
+
+
+@pytest.mark.parametrize(
+    "name,max_scans",
+    [
+        # r10 scan-budget pins: bounded intermediates localCheckpoint so
+        # shared subtrees don't re-derive the corpus scan per reference
+        # (pre-fix: bm25 10, epoch 4, shard_invalidation 12, curve ~8)
+        ("bm25_search", 2),  # the single scores-leg postings scan
+        ("epoch_plan", 0),  # everything reads the #sources checkpoint
+        ("shard_invalidation", 0),  # reads the (id, digest, shard) triples
+        ("ivf_nprobe_curve", 0),  # reads the candidate/truth checkpoints
+        ("contamination_bloom", 6),  # probe leg 1 + the certified exact leg
+    ],
+)
+def test_r10_ops_scan_budget(spark, name, max_scans):
+    p = plan_of(spark, name)
+    assert len(re.findall(r"Scan parquet", p)) <= max_scans, name
+    assert "CartesianProduct" not in p
+
+
+def test_contamination_bloom_probe_is_broadcast_only(spark):
+    """The bloom leg's zero-corpus-shuffle claim: the one-row word map
+    reaches the corpus via BroadcastNestedLoopJoin (a broadcast cross
+    join of a single row) — the bloom side adds NO sort-merge. The
+    plan's only SortMergeJoin is the certified exact leg's id-only
+    LEFT JOIN of (doc_id) against the shared-gram counts (correct at
+    100 TB: both sides corpus-sized, 8-byte keys)."""
+    p = plan_of(spark, "contamination_bloom")
+    assert "BroadcastNestedLoopJoin" in p
+    assert len(re.findall(r"SortMergeJoin", p)) <= 2  # tree + details listing
+
+
+def test_bm25_postings_build_in_row(spark):
+    """bm25_search's postings leaf never shuffles (doc_id, term): the
+    only exchanges in the plan are the bounded df aggregate, the
+    (query_id, doc_id) score aggregate, and the per-query rank window
+    — no exchange hashes on a term column together with doc_id (the
+    tfidf-style postings shuffle this formulation removes)."""
+    p = plan_of(spark, "bm25_search")
+    assert "SortMergeJoin" not in p
+    for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p):
+        keys = m.split(", ")
+        assert not (
+            any(k.startswith("doc_id") for k in keys)
+            and any(k.startswith("term") for k in keys)
+        ), m
