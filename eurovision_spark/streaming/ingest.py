@@ -2277,9 +2277,11 @@ def stream_contamination_gate(
     - ``contam_verdicts/`` (doc_id, n_shared, contaminated) — one
       first-wins verdict per doc, row-for-row EQUAL to the batch twin's
       output on the same docs (pinned in tests/test_streaming.py);
-    - ``contam_ledger/`` (batch_key, n_docs, n_contaminated,
-      contam_frac, alert) under the versioned 64-bit multiset batch
-      digest; alert fires when contam_frac > CGATE_FRAC_ALERT.
+    - ``contam_ledger/`` (batch_key, n_docs, n_suite_grams,
+      n_contaminated, contam_frac, alert) under the versioned 64-bit
+      multiset batch digest; alert fires when contam_frac >
+      CGATE_FRAC_ALERT, and n_suite_grams == 0 exposes a gate run
+      against an absent/empty suite store (which passes vacuously).
 
     Per batch the only batch-sized work is one per-row distinct-gram
     explode + a BROADCAST probe of the bounded suite store + one
@@ -2312,7 +2314,11 @@ def stream_contamination_gate(
         n_docs, batch_key = drift_batch_key(batch_df.select("doc_id"))
         if not n_docs:
             return
-        bench = _read_store_or_empty(spark, gram_dir, "gh bigint")
+        # suite size rides the ledger: a gate run against an absent or
+        # empty store passes EVERYTHING vacuously — n_suite_grams == 0
+        # makes that auditable instead of silent
+        bench = _read_store_or_empty(spark, gram_dir, "gh bigint").localCheckpoint()
+        n_suite = bench.count()
         grams = (
             batch_df.select("doc_id", tokens(F.lower(F.col("text"))).alias("_toks"))
             .select(
@@ -2340,9 +2346,18 @@ def stream_contamination_gate(
         n_contam = verdicts.filter(F.col("contaminated") == 1).count()
         frac = round(n_contam / n_docs, 6)
         ledger_row = spark.createDataFrame(
-            [(batch_key, n_docs, n_contam, frac, int(frac > CGATE_FRAC_ALERT))],
-            "batch_key string, n_docs bigint, n_contaminated bigint, "
-            "contam_frac double, alert int",
+            [
+                (
+                    batch_key,
+                    n_docs,
+                    n_suite,
+                    n_contam,
+                    frac,
+                    int(frac > CGATE_FRAC_ALERT),
+                )
+            ],
+            "batch_key string, n_docs bigint, n_suite_grams bigint, "
+            "n_contaminated bigint, contam_frac double, alert int",
         )
         upsert_parquet(ledger_row, ledger_dir, ["batch_key"], keep="existing")
         upsert_parquet(verdicts, verdict_dir, ["doc_id"], keep="existing")

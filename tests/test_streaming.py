@@ -1988,6 +1988,7 @@ def test_stream_contamination_gate_flags_suite_copies_and_replays_stable(
         key=lambda r: r.contam_frac,
     )
     assert len(rows) == 3
+    assert all(r.n_suite_grams == 3 * 38 for r in rows)  # store audited
     assert [r.alert for r in rows] == [0, 0, 1]
     assert rows[0].contam_frac == 0.0 and rows[1].contam_frac == 0.0
     assert rows[2].contam_frac == 0.5 and rows[2].n_contaminated == 10

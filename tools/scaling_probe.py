@@ -306,6 +306,23 @@ def main() -> None:
             "Benign: the id_typo_pairs precedent, with the one-time "
             "step explained by the floor arithmetic instead of output "
             "volume.\n"
+            "- **contamination_bloom's top tiers (r10, by design)**: "
+            "BLOOM_BITS is sized for a FIXED eval suite (production "
+            "suites are MBs and do not grow with the corpus); the "
+            "synthetic bench slice here is 5% OF THE CORPUS, so the "
+            "x100/x1000 tiers drive the bitmap toward saturation and "
+            "the op's own false_pos column rises to say so — that "
+            "self-reported saturation is the bloom lesson, the exact "
+            "leg stays ground truth, and time ratios track the exact "
+            "twin's (the bloom leg is a per-row map + one bounded "
+            "bitmap build).\n"
+            "- **r10 scan-budget fixes**: bm25_search / epoch_plan / "
+            "shard_invalidation / ivf_nprobe_curve / "
+            "contamination_check had their bounded sides "
+            "localCheckpoint-ed so shared subtrees stop re-deriving "
+            "the corpus scan per reference (10/4/12/~8/6 parquet "
+            "scans -> 2/0/0/0/4, pinned in tests/test_plans.py); "
+            "oracle hashes unchanged.\n"
             "- **Reading burst residue**: the 3-run guard dodges "
             "short load bursts but not ones spanning all three runs "
             "of a cell — a cell whose x10 time sits BELOW its sf0.1 "
