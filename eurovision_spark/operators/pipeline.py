@@ -336,12 +336,16 @@ def _bloom_pos_sql(x: str, j: int) -> str:
 
 def _bloom_test(p: str) -> str:
     """Spark-SQL expression: is bit at position p set in the one-row
-    broadcast word map `_bloom`? Arithmetic shiftright's sign-fill
+    broadcast DENSE word array `_bloom`? element_at on an ARRAY is an
+    O(1) index — Spark's MapType element_at is a LINEAR SCAN over the
+    map entries (ArrayBasedMapData has no hash index), which made the
+    first formulation O(grams x occupied_words) per doc and
+    pathological at the x10 tier. Arithmetic shiftright's sign-fill
     never reaches bit 0 of the result, so `& 1` extracts bit (p % 64)
     correctly even for words with bit 63 set."""
     return (
-        f"(shiftright(coalesce(try_element_at(_bloom, "
-        f"cast(floor(({p}) / 64) as bigint)), cast(0 as bigint)), "
+        f"(shiftright(element_at(_bloom, "
+        f"cast(floor(({p}) / 64) as int) + 1), "
         f"cast(({p}) % 64 as int)) & 1) = 1"
     )
 
@@ -388,8 +392,12 @@ def _bloom_test(p: str) -> str:
     "documents: benchmark grams fold into a bit_or-aggregated bitmap "
     f"of {BLOOM_BITS} bits stored as at most {BLOOM_BITS // 64} "
     "occupied 64-bit words — bounded by CONSTRUCTION at any corpus "
-    "size, unlike the exact gram set — broadcast as one single-row "
-    "map; the corpus side probes it entirely IN-ROW (higher-order "
+    "size, unlike the exact gram set — densified driver-side (<=512 "
+    "KB) and broadcast as one single-row DENSE array (array "
+    "element_at is an O(1) index; Spark's map element_at LINEAR-SCANS "
+    "its entries, which was O(grams x words) per doc and pathological "
+    "at the x10 tier); the corpus side probes it entirely IN-ROW "
+    "(higher-order "
     f"transform/filter, {BLOOM_K} salted md5 positions per gram, "
     "shiftright bit test), so the bloom leg adds ZERO corpus-side "
     "shuffles and never moves gram text or gram hashes. The exact leg "
@@ -416,18 +424,23 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos")
         )
     )
-    bloom_row = (
+    # the word rows are bounded at BLOOM_BITS/64 by construction, so
+    # the collect is a <= 512 KB driver transfer (the IVF_SAMPLE
+    # precedent) — densified into one array<bigint> row because array
+    # element_at is an O(1) index while map element_at linear-scans
+    word_rows = (
         bench_pos.select(
             F.expr("cast(floor(pos / 64) as bigint)").alias("w"),
             F.expr("cast(pos % 64 as int)").alias("b"),
         )
         .groupBy("w")
         .agg(F.expr("bit_or(shiftleft(cast(1 as bigint), b))").alias("bits"))
-        .agg(F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("_bloom"))
-        # one row, bounded at BLOOM_BITS/64 entries: checkpoint so the
-        # bench-side gram scan behind it never re-runs
-        .localCheckpoint()
+        .collect()
     )
+    words = [0] * (BLOOM_BITS // 64)
+    for r in word_rows:
+        words[int(r.w)] = int(r.bits)
+    bloom_row = spark.createDataFrame([(words,)], "_bloom array<bigint>")
     probe = (
         shs.filter(F.col("doc_id") % BENCH_MOD != 0)
         .crossJoin(F.broadcast(bloom_row))

@@ -900,6 +900,7 @@ def test_bm25_search_python_recompute_and_planted_relevance(spark, tmp_path):
     from eurovision_spark.operators.textstats import (
         BM25_B,
         BM25_K1,
+        BM25_QUERY_CAP,
         BM25_QUERY_LEN,
         BM25_QUERY_MOD,
         BM25_TOPN,
@@ -914,7 +915,7 @@ def test_bm25_search_python_recompute_and_planted_relevance(spark, tmp_path):
         tf = {i: Counter(v) for i, v in toks.items()}
         out = {}
         for qid in sorted(toks):
-            if qid % BM25_QUERY_MOD:
+            if qid % BM25_QUERY_MOD or qid >= BM25_QUERY_CAP:
                 continue
             qterms = set(toks[qid][:BM25_QUERY_LEN])
             df = {t: sum(1 for c in tf.values() if t in c) for t in qterms}
