@@ -97,7 +97,7 @@ QUERIES = [
     ("rate_anomaly", "bounded (type, hour) counts + per-type trailing window", False),
     ("near_dup_thresholds", "certified candidate join + 20-row curve grid", True),
     # round 10: the bloom scale path, the epoch water-fill, the nprobe curve
-    ("contamination_bloom", "bit_or bitmap build + in-row map probe, exact leg joined back", True),
+    ("contamination_bloom", "bit_or bitmap build + in-row dense-array probe, exact leg joined back", True),
     ("epoch_plan", "per-source token agg + bounded prefix-sum water-fill", True),
     ("ivf_nprobe_curve", "one ranked candidate pass priced at four nprobe points", True),
     ("bm25_search", "in-row postings + broadcast query probe + (query, doc) agg", True),
