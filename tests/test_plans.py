@@ -1127,12 +1127,14 @@ def test_contamination_bloom_probe_is_broadcast_only(spark):
     """The bloom leg's zero-corpus-shuffle claim: the one-row word map
     reaches the corpus via BroadcastNestedLoopJoin (a broadcast cross
     join of a single row) — the bloom side adds NO sort-merge. The
-    plan's only SortMergeJoin is the certified exact leg's id-only
-    LEFT JOIN of (doc_id) against the shared-gram counts (correct at
-    100 TB: both sides corpus-sized, 8-byte keys)."""
+    plan's only SortMergeJoins are id-only: the certified exact leg's
+    LEFT JOIN of (doc_id) against the shared-gram counts, and the
+    final exact-vs-bloom doc_id join (both correct at 100 TB: both
+    sides corpus-sized, 8-byte keys; AQE demotes to broadcast when one
+    side measures small at runtime)."""
     p = plan_of(spark, "contamination_bloom")
     assert "BroadcastNestedLoopJoin" in p
-    assert len(re.findall(r"SortMergeJoin", p)) <= 2  # tree + details listing
+    assert len(re.findall(r"SortMergeJoin", p)) <= 4  # 2 joins x tree+details
 
 
 def test_bm25_postings_build_in_row(spark):
