@@ -472,6 +472,122 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "decontaminate",
+    f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE n_chars > 0),
+    t AS (SELECT doc_id, text,
+                 string_split_regex(trim(lower(text)), '\\s+') AS ltoks,
+                 string_split_regex(trim(text), '\\s+') AS otoks
+          FROM d),
+    g AS (SELECT doc_id,
+                 unnest(generate_series(1, len(ltoks) - 2)) AS i,
+                 ltoks
+          FROM t),
+    h AS (SELECT doc_id, i,
+                 {md5_long_sql("ltoks[i] || ' ' || ltoks[i+1] || ' ' || ltoks[i+2]")}
+                     AS gh
+          FROM g),
+    bg AS (SELECT DISTINCT gh FROM h WHERE doc_id % {BENCH_MOD} = 0),
+    hits AS (
+        SELECT h.doc_id,
+               list_sort(list_distinct(flatten(
+                   list(ARRAY[h.i, h.i + 1, h.i + 2])))) AS covered
+        FROM h JOIN bg USING (gh)
+        WHERE h.doc_id % {BENCH_MOD} <> 0
+        GROUP BY h.doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.otoks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(len(hits.covered), 0) AS BIGINT) AS n_removed,
+           coalesce(array_to_string(
+               list_filter(
+                   list_transform(generate_series(1, len(t.otoks)),
+                                  j -> CASE WHEN hits.covered IS NULL
+                                                 OR NOT list_contains(hits.covered, j)
+                                            THEN t.otoks[j] END),
+                   x -> x IS NOT NULL),
+               ' '), '') AS clean_text
+    FROM t LEFT JOIN hits ON hits.doc_id = t.doc_id
+    WHERE t.doc_id % {BENCH_MOD} <> 0
+    """,
+    "benchmark-decontamination SURGERY (the GPT-3 n-gram rule applied "
+    "as a rewrite, not a drop): every token covered by a word-3-gram "
+    "the doc shares with the benchmark slice is cut and the document "
+    "reassembled from the survivors — the production middle ground "
+    "between shipping contaminated docs and discarding them whole. "
+    "Matching runs on LOWERCASED grams (contamination_check's exact "
+    "arithmetic); removal excises the ORIGINAL-case tokens at those "
+    "positions (whitespace split is case-invariant, so positions "
+    "line up). Scale shape: the gram explode moves only (doc_id, i, "
+    "gh) rows into the broadcast bench probe; covered positions fold "
+    "to one bounded-by-doc-length int array per flagged doc; the "
+    "rebuild is an id-keyed join back to the text plus one in-row "
+    "filter — full text never shuffles and clean docs pass through "
+    "untouched. Planted-overlap fixture pins exact window excision in "
+    "tests/test_pipeline_ops.py.",
+    driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    t = d.select("doc_id", "text", tokens(F.lower(F.col("text"))).alias("_lt"))
+    grams = t.select(
+        "doc_id",
+        F.posexplode(shingles(F.col("_lt"))).alias("pos0", "sh"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("i"),  # 1-based window start
+        md5_long(F.col("sh")).alias("gh"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select("gh")
+        .distinct()
+        .localCheckpoint()  # suite-sized (the contamination_check premise)
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench), "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.array_distinct(
+                    F.flatten(
+                        F.collect_list(
+                            F.array(F.col("i"), F.col("i") + 1, F.col("i") + 2)
+                        )
+                    )
+                )
+            ).alias("covered")
+        )
+    )
+    otoks = tokens(F.col("text"))
+    survivors = F.transform(
+        F.filter(
+            F.zip_with(
+                otoks,
+                F.sequence(F.lit(1), F.size(otoks)),
+                lambda tok, j: F.struct(tok.alias("tok"), j.alias("j")),
+            ),
+            lambda s: F.coalesce(
+                ~F.array_contains(F.col("covered"), s.j), F.lit(True)
+            ),
+        ),
+        lambda s: s.tok,
+    )
+    return (
+        t.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(otoks).cast("bigint").alias("n_tokens"),
+            F.coalesce(F.size("covered"), F.lit(0))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.concat_ws(" ", survivors).alias("clean_text"),
+        )
+    )
+
+
 # mixture weighting: per-source sampling weights proportional to
 # token_count^ALPHA (temperature/alpha smoothing, the standard way a
 # pretraining mixture upweights small high-quality sources relative to

@@ -1401,3 +1401,37 @@ def test_shard_invalidation_matches_stripe_arithmetic(spark):
     # non-vacuous both ways at sf0.001: some shards dirty, and the
     # clean set is what the incremental writer actually saves
     assert 0 < n_dirty < SHARD_N
+
+
+def test_decontaminate_excises_exactly_the_shared_windows(spark, tmp_path):
+    """Planted surgery fixture: a full benchmark copy is cut to
+    nothing, a doc sharing one 5-token benchmark window loses EXACTLY
+    those five tokens (boundary grams spanning into its own text don't
+    match, so neighbors survive), a clean doc passes through
+    untouched — and removal is position-based on the ORIGINAL-case
+    tokens while matching runs lowercased."""
+    bench_toks = [f"bt{i}" for i in range(40)]
+    bench = " ".join(bench_toks)
+    # doc 2 embeds bench tokens 10..14 UPPERCASED mid-text
+    window = [t.upper() for t in bench_toks[10:15]]
+    partial = " ".join(["Keep1", "Keep2", "Keep3"] + window + ["Keep4", "Keep5", "Keep6"])
+    clean = " ".join(f"other{i}" for i in range(10))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": [bench, bench, partial, clean],
+            "n_chars": pa.array(
+                [len(bench), len(bench), len(partial), len(clean)], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    rows = {
+        r.doc_id: r for r in registry()["decontaminate"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {1, 2, 3}  # bench doc 0 never emitted
+    assert rows[1].n_removed == rows[1].n_tokens == 40
+    assert rows[1].clean_text == ""
+    assert rows[2].n_tokens == 11 and rows[2].n_removed == 5
+    assert rows[2].clean_text == "Keep1 Keep2 Keep3 Keep4 Keep5 Keep6"
+    assert rows[3].n_removed == 0 and rows[3].clean_text == clean

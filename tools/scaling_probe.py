@@ -102,6 +102,7 @@ QUERIES = [
     ("ivf_nprobe_curve", "one ranked candidate pass priced at four nprobe points", True),
     ("bm25_search", "in-row postings + broadcast query probe + (query, doc) agg", True),
     ("shard_invalidation", "in-row digest delta + bounded per-shard tallies", True),
+    ("decontaminate", "gram explode -> broadcast bench probe -> in-row window excision", True),
 ]
 
 
