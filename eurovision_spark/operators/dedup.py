@@ -1989,7 +1989,7 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
     meta = toked.select(
         "doc_id", F.size(F.col("_toks")).cast("bigint").alias("n_tokens")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # lazy (r10): the final join materializes
     # materialize the exploded (doc_id, pos, gh) frame ONCE: three
     # consumers read it (shared-gram agg, hits probe, coverage) and
     # would otherwise each re-run the gram hashing — the op's entire
@@ -1999,7 +1999,9 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = (
         toked.select("doc_id", F.posexplode(grams).alias("pos0", "g"))
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), md5_long(F.col("g")).alias("gh"))
-        .localCheckpoint()
+        # lazy (r10): the shared-gram aggregate's job materializes it;
+        # both the probe and coverage legs then read the stored leaf
+        .localCheckpoint(eager=False)
     )
     # shared grams: 8-byte hash keys only through the shuffle
     shared = (

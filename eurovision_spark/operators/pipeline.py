@@ -285,7 +285,8 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.filter(F.col("doc_id") % BENCH_MOD == 0)
         .select("gh")
         .distinct()
-        .localCheckpoint()
+        # lazy (r10): the probe leg's broadcast build materializes it
+        .localCheckpoint(eager=False)
     )
     shared = (
         grams.filter(F.col("doc_id") % BENCH_MOD != 0)
@@ -542,7 +543,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.filter(F.col("doc_id") % BENCH_MOD == 0)
         .select("gh")
         .distinct()
-        .localCheckpoint()  # suite-sized (the contamination_check premise)
+        .localCheckpoint(eager=False)  # suite-sized (the contamination_check premise); lazy (r10)
     )
     hits = (
         grams.filter(F.col("doc_id") % BENCH_MOD != 0)
@@ -717,7 +718,7 @@ def epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus scan (Spark re-executes shared subtrees per reference)
     w = s.select(
         "source", "src_tokens", F.pow(n_d, F.lit(MIX_ALPHA)).alias("wt")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # lazy (r10): first window leg materializes
     # every window below runs over the per-source aggregate: #sources rows
     ratio = (F.lit(EPOCH_CAP) * n_d / F.col("wt")).alias("ratio")
     ordered = W.orderBy(F.lit(EPOCH_CAP) * n_d / F.col("wt"), "source").rowsBetween(
@@ -819,10 +820,37 @@ N_SHARDS = 32
     driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
 )
 def token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    chunks = doc_chunk(spark, sf_dir).select(
+    # r10 (guide §2.3 — shuffle fewer bytes / narrower per-row work):
+    # packing only needs each chunk's TOKEN COUNT, which is pure
+    # arithmetic over (n_toks, chunk_idx) — the doc_chunk plan carried
+    # the full token array into every exploded chunk row just to take
+    # size(slice(toks, start, CHUNK)) (one array copy per chunk, the
+    # op's entire measured compute excess). Collapse the array to one
+    # scalar per document BEFORE the explode; the count identity
+    # n = max(0, min(CHUNK, n_toks - start + 1)) is exactly slice's
+    # length semantics (pinned against chunk_documents in
+    # tests/test_pipeline_ops.py::test_token_pack_counts_match_doc_chunk).
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    t = d.select("doc_id", F.size(tokens(F.col("text"))).alias("_nt"))
+    n_windows = F.ceil(
+        F.greatest(F.col("_nt") - CHUNK, F.lit(0)) / F.lit(float(STRIDE))
+    )
+    c = t.select(
+        "doc_id",
+        "_nt",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), n_windows.cast("bigint"))
+        ).alias("chunk_idx"),
+    )
+    start = F.lit(1) + STRIDE * F.col("chunk_idx")
+    n_chunk = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(F.lit(CHUNK).cast("bigint"), (F.col("_nt") - start + 1).cast("bigint")),
+    )
+    chunks = c.select(
         "doc_id",
         "chunk_idx",
-        F.col("n_chunk_tokens").alias("n"),
+        n_chunk.alias("n"),
         (F.col("doc_id") % N_SHARDS).alias("shard"),
     )
     w = W.partitionBy("shard").orderBy("doc_id", "chunk_idx")
@@ -1526,7 +1554,7 @@ def shard_invalidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     def aug(v: DataFrame, dig: str) -> DataFrame:
         return v.select(
             "doc_id", md5_long(F.col("text")).alias(dig), shard_of.alias("shard")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)  # lazy (r10): the delta join materializes it
 
     v1a = aug(v1, "old_digest")
     v2a = aug(v2, "new_digest")
@@ -1816,20 +1844,22 @@ def _corpus_build_oracle(sf_dir: str) -> str:
     "kept set (keep = kept AND quality_keep AND sel_keep); split is "
     "defined for EVERY row; shard/pos only for keep = 1. Every stage "
     "is the SHARED machinery of its standalone op on BOTH engines "
-    "(dedup_decision_frames / gopher_rules_frame / "
-    "repetition_stats_frame / score_documents / ccnet_bucket_frame / "
-    "shard_plan_frame Spark-side; the verbatim parent CTE chains "
-    "oracle-side), and row-for-row equality with each standalone "
-    "parent is pinned in tests/test_pipeline_ops.py — the composition "
-    "cannot diverge from the parts. Scale shape: each tier keeps its "
-    "certified plan (digest groupBy, banded equi-joins, id-only CC, "
-    "per-row rule/classifier folds, one (doc_id, gram) count, bounded "
-    "vocab broadcast, per-source tercile — or the sample-cut sibling, "
-    "one shard-keyed exchange); the composition itself adds ONLY "
-    "narrow (id, verdict) joins — document text crosses a stage "
-    "boundary once, at the survivor checkpoint (the parquet "
-    "materialization a real pipeline writes between dedup and "
-    "quality). DRIVER-facing (r10): took selection_pipeline's slot — "
+    "(dedup_decision_frames / quality_verdict_frame — the fused "
+    "per-row quality stack shared with quality_pipeline — / "
+    "ccnet_bucket_frame / shard_plan_frame Spark-side; the verbatim "
+    "parent CTE chains oracle-side), and row-for-row equality with "
+    "each standalone parent is pinned in tests/test_pipeline_ops.py — "
+    "the composition cannot diverge from the parts. Scale shape: each "
+    "tier keeps its certified plan (digest groupBy, banded equi-joins, "
+    "id-only CC, the quality stack as ONE fused per-row pass — r10: "
+    "the repetition statistics fold in-row, so the stack has zero "
+    "joins and zero aggregates — bounded vocab broadcast, per-source "
+    "tercile — or the sample-cut sibling, one shard-keyed exchange); "
+    "the composition itself adds ONLY narrow (id, verdict) joins — "
+    "document text crosses a stage boundary once, at the survivor "
+    "checkpoint (the parquet materialization a real pipeline writes "
+    "between dedup and quality). DRIVER-facing (r10): took "
+    "selection_pipeline's slot — "
     "this op exercises that op's entire gate arithmetic (ccnet + md5 "
     "tail sampling + source remap) plus the three tiers it didn't, "
     "and the standalone stays registry-gated.",
@@ -1847,42 +1877,25 @@ def corpus_build(
     )
     from eurovision_spark.operators.textstats import (
         ccnet_bucket_frame,
-        gopher_rules_frame,
-        repetition_stats_frame,
-        score_documents,
+        quality_verdict_frame,
         train_quality_model,
     )
 
     decisions, kept = dedup_decision_frames(spark, sf_dir)
-    # the dedup->quality stage boundary, materialized: four consumers
-    # (rules, repetition, classifier, ccnet) read the survivor corpus —
-    # at 100 TB this is the parquet checkpoint a real pipeline writes
-    # between the dedup pass and the quality stack
-    kept = kept.localCheckpoint()
+    # the dedup->quality stage boundary, materialized: the quality
+    # stack and ccnet both read the survivor corpus — at 100 TB this is
+    # the parquet checkpoint a real pipeline writes between the dedup
+    # pass and the quality stack. Lazy: the first consumer's job
+    # materializes it (an eager checkpoint here paid one extra
+    # scheduling round-trip for nothing — r10).
+    kept = kept.localCheckpoint(eager=False)
     w, b = train_quality_model(spark, sf_dir)
-    g = gopher_rules_frame(kept).select("doc_id", "pass_gopher")
-    r = repetition_stats_frame(kept).select("doc_id", "pass_repetition")
-    q = score_documents(kept, w, b).select("doc_id", "qc_label")
-    qual = (
-        g.join(r, "doc_id")
-        .join(q, "doc_id")
-        .select(
-            "doc_id",
-            "pass_gopher",
-            "pass_repetition",
-            "qc_label",
-            (
-                (F.col("pass_gopher") == 1)
-                & (F.col("pass_repetition") == 1)
-                & (F.col("qc_label") == 1)
-            )
-            .cast("int")
-            .alias("quality_keep"),
-        )
-        # narrow (id, flag) verdict rows, read by the selection input
-        # AND the final manifest assembly
-        .localCheckpoint(eager=False)
-    )
+    # the quality stack FUSED into one per-row pass over the survivor
+    # corpus (quality_verdict_frame, shared with quality_pipeline):
+    # zero joins, zero aggregates — the old three-frame build + two id
+    # equi-joins reassembled per-row values (r10: 15 Spark jobs ->
+    # 2 for this stage at bench sf)
+    qual = quality_verdict_frame(kept, w, b).localCheckpoint(eager=False)
     src = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("orig_id"), "source"
     )
@@ -2150,8 +2163,9 @@ def corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("chars"),
         )
         # one tokenizing scan: the per-source, per-language, and
-        # distinct-digest aggregates below all read this leaf
-        .localCheckpoint()
+        # distinct-digest aggregates below all read this leaf; lazy
+        # (r10): the first rollup materializes it
+        .localCheckpoint(eager=False)
     )
     s = g.groupBy("source").agg(
         F.sum("n_copies").cast("bigint").alias("n_docs"),

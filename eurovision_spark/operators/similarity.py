@@ -914,7 +914,9 @@ def ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the candidate set and exact truth are bounded (probes x cells /
     # probes x k) — checkpoint both so the two aggregate legs and the
     # hits join don't re-run the IVF/brute-force corpus passes
-    cand = ivf_topk_candidates(spark, sf_dir, all_cands=True).localCheckpoint()
+    cand = ivf_topk_candidates(spark, sf_dir, all_cands=True).localCheckpoint(
+        eager=False  # lazy (r10): the curve explode's first job materializes
+    )
     pts = spark.createDataFrame([(p,) for p in NPROBE_POINTS], "nprobe int")
     c = cand.join(F.broadcast(pts), F.col("cell_rank") <= F.col("nprobe"))
     w = W.partitionBy("nprobe", "probe_id").orderBy(
@@ -923,7 +925,7 @@ def ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = c.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K)
     exact = cosine_topk(spark, sf_dir).select(
         "probe_id", "neighbor_id"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # lazy (r10)
     hits = topk.join(exact, ["probe_id", "neighbor_id"]).groupBy("nprobe").agg(
         F.count("*").alias("h")
     )

@@ -483,7 +483,7 @@ def temperature_mixture_rates(d: DataFrame) -> DataFrame:
     c = d.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_toks").cast("bigint").alias("n_tokens"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # lazy (r10): first consumer materializes
     # deterministic normalizer: sorted left fold, not a re-associating
     # sum — bit-identical to the oracle's list_reduce (see _TMIX_RATES_SQL)
     z = c.agg(
@@ -707,18 +707,20 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("term"),
         )
         .distinct()
-        .localCheckpoint()
+        # lazy (r10): materialized by the first consumer's broadcast
+        # build; same leaves, three fewer scheduling round-trips here
+        .localCheckpoint(eager=False)
     )
     df = (
         pairs.join(F.broadcast(queries.select("term").distinct()), "term")
         .groupBy("term")
         .agg(F.count("*").cast("bigint").alias("df"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     stats = toksed.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg(F.size("_toks")).alias("avgdl"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
     )
@@ -1175,13 +1177,18 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     tok = d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term"))
-    freq = tok.groupBy("term").agg(F.count("*").cast("double").alias("c"))
-    # corpus total = sum of the vocab counts: derived from the tiny freq
-    # aggregate, never a third full scan+tokenize of the corpus
-    tot = freq.agg(F.sum("c").alias("n"))
+    # corpus total = sum of the vocab counts, riding the (bounded,
+    # vocab-sized) freq table as a window-over-all column — never a
+    # third full scan+tokenize of the corpus, and (r10) one broadcast
+    # build instead of an aggregate broadcast + crossJoin; counts are
+    # integer-valued doubles, so the sum is order-exact
+    freq = (
+        tok.groupBy("term")
+        .agg(F.count("*").cast("double").alias("c"))
+        .withColumn("n", F.sum("c").over(W.partitionBy()))
+    )
     return (
         tok.join(F.broadcast(freq), "term")
-        .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
@@ -1256,7 +1263,9 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = (
         d.select("doc_id", tokens(F.lower(F.col("text"))).alias("_toks"))
         .filter(F.size("_toks") >= 2)
-        .localCheckpoint()
+        # lazy (r10): the first consumer job materializes it — same
+        # one-scan leaf, one less scheduling round-trip
+        .localCheckpoint(eager=False)
     )
     n = F.size(F.col("_toks"))
     pairs = F.transform(
@@ -1805,7 +1814,7 @@ def ks_drift_frame(
         d.select("source", bin_.alias("bin"))
         .groupBy("source", "bin")
         .agg(F.count("*").cast("double").alias("n"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # lazy (r10): source-list job materializes
     )
     srcs = counts.select("source").distinct()
     bins = spark.range(KS_NBINS).select(F.col("id").cast("bigint").alias("bin"))
@@ -1929,7 +1938,7 @@ def psi_drift_frame(
         d.select("source", bin_.alias("bin"))
         .groupBy("source", "bin")
         .agg(F.count("*").cast("double").alias("n"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # lazy (r10): first PSI leg materializes
     )
     return psi_from_bin_counts(counts)
 
@@ -2074,15 +2083,19 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules_frame(d)
 
 
-def gopher_rules_frame(d: DataFrame) -> DataFrame:
+def gopher_rules_frame(d: DataFrame, keep: tuple = ()) -> DataFrame:
     """(doc_id, measurements..., rule flags..., pass_gopher) over a
     (doc_id, text) frame — split out so planted rule-violation tests
-    feed crafted documents through the same expressions."""
+    feed crafted documents through the same expressions. ``keep``
+    carries extra input columns through unchanged (the fused quality
+    stack rides ``text`` along so the downstream per-row gates read
+    the same frame instead of joining back)."""
     toks = tokens(F.col("text"))
     lines = F.split(F.col("text"), "\n")
     n_words = F.size(toks).cast("bigint")
     measured = d.select(
         "doc_id",
+        *keep,
         n_words.alias("n_words"),
         F.round(
             F.length(F.regexp_replace("text", r"\s", "")).cast("double") / n_words,
@@ -2218,10 +2231,14 @@ _REPETITION_SQL = f"""
     f"{REP_DUP3_MAX}). This is the signal that catches generation "
     "loops and template boilerplate that pass every length/vocabulary "
     "rule (gopher_rules) AND exact/near dedup (the repetition is "
-    "WITHIN one document). Scale shape: one scan; the only exchange "
-    "is the (doc_id, gram) partial/final count — map-side combined, "
-    "keyed on the same doc-partitioned ids end-to-end — then two "
-    "bounded per-doc rollups join back id-to-id. Degenerate docs "
+    "WITHIN one document). Scale shape (r10): the statistics never "
+    "leave the document, so they never shuffle — one scan, then a "
+    "pure per-row sorted-run fold (repetition_cols) computes the "
+    "identical integers the old (doc_id, gram) explode + count did; "
+    "the only exchange is the parallelism repartition of the narrow "
+    "input (plan-pinned in tests/test_plans.py, equivalence-pinned "
+    "against the explode+count form in tests/test_analytics_ops.py). "
+    "Degenerate docs "
     "(under 2/3 tokens) report 0 fractions and pass. Cross-engine "
     "exact: integer counts, one division, 4dp round; the flag "
     "compares the UNROUNDED ratio identically in both engines "
@@ -2233,54 +2250,115 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats_frame(d)
 
 
-def repetition_stats_frame(d: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens, top2gram_frac, dup3gram_frac,
-    pass_repetition) over a (doc_id, text) frame. One-scan rule: the
-    token arrays localCheckpoint once and feed the 2-gram stream, the
-    3-gram stream, and the final length join; grams are built by
-    zip_with over shifted slices (no posexplode self-join)."""
-    spark = d.sparkSession
-    toked = (
-        d.repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", tokens(F.lower(F.col("text"))).alias("_toks"))
-        .localCheckpoint()
-    )
-    n = F.size(F.col("_toks"))
+def _gram_array(toks: Column, k: int) -> Column:
+    """In-row word-k-gram array via zip_with over shifted slices (no
+    posexplode self-join). zip_with pads the longer side with NULL ->
+    concat_ws drops the null tail cleanly, but the tail grams would be
+    SHORT: slice to the exact count instead."""
+    parts = [F.slice(toks, i + 1, 2_000_000_000) for i in range(k)]
+    g = parts[0]
+    for p in parts[1:]:
+        g = F.zip_with(g, p, lambda a, b: F.concat_ws(" ", a, b))
+    n = F.size(toks)
+    return F.slice(g, 1, F.greatest(n - (k - 1), F.lit(0)))
 
-    def grams(k: int):
-        parts = [F.slice(F.col("_toks"), i + 1, 2_000_000_000) for i in range(k)]
-        g = parts[0]
-        for p in parts[1:]:
-            g = F.zip_with(g, p, lambda a, b: F.concat_ws(" ", a, b))
-        # zip_with pads the longer side with NULL -> concat_ws drops the
-        # null tail cleanly, but the tail grams are SHORT: slice to the
-        # exact count instead
-        return F.slice(g, 1, F.greatest(n - (k - 1), F.lit(0)))
 
-    g2 = toked.filter(n >= 2).select("doc_id", F.explode(grams(2)).alias("gram"))
-    g3 = toked.filter(n >= 3).select("doc_id", F.explode(grams(3)).alias("gram"))
-    c2 = g2.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
-    c3 = g3.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
-    s2 = c2.groupBy("doc_id").agg(F.max("c").alias("max2"))
-    s3 = c3.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup3"),
-        F.sum("c").alias("occ3"),
+def _run_stats(arr: Column) -> Column:
+    """struct(max_count, dup_occ) of a string array, IN-ROW: the count
+    of the most frequent element and the number of occurrences
+    belonging to elements occurring more than once — the exact
+    integers an explode + (doc_id, gram) groupBy count produces, via
+    one array_sort + one left fold over runs of equal neighbors (r10
+    optimization: the repetition statistics are WITHIN-document, so
+    nothing about them needs a shuffle). dup accounting per step: when
+    a run reaches length 2 both occurrences become duplicated (+2),
+    each further repeat adds 1."""
+    srt = F.array_sort(arr)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+        F.lit(0).cast("bigint").alias("dup"),
     )
-    top2 = F.coalesce(F.lit(2.0) * F.col("max2") / F.col("n_tokens"), F.lit(0.0))
-    dup3 = F.coalesce(F.col("dup3").cast("double") / F.col("occ3"), F.lit(0.0))
-    return (
-        toked.select("doc_id", n.cast("bigint").alias("n_tokens"))
-        .join(s2, "doc_id", "left")
-        .join(s3, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.round(top2, 4).alias("top2gram_frac"),
-            F.round(dup3, 4).alias("dup3gram_frac"),
-            ((top2 <= REP_TOP2_MAX) & (dup3 <= REP_DUP3_MAX))
-            .cast("int")
-            .alias("pass_repetition"),
+
+    def step(acc: Column, x: Column) -> Column:
+        same = acc["prev"].eqNullSafe(x)
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("bigint"))
+        dup = acc["dup"] + F.when(same & (acc["run"] == 1), 2).when(
+            same, 1
+        ).otherwise(0)
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            dup.alias("dup"),
         )
+
+    return F.aggregate(
+        srt,
+        init,
+        step,
+        lambda acc: F.struct(
+            acc["best"].alias("max_count"), acc["dup"].alias("dup_occ")
+        ),
+    )
+
+
+def repetition_cols(toks: Column) -> dict[str, Column]:
+    """The repetition statistics as pure per-row expressions over a
+    token-array column — shared by repetition_stats_frame and the fused
+    quality stack so the arithmetic exists once. Value-identical to the
+    old explode + (doc_id, gram) count formulation (max run length in
+    the sorted gram array == the max gram count; the run fold's dup
+    accumulator == sum of counts > 1; occ3 == n - 2), with the same
+    null conventions: docs under 2/3 tokens report 0 fractions and
+    pass."""
+    n = F.size(toks)
+    max2 = F.when(n >= 2, _run_stats(_gram_array(toks, 2))["max_count"])
+    dup3 = F.when(
+        n >= 3,
+        _run_stats(_gram_array(toks, 3))["dup_occ"].cast("double")
+        / (n - 2).cast("bigint"),
+    )
+    top2 = F.coalesce(F.lit(2.0) * max2 / n.cast("bigint"), F.lit(0.0))
+    dup3f = F.coalesce(dup3, F.lit(0.0))
+    return {
+        "n_tokens": n.cast("bigint").alias("n_tokens"),
+        "top2gram_frac": F.round(top2, 4).alias("top2gram_frac"),
+        "dup3gram_frac": F.round(dup3f, 4).alias("dup3gram_frac"),
+        "pass_repetition": ((top2 <= REP_TOP2_MAX) & (dup3f <= REP_DUP3_MAX))
+        .cast("int")
+        .alias("pass_repetition"),
+    }
+
+
+def repetition_stats_frame(
+    d: DataFrame, keep: tuple = (), repartition: bool = True
+) -> DataFrame:
+    """(doc_id, n_tokens, top2gram_frac, dup3gram_frac,
+    pass_repetition) over a (doc_id, text) frame — ONE per-row
+    projection (repetition_cols): the old (doc_id, gram) explode +
+    partial/final count + two id joins shuffled the gram stream (wider
+    than the text itself) to count something that never leaves the
+    document; the in-row sorted-run fold computes the identical
+    integers with ZERO exchanges beyond the parallelism repartition.
+    ``keep`` carries extra input columns through (the fused quality
+    stack rides text/pass_gopher along); ``repartition=False`` skips
+    the parallelism exchange when the caller already distributed the
+    frame."""
+    if repartition:
+        d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+    toked = d.select(
+        "doc_id", *keep, tokens(F.lower(F.col("text"))).alias("_toks")
+    )
+    c = repetition_cols(F.col("_toks"))
+    return toked.select(
+        "doc_id",
+        *keep,
+        c["n_tokens"],
+        c["top2gram_frac"],
+        c["dup3gram_frac"],
+        c["pass_repetition"],
     )
 
 
@@ -2312,30 +2390,56 @@ def _quality_pipeline_oracle(sf_dir: str) -> str:
     "repetition_stats_frame / score_documents Spark-side; the "
     "verbatim _GOPHER_SQL / _REPETITION_SQL / classifier CTEs "
     "oracle-side), so the composition cannot diverge from the parts. "
-    "Scale shape: the rule and classifier stages are per-row maps, "
-    "repetition adds its one (doc_id, gram) count, and the three "
-    "verdict frames join on doc_id as NARROW (id, flag) rows — text "
-    "never shuffles; the keep bit is a per-row conjunction.",
+    "Scale shape (r10): every gate is a per-row expression (the "
+    "repetition statistics fold in-row — repetition_cols), so the "
+    "stack FUSES into one pass over one scan: zero joins, zero "
+    "aggregates, text read once (quality_verdict_frame, shared with "
+    "corpus_build; plan-pinned in tests/test_plans.py); the keep bit "
+    "is a per-row conjunction.",
     driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
 )
 def quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     w, b = train_quality_model(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    g = gopher_rules_frame(d).select("doc_id", "pass_gopher")
-    r = repetition_stats_frame(d).select("doc_id", "pass_repetition")
-    q = score_documents(d, w, b).select("doc_id", "qc_label")
-    out = g.join(r, "doc_id").join(q, "doc_id")
-    keep = (
-        (F.col("pass_gopher") == 1)
-        & (F.col("pass_repetition") == 1)
-        & (F.col("qc_label") == 1)
+    return quality_verdict_frame(d, w, b).withColumnRenamed(
+        "quality_keep", "keep"
     )
-    return out.select(
+
+
+def quality_verdict_frame(d: DataFrame, w: list[float], b: float) -> DataFrame:
+    """(doc_id, pass_gopher, pass_repetition, qc_label, quality_keep)
+    over a (doc_id, text) frame — the quality stack FUSED into one
+    per-row pass (r10 optimization): every gate is a per-row expression
+    (gopher_rules_frame's rule map, repetition_cols' in-row run fold,
+    score_documents' classifier fold), so the old three-frame build +
+    two id equi-joins shuffled narrow verdict rows to reassemble values
+    that never left the row. One parallelism repartition, then three
+    stacked projections over the SAME stage — zero joins, zero
+    aggregates, text read once. Shared by quality_pipeline and
+    corpus_build so the fused stack cannot diverge from the standalone
+    gates (each layer IS the standalone op's expression set)."""
+    base = d.repartition(d.sparkSession.sparkContext.defaultParallelism).select(
+        "doc_id", "text"
+    )
+    g = gopher_rules_frame(base, keep=("text",)).select(
+        "doc_id", "text", "pass_gopher"
+    )
+    r = repetition_stats_frame(
+        g, keep=("text", "pass_gopher"), repartition=False
+    ).select("doc_id", "text", "pass_gopher", "pass_repetition")
+    q = score_documents(r, w, b, keep=("pass_gopher", "pass_repetition"))
+    return q.select(
         "doc_id",
         "pass_gopher",
         "pass_repetition",
         "qc_label",
-        keep.cast("int").alias("keep"),
+        (
+            (F.col("pass_gopher") == 1)
+            & (F.col("pass_repetition") == 1)
+            & (F.col("qc_label") == 1)
+        )
+        .cast("int")
+        .alias("quality_keep"),
     )
 
 
@@ -2566,7 +2670,7 @@ def chisq_drift_frame(d: DataFrame, cat_col: str = "lang") -> DataFrame:
         d.select("source", F.col(cat_col).alias("cat"))
         .groupBy("source", "cat")
         .agg(F.count("*").cast("double").alias("n"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # lazy (r10): source-list job materializes
     )
     srcs = counts.select("source").distinct()
     cats = counts.select("cat").distinct()
@@ -2695,7 +2799,9 @@ def vocab_divergence_frame(tok: DataFrame, v: int = VOCAB_V) -> DataFrame:
     counts = (
         tok.groupBy("source", "term")
         .agg(F.count("*").cast("double").alias("n"))
-        .localCheckpoint()
+        # lazy (r10): the top-V TakeOrdered job materializes it — same
+        # one-scan leaf, one fewer scheduling round-trip
+        .localCheckpoint(eager=False)
     )
     top = (
         counts.groupBy("term")
@@ -2725,7 +2831,12 @@ def vocab_divergence_frame(tok: DataFrame, v: int = VOCAB_V) -> DataFrame:
     dist = (
         grid.join(in_top.unionByName(other), ["source", "term"], "left")
         .select("source", "term", F.coalesce("n", F.lit(0.0)).alias("n"))
-        .join(tot, "source")
+        # per-source total as a window over the bounded grid (r10): the
+        # grid carries EVERY source's full mass (top cells + the OTHER
+        # remainder), so sum(n) over the source partition IS tot — one
+        # fewer join of the tot aggregate back into the distribution;
+        # counts are integer-valued doubles, so the sum is order-exact
+        .withColumn("tot", F.sum("n").over(W.partitionBy("source")))
         .select("source", "term", (F.col("n") / F.col("tot")).alias("p"))
     )
     a = dist.select(
@@ -2916,14 +3027,22 @@ def ccnet_bucket_frame(d: DataFrame, approx: bool = False) -> DataFrame:
     toked = (
         d.repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", "source", tokens(F.lower(F.col("text"))).alias("_toks"))
-        .localCheckpoint()
+        # lazy: the vocabulary job materializes it; an eager checkpoint
+        # here paid one extra scheduling round-trip for nothing (r10)
+        .localCheckpoint(eager=False)
     )
     tok = toked.select("doc_id", "source", F.explode("_toks").alias("term"))
-    freq = tok.groupBy("term").agg(F.count("*").cast("double").alias("c"))
-    tot = freq.agg(F.sum("c").alias("n"))
+    # the corpus total rides the (bounded, vocab-sized) freq table as a
+    # window-over-all column instead of a second aggregate broadcast +
+    # crossJoin — one broadcast build instead of two (r10); identical
+    # (c, n) doubles reach the log
+    freq = (
+        tok.groupBy("term")
+        .agg(F.count("*").cast("double").alias("c"))
+        .withColumn("n", F.sum("c").over(W.partitionBy()))
+    )
     scored = (
         tok.join(F.broadcast(freq), "term")
-        .crossJoin(F.broadcast(tot))
         .groupBy("doc_id", "source")
         .agg(
             F.count("*").alias("n_tokens"),
@@ -3070,7 +3189,9 @@ def dsir_weight_frame(d: DataFrame) -> DataFrame:
                 lambda t: md5_long(t) % DSIR_BUCKETS,
             ).alias("_bs"),
         )
-        .localCheckpoint()
+        # lazy: the first bucket-count job materializes it (r10 — an
+        # eager checkpoint paid a dedicated scheduling round-trip)
+        .localCheckpoint(eager=False)
     )
     tok = toked.select("doc_id", "lang", F.explode("_bs").alias("b"))
     raw = tok.groupBy("b").agg(F.count("*").cast("double").alias("nq"))
@@ -3079,20 +3200,22 @@ def dsir_weight_frame(d: DataFrame) -> DataFrame:
         .groupBy("b")
         .agg(F.count("*").cast("double").alias("nt"))
     )
-    # totals fold out of the bounded bucket aggregates, never a second
-    # corpus pass; the full bucket grid keeps zero-count buckets (their
-    # smoothed ratio still applies to any token hashing there)
-    tots = raw.agg(F.sum("nq").alias("tq")).crossJoin(
-        tgt.agg(F.coalesce(F.sum("nt"), F.lit(0.0)).alias("tt"))
-    )
     grid = toked.sparkSession.range(DSIR_BUCKETS).select(
         F.col("id").cast("bigint").alias("b")
     )
     smooth = F.lit(DSIR_BUCKETS * DSIR_ALPHA)
+    # totals fold out of the bounded bucket aggregates as window-over-
+    # all sums on the 256-row grid (never a second corpus pass; r10:
+    # previously two one-row aggregates + a crossJoin broadcast — two
+    # extra jobs for the same integers-as-doubles, whose sums are
+    # order-exact); the full bucket grid keeps zero-count buckets
+    # (their smoothed ratio still applies to any token hashing there)
+    wall = W.partitionBy()
     ratio = (
         grid.join(raw, "b", "left")
         .join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tots))
+        .withColumn("tq", F.sum(F.coalesce("nq", F.lit(0.0))).over(wall))
+        .withColumn("tt", F.sum(F.coalesce("nt", F.lit(0.0))).over(wall))
         .select(
             "b",
             (

@@ -527,7 +527,7 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the bounded sample is read twice (median, then deviations):
     # materialize it once instead of re-running the window pass
-    samp = win_sample(o).localCheckpoint()
+    samp = win_sample(o).localCheckpoint(eager=False)  # lazy (r10)
     med = samp.groupBy("o_orderpriority").agg(
         F.expr("percentile(o_totalprice, 0.5)").alias("med")
     )

@@ -595,6 +595,52 @@ def test_repetition_stats_planted_loops(spark):
     assert got[3].top2gram_frac == 0.25 and got[3].pass_repetition == 0
 
 
+def test_run_stats_equals_explode_groupby_accounting(spark):
+    """The r10 in-row rewrite's equivalence proof: _run_stats' sorted-
+    run fold must produce EXACTLY the integers the old explode +
+    (doc_id, gram) groupBy produced — max count of any element, and
+    occurrences belonging to elements occurring more than once — on
+    the full sf0.001 corpus gram streams (both 2- and 3-grams),
+    compared doc-for-doc against a literal explode+count formulation."""
+    from pyspark.sql import functions as F
+
+    from eurovision_spark.operators.textstats import (
+        _gram_array,
+        _run_stats,
+        tokens,
+    )
+    from eurovision_spark.sources import load_table
+
+    d = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", tokens(F.lower(F.col("text"))).alias("_toks"))
+    )
+    for k in (2, 3):
+        grams = _gram_array(F.col("_toks"), k)
+        inrow = {
+            r.doc_id: (r.st["max_count"], r.st["dup_occ"])
+            for r in d.filter(F.size("_toks") >= k)
+            .select("doc_id", _run_stats(grams).alias("st"))
+            .collect()
+        }
+        exploded = (
+            d.filter(F.size("_toks") >= k)
+            .select("doc_id", F.explode(grams).alias("gram"))
+            .groupBy("doc_id", "gram")
+            .agg(F.count("*").alias("c"))
+            .groupBy("doc_id")
+            .agg(
+                F.max("c").alias("mx"),
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                    "dup"
+                ),
+            )
+        )
+        want = {r.doc_id: (r.mx, r.dup) for r in exploded.collect()}
+        assert inrow == want, k
+
+
 def test_quality_pipeline_is_conjunction_of_parents(spark):
     """The composed quality manifest must equal its standalone parents
     row-for-row: every flag matches the parent op's verdict for the

@@ -299,6 +299,44 @@ def test_token_pack_conserves_tokens_and_bounds_overflow(spark):
         assert abs(p["fill"] - expected) < 1e-9
 
 
+def test_token_pack_counts_match_doc_chunk(spark):
+    """The r10 arithmetic rewrite's equivalence proof: token_pack's
+    per-chunk count n = max(0, min(CHUNK, n_toks - start + 1)) must
+    equal size(slice(toks, start, CHUNK)) — i.e. doc_chunk's
+    n_chunk_tokens — for EVERY (doc_id, chunk_idx) on the full sf0.001
+    corpus (the arithmetic is exactly slice's length semantics)."""
+    from pyspark.sql import functions as F
+
+    from eurovision_spark.operators.pipeline import CHUNK, STRIDE
+    from eurovision_spark.operators.textstats import tokens
+    from eurovision_spark.sources import load_table
+
+    want = {
+        (r.doc_id, r.chunk_idx): r.n_chunk_tokens
+        for r in registry()["doc_chunk"].fn(spark, SF).collect()
+    }
+    d = load_table(spark, SF, "documents").filter(F.col("n_chars") > 0)
+    t = d.select("doc_id", F.size(tokens(F.col("text"))).alias("nt"))
+    n_windows = F.ceil(F.greatest(F.col("nt") - CHUNK, F.lit(0)) / F.lit(float(STRIDE)))
+    c = t.select(
+        "doc_id",
+        "nt",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), n_windows.cast("bigint"))
+        ).alias("chunk_idx"),
+    )
+    start = F.lit(1) + STRIDE * F.col("chunk_idx")
+    n = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(F.lit(CHUNK).cast("bigint"), (F.col("nt") - start + 1).cast("bigint")),
+    )
+    got = {
+        (r.doc_id, r.chunk_idx): r.n
+        for r in c.select("doc_id", "chunk_idx", n.alias("n")).collect()
+    }
+    assert got == want
+
+
 def test_dedup_exact_collapses_identical_copies(spark):
     """Every planted byte-identical copy must collapse onto its
     original: n_copies >= 2 everywhere, canonical_id always the

@@ -365,6 +365,9 @@ def test_token_pack_single_exchange(spark):
     assert plan.count("hashpartitioning(") == 1, plan
     assert "hashpartitioning(shard" in plan
     assert "rangepartitioning" not in plan.lower()
+    # r10: the token array collapses to ONE scalar per document before
+    # the chunk explode — no per-chunk array slice survives in the plan
+    assert "slice(" not in plan, plan
 
 
 def test_funnel_single_user_exchange_three_windows(spark):
@@ -907,7 +910,6 @@ def test_mad_outliers_sample_is_group_limited_and_stats_broadcast(spark):
         "dsir_weights",
         "dsir_sample",
         "selection_pipeline",
-        "repetition_stats",
         "corpus_card",
     ],
 )
@@ -938,6 +940,35 @@ def test_temperature_mixture_tokenizing_scan_runs_once(spark):
         read = re.search(r"ReadSchema: (.+)", plan).group(1)
         assert "text" not in read, (name, read)
         assert "ExistingRDD" in plan  # the checkpointed counts leaf
+
+
+def test_repetition_stats_is_shuffle_free_per_row_map(spark):
+    """r10 optimization pin: the repetition statistics are WITHIN-
+    document, so the plan must carry NO gram shuffle — no aggregate,
+    no join, no window; the only exchange is the parallelism
+    round-robin repartition of the narrow (doc_id, text) input (the
+    doc_profile discipline for heavy per-row maps), and the one
+    parquet scan keeps the pushed n_chars predicate."""
+    plan = plan_of(spark, "repetition_stats")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)) == 1, plan
+    assert "GreaterThan(n_chars,0)" in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    exchanges = re.findall(r"Arguments: (\w+)\(", plan)
+    assert plan.count("Exchange") <= 2, plan  # the one repartition node
+    assert "RoundRobinPartitioning" in plan, exchanges
+
+
+def test_quality_pipeline_is_one_fused_per_row_pass(spark):
+    """r10 optimization pin: the quality stack (rules + repetition +
+    classifier + conjunction) fuses into per-row projections over ONE
+    scan — the old three-frame build + two doc_id equi-joins is gone:
+    no join, no aggregate, no window anywhere in the plan."""
+    plan = plan_of(spark, "quality_pipeline")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan, plan
+    assert "Window" not in plan, plan
 
 
 def test_gopher_rules_is_pure_per_row_map(spark):
