@@ -1449,6 +1449,21 @@ def doc_index(docs: DataFrame) -> DataFrame:
     )
 
 
+def index_signatures(idx: DataFrame) -> DataFrame:
+    """(doc_id, minhashes) derived from a :func:`doc_index` frame's
+    DISTINCT shingle sets instead of a second tokenize+shingle pass
+    over the text (r10, guide §2.4): min over a set equals min over
+    the multiset, so the signatures are bit-identical to
+    :func:`_minhash_signatures` over the same documents. The size >= 1
+    filter is exactly its ``size(_toks) >= 3`` gate (a doc has >= 1
+    word-3-gram iff it has >= 3 tokens) — without it, every
+    shingle-less doc would share the degenerate all-P31 signature and
+    band into one mega-bucket."""
+    return idx.filter(F.size("sh") >= 1).select(
+        "doc_id", minhash_from_shingles(F.col("sh")).alias("minhashes")
+    )
+
+
 def incremental_probe(
     inc_idx: DataFrame,
     inc_bands: DataFrame,
@@ -1534,11 +1549,19 @@ def incremental_dedup_decisions(inc: DataFrame, ex: DataFrame) -> DataFrame:
     plan (the batch catalog query's one-shot shape); the streaming twin
     derives the BATCH side only and probes its persisted landed index.
     """
+    # ONE tokenize/shingle pass per side (r10): each side's index frame
+    # — the shape a landed store persists — checkpoints once, and the
+    # band signatures derive from its distinct shingle sets
+    # (index_signatures) instead of re-tokenizing the text. The old
+    # form ran tokenize+shingle TWICE per side (doc_index AND
+    # _minhash_signatures).
+    inc_idx = doc_index(inc).localCheckpoint(eager=False)
+    ex_idx = doc_index(ex).localCheckpoint(eager=False)
     exact, near_pairs = incremental_probe(
-        doc_index(inc),
-        banded_signatures(_minhash_signatures(inc)),
-        doc_index(ex),
-        banded_signatures(_minhash_signatures(ex)),
+        inc_idx,
+        banded_signatures(index_signatures(inc_idx)),
+        ex_idx,
+        banded_signatures(index_signatures(ex_idx)),
     )
     return assemble_decisions(inc, exact, near_pairs)
 

@@ -640,11 +640,11 @@ def intake_batch(spark: SparkSession, store_dir: str, batch_df: DataFrame) -> No
     import os
 
     from eurovision_spark.operators.dedup import (
-        _minhash_signatures,
         assemble_decisions,
         banded_signatures,
         doc_index,
         incremental_probe,
+        index_signatures,
     )
     from eurovision_spark.operators.imp_dedup import cc_edge_list
     from eurovision_spark.sinks import upsert_parquet
@@ -679,7 +679,10 @@ def intake_batch(spark: SparkSession, store_dir: str, batch_df: DataFrame) -> No
         sigindex_dir, "doc_id bigint, band_id int, band_sig string"
     )
     inc_idx = doc_index(batch).localCheckpoint()
-    inc_bands = banded_signatures(_minhash_signatures(batch)).localCheckpoint()
+    # band signatures derive from the checkpointed index's distinct
+    # shingle sets (r10: index_signatures — bit-identical minhashes,
+    # one tokenize+shingle pass per batch instead of two)
+    inc_bands = banded_signatures(index_signatures(inc_idx)).localCheckpoint()
     # the probe keeps the adaptive join's density count: per-batch
     # candidate volume is batch x matching STORE bucket sizes — NOT
     # bounded by the batch alone (a hot landed band bucket of
