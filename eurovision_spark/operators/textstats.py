@@ -1614,7 +1614,8 @@ def _qc_oracle(sf_dir: str) -> str:
 
 
 def score_documents(
-    docs: DataFrame, w: list[float], b: float, keep: tuple = ()
+    docs: DataFrame, w: list[float], b: float, keep: tuple = (),
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Apply frozen classifier weights to a (doc_id, text) frame — the
     shared batch/stream scoring core: one per-row expression, stateless,
@@ -1623,11 +1624,17 @@ def score_documents(
     frozen model — streaming/ingest.stream_quality_gate). ``keep``
     names extra input columns to carry through unchanged (quality_drift
     rides ``source`` along so the scored frame needs no corpus-sized
-    join back to its own input)."""
+    join back to its own input). ``toks_col`` names an already-computed
+    lowercased-token-array column (the fused quality stack tokenizes
+    ONCE for all three gates — r10)."""
     wd, w_inv, w_n = w[QC_BUCKETS], w[QC_BUCKETS + 1], w[QC_BUCKETS + 2]
     warr = F.array(*[F.lit(v) for v in w[:QC_BUCKETS]])
     toked = docs.select(
-        "doc_id", *keep, tokens(F.lower(F.col("text"))).alias("_toks")
+        "doc_id",
+        *keep,
+        (
+            F.col(toks_col) if toks_col else tokens(F.lower(F.col("text")))
+        ).alias("_toks"),
     ).select(
         "doc_id",
         *keep,
@@ -2083,15 +2090,22 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules_frame(d)
 
 
-def gopher_rules_frame(d: DataFrame, keep: tuple = ()) -> DataFrame:
+def gopher_rules_frame(
+    d: DataFrame, keep: tuple = (), ltoks_col: str | None = None
+) -> DataFrame:
     """(doc_id, measurements..., rule flags..., pass_gopher) over a
     (doc_id, text) frame — split out so planted rule-violation tests
     feed crafted documents through the same expressions. ``keep``
     carries extra input columns through unchanged (the fused quality
     stack rides ``text`` along so the downstream per-row gates read
-    the same frame instead of joining back)."""
+    the same frame instead of joining back). ``ltoks_col`` names an
+    already-computed lowercased-token-array column for the stop-hit
+    rule (the fused stack computes tokens(lower(text)) ONCE and shares
+    it across all three gates — r10); the other rules keep the raw-case
+    tokenization the oracle defines."""
     toks = tokens(F.col("text"))
     lines = F.split(F.col("text"), "\n")
+    ltoks = F.col(ltoks_col) if ltoks_col else tokens(F.lower(F.col("text")))
     n_words = F.size(toks).cast("bigint")
     measured = d.select(
         "doc_id",
@@ -2132,7 +2146,7 @@ def gopher_rules_frame(d: DataFrame, keep: tuple = ()) -> DataFrame:
         ).alias("ellipsis_line_frac"),
         F.size(
             F.array_intersect(
-                F.array_distinct(tokens(F.lower(F.col("text")))),
+                F.array_distinct(ltoks),
                 F.array(*[F.lit(s) for s in GOPHER_STOPS]),
             )
         )
@@ -2333,7 +2347,8 @@ def repetition_cols(toks: Column) -> dict[str, Column]:
 
 
 def repetition_stats_frame(
-    d: DataFrame, keep: tuple = (), repartition: bool = True
+    d: DataFrame, keep: tuple = (), repartition: bool = True,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, top2gram_frac, dup3gram_frac,
     pass_repetition) over a (doc_id, text) frame — ONE per-row
@@ -2345,11 +2360,17 @@ def repetition_stats_frame(
     ``keep`` carries extra input columns through (the fused quality
     stack rides text/pass_gopher along); ``repartition=False`` skips
     the parallelism exchange when the caller already distributed the
-    frame."""
+    frame; ``toks_col`` names an already-computed lowercased-token-
+    array column (the fused stack tokenizes ONCE for all three gates
+    — r10)."""
     if repartition:
         d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
     toked = d.select(
-        "doc_id", *keep, tokens(F.lower(F.col("text"))).alias("_toks")
+        "doc_id",
+        *keep,
+        (
+            F.col(toks_col) if toks_col else tokens(F.lower(F.col("text")))
+        ).alias("_toks"),
     )
     c = repetition_cols(F.col("_toks"))
     return toked.select(
@@ -2415,19 +2436,26 @@ def quality_verdict_frame(d: DataFrame, w: list[float], b: float) -> DataFrame:
     two id equi-joins shuffled narrow verdict rows to reassemble values
     that never left the row. One parallelism repartition, then three
     stacked projections over the SAME stage — zero joins, zero
-    aggregates, text read once. Shared by quality_pipeline and
+    aggregates, text read once, and tokens(lower(text)) computed ONCE
+    and shared across all three gates (r10: the stop-hit rule, the
+    repetition fold, and the classifier fold each re-tokenized the
+    document; one shared projection drops two full string-splits of
+    the corpus per pass — measured 1.39s -> 1.20s at sf0.1, values
+    pinned identical). Shared by quality_pipeline and
     corpus_build so the fused stack cannot diverge from the standalone
     gates (each layer IS the standalone op's expression set)."""
     base = d.repartition(d.sparkSession.sparkContext.defaultParallelism).select(
-        "doc_id", "text"
+        "doc_id", "text", tokens(F.lower(F.col("text"))).alias("_lt")
     )
-    g = gopher_rules_frame(base, keep=("text",)).select(
-        "doc_id", "text", "pass_gopher"
+    g = gopher_rules_frame(base, keep=("text", "_lt"), ltoks_col="_lt").select(
+        "doc_id", "_lt", "pass_gopher"
     )
     r = repetition_stats_frame(
-        g, keep=("text", "pass_gopher"), repartition=False
-    ).select("doc_id", "text", "pass_gopher", "pass_repetition")
-    q = score_documents(r, w, b, keep=("pass_gopher", "pass_repetition"))
+        g, keep=("_lt", "pass_gopher"), repartition=False, toks_col="_lt"
+    ).select("doc_id", "_lt", "pass_gopher", "pass_repetition")
+    q = score_documents(
+        r, w, b, keep=("pass_gopher", "pass_repetition"), toks_col="_lt"
+    )
     return q.select(
         "doc_id",
         "pass_gopher",
