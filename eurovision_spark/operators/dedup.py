@@ -795,21 +795,21 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "density either way.",
 )
 def minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the shared one-tokenize edge machinery (near_edges_plan, defined
-    # below): candidates, signatures, and both verify sides all derive
-    # from ONE cached distinct-shingle frame; no threshold here — the
-    # driver twin emits every candidate's exact jaccard. Checkpointing
-    # materializes the (small) pair list so the shingle cache releases
-    # before return; fn-eager work stays inside bench's timed section.
-    pairs, sets = near_edges_plan(
+    # the shared one-tokenize edge machinery via the certified
+    # verified_near_edges path (threshold off, jaccard emitted): the
+    # candidates/signatures/verify sides all derive from ONE cached
+    # distinct-shingle frame, the bounded candidate build runs inside
+    # the AQE-off scope (its exchanges are aggregations over bounded
+    # row shapes — the verified_near_edges rationale), and the ONE
+    # edge-leaf checkpoint releases the shingle cache before return
+    # (r10: the direct near_edges_plan call paid AQE stage-jobs plus
+    # its own second checkpoint of the same rows).
+    return verified_near_edges(
         None,
+        sets=copies_shingle_sets(spark, sf_dir),
         threshold=None,
         with_jaccard=True,
-        sets=copies_shingle_sets(spark, sf_dir),
     )
-    out = pairs.localCheckpoint()
-    sets.unpersist()
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1049,7 +1049,10 @@ def near_edges_plan(
 
 
 def verified_near_edges(
-    docs: DataFrame | None, sets: DataFrame | None = None
+    docs: DataFrame | None,
+    sets: DataFrame | None = None,
+    threshold: float | None = CLUSTER_JACCARD_T,
+    with_jaccard: bool = False,
 ) -> DataFrame:
     """(doc_id_1 < doc_id_2) VERIFIED near-dup edges for a
     (doc_id, text) corpus, materialized as a plan LEAF. The verification
@@ -1089,7 +1092,7 @@ def verified_near_edges(
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         plan_edges, sets = near_edges_plan(
-            docs, threshold=CLUSTER_JACCARD_T, sets=sets
+            docs, threshold=threshold, with_jaccard=with_jaccard, sets=sets
         )
         n_pairs = getattr(plan_edges, "_sg_n_pairs", None)
         if n_pairs is not None and n_pairs > PAIR_PAYLOAD_BROADCAST_LIMIT:
@@ -1211,14 +1214,18 @@ JACC_NBINS = 20  # 0.05-wide jaccard bins over [0, 1]
     driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
 )
 def near_dup_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs, sets = near_edges_plan(
+    # the certified edge-derivation path (verified_near_edges) with the
+    # threshold gate off and the jaccard value emitted: inherits the
+    # AQE-off bounded-build scope and the ONE edge-leaf checkpoint —
+    # the old direct near_edges_plan call paid AQE stage-jobs for the
+    # candidate build plus its own second eager checkpoint of the same
+    # rows (r10: 15 Spark jobs -> 11 for a warm run, identical output)
+    jac = verified_near_edges(
         None,
+        sets=copies_shingle_sets(spark, sf_dir),
         threshold=None,
         with_jaccard=True,
-        sets=copies_shingle_sets(spark, sf_dir),
-    )
-    jac = pairs.select("jaccard").localCheckpoint()
-    sets.unpersist()
+    ).select("jaccard")
     binned = jac.select(
         F.least(
             F.floor(F.col("jaccard") * JACC_NBINS), F.lit(JACC_NBINS - 1)
