@@ -401,24 +401,46 @@ SURVIVOR_RANK_SQL = """,
     driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
 )
 def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = docs_with_copies(spark, sf_dir)
-    toked = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("_toks"))
-    quality = toked.select(
-        "doc_id",
-        (F.size(F.array_distinct(F.col("_toks"))).cast("double") / F.size("_toks")).alias(
-            "diversity"
+    # ONE per-row pass (r10): diversity and the band-0 signature are
+    # both per-row values of the same token array — the old form
+    # tokenized the corpus twice (once for diversity, once inside
+    # _minhash_signatures) and then JOINED the two frames back on
+    # doc_id to reassemble values that never left the row. Also: only
+    # band 0's rows_per_band permutations are consumed here, so the
+    # fold maintains 4 running minima instead of _minhash_signatures'
+    # 16 (4x less per-shingle arithmetic, identical values — the
+    # permutation formulas are independent).
+    docs = docs_with_copies(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toked = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("_toks")
+    ).filter(F.size("_toks") >= 3)
+    rows_per_band = N_PERM // N_BANDS
+    h_arr = F.transform(shingles(F.col("_toks")), lambda s: md5_long(s) % P31)
+    sigs = F.aggregate(
+        h_arr,
+        F.array_repeat(F.lit(P31).cast("bigint"), rows_per_band),
+        lambda acc, h: F.transform(
+            acc, lambda m, i: F.least(m, ((2 * i + 1) * h + (17 * i + 1)) % P31)
         ),
     )
-    rows_per_band = N_PERM // N_BANDS
-    band0 = _minhash_signatures(docs).select(
+    b0 = toked.select(
         "doc_id",
+        (
+            F.size(F.array_distinct(F.col("_toks"))).cast("double")
+            / F.size("_toks")
+        ).alias("diversity"),
+        sigs.alias("_b0"),
+    ).select(
+        "doc_id",
+        "diversity",
         F.md5(
             F.concat_ws(
-                ",", *[F.col("minhashes")[r].cast("string") for r in range(rows_per_band)]
+                ",", *[F.col("_b0")[r].cast("string") for r in range(rows_per_band)]
             )
         ).alias("band_sig"),
     )
-    b0 = band0.join(quality, "doc_id")
     grouped = b0.groupBy("band_sig").agg(
         F.max_by("doc_id", F.struct(F.col("diversity"), -F.col("doc_id"))).alias(
             "survivor_id"
