@@ -1535,11 +1535,23 @@ def _qc_fit(texts: list[str]) -> tuple[list[float], float]:
 
     X = np.zeros((len(texts), QC_BUCKETS + 3), dtype=np.float64)
     y = np.zeros(len(texts), dtype=np.float64)
+    # per-call bucket memo: the sample's token stream repeats a small
+    # distinct vocabulary, so hashing each DISTINCT token once replaces
+    # ~2 md5 calls per occurrence (the per-token loop plus the distinct-
+    # bucket set comprehension re-hashed everything) — r10, same values
+    bucket_of: dict[str, int] = {}
+
+    def _bk(tok: str) -> int:
+        b = bucket_of.get(tok)
+        if b is None:
+            b = bucket_of[tok] = _qc_bucket(tok)
+        return b
+
     for i, t in enumerate(texts):
         toks = t.strip().lower().split()
         n_t = max(len(toks), 1)
         for tok in toks:
-            X[i, _qc_bucket(tok)] += 1.0
+            X[i, _bk(tok)] += 1.0
         X[i, :QC_BUCKETS] /= n_t
         # three dense shape features — the signal a pure bag-of-words
         # cannot express (the diversity label is a REPETITION property):
@@ -1547,7 +1559,7 @@ def _qc_fit(texts: list[str]) -> tuple[list[float], float]:
         # collisions), 1/n, n/1000. All are exactly-rounded IEEE ops
         # (divisions of integers), so Spark and DuckDB compute them
         # bit-identically — no libm (log/exp) in the apply path.
-        X[i, QC_BUCKETS] = len({_qc_bucket(tok) for tok in toks}) / n_t
+        X[i, QC_BUCKETS] = len({_bk(tok) for tok in toks}) / n_t
         X[i, QC_BUCKETS + 1] = 1.0 / n_t
         X[i, QC_BUCKETS + 2] = n_t / 1000.0
         y[i] = _qc_label(t)
