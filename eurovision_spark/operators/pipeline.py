@@ -1877,7 +1877,10 @@ def corpus_build(
     )
     from eurovision_spark.operators.textstats import (
         ccnet_bucket_frame,
-        quality_verdict_frame,
+        gopher_rules_frame,
+        repetition_stats_frame,
+        score_documents,
+        tokens,
         train_quality_model,
     )
 
@@ -1890,12 +1893,6 @@ def corpus_build(
     # scheduling round-trip for nothing — r10).
     kept = kept.localCheckpoint(eager=False)
     w, b = train_quality_model(spark, sf_dir)
-    # the quality stack FUSED into one per-row pass over the survivor
-    # corpus (quality_verdict_frame, shared with quality_pipeline):
-    # zero joins, zero aggregates — the old three-frame build + two id
-    # equi-joins reassembled per-row values (r10: 15 Spark jobs ->
-    # 2 for this stage at bench sf)
-    qual = quality_verdict_frame(kept, w, b).localCheckpoint(eager=False)
     src = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("orig_id"), "source"
     )
@@ -1909,7 +1906,50 @@ def corpus_build(
         .join(src, "orig_id")
         .select("doc_id", "source", "text")
     )
-    bucketed = ccnet_bucket_frame(svq, approx=approx_terciles)
+    # ONE tokenize pass over the survivor corpus for BOTH downstream
+    # tiers (r10, guide §2.4): the quality verdict chain (gopher ->
+    # repetition -> classifier, each the standalone op's expression set
+    # via the shared frame helpers — the quality_verdict_frame layers
+    # verbatim, with ``source`` riding along) runs as per-row
+    # projections over the SAME tokens(lower(text)) array that ccnet's
+    # vocabulary/scoring explode consumes. The old form tokenized the
+    # survivors twice (quality_verdict_frame's scan + ccnet_bucket_
+    # frame's scan) and checkpointed each separately; the fused leaf
+    # carries (doc_id, source, _toks, 4 verdict ints) once.
+    base = svq.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", "source", "text", tokens(F.lower(F.col("text"))).alias("_lt")
+    )
+    g = gopher_rules_frame(base, keep=("source", "text", "_lt"), ltoks_col="_lt").select(
+        "doc_id", "source", "_lt", "pass_gopher"
+    )
+    r = repetition_stats_frame(
+        g, keep=("source", "_lt", "pass_gopher"), repartition=False, toks_col="_lt"
+    ).select("doc_id", "source", "_lt", "pass_gopher", "pass_repetition")
+    q = score_documents(
+        r, w, b, keep=("source", "_lt", "pass_gopher", "pass_repetition"),
+        toks_col="_lt",
+    )
+    toked = q.select(
+        "doc_id",
+        "source",
+        F.col("_lt").alias("_toks"),
+        "pass_gopher",
+        "pass_repetition",
+        "qc_label",
+        (
+            (F.col("pass_gopher") == 1)
+            & (F.col("pass_repetition") == 1)
+            & (F.col("qc_label") == 1)
+        )
+        .cast("int")
+        .alias("quality_keep"),
+    ).localCheckpoint(eager=False)
+    # verdicts read the fused leaf per-row (every kept doc, including
+    # token-less ones); ccnet's explode path reads the same leaf
+    verd = toked.select(
+        "doc_id", "pass_gopher", "pass_repetition", "qc_label", "quality_keep"
+    )
+    bucketed = ccnet_bucket_frame(None, approx=approx_terciles, toked=toked)
     sel_keep = (
         (F.col("bucket") != "tail")
         | (
@@ -1924,10 +1964,15 @@ def corpus_build(
         "avg_logprob",
         "bucket",
         sel_keep.alias("sel_keep"),
-    ).localCheckpoint(eager=False)  # read by the shard pass AND the manifest
+    )
+    # quality verdicts + selection scores merge into ONE narrow
+    # survivor-keyed frame before the manifest assembly: the shard pass
+    # and the manifest both read it, and the old separate qual/sel
+    # joins (plus the sel-semi-join-qual shard input) collapse — two
+    # fewer doc_id joins in the assembly (r10, guide §2.4).
+    comb = verd.join(sel, "doc_id", "left").localCheckpoint(eager=False)
     sharded = shard_plan_frame(
-        sel.filter(F.col("sel_keep") == 1)
-        .join(qual.filter(F.col("quality_keep") == 1), "doc_id", "left_semi")
+        comb.filter((F.col("sel_keep") == 1) & (F.col("quality_keep") == 1))
         .select("doc_id")
     )
     skey = (
@@ -1935,8 +1980,7 @@ def corpus_build(
         % 100
     )
     return (
-        decisions.join(qual, "doc_id", "left")
-        .join(sel, "doc_id", "left")
+        decisions.join(comb, "doc_id", "left")
         .join(sharded, "doc_id", "left")
         .select(
             "doc_id",

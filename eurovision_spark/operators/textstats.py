@@ -3034,7 +3034,9 @@ def ccnet_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ccnet_bucket_frame(d, approx=True)
 
 
-def ccnet_bucket_frame(d: DataFrame, approx: bool = False) -> DataFrame:
+def ccnet_bucket_frame(
+    d: DataFrame | None, approx: bool = False, toked: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, source, text) -> (doc_id, source, n_tokens,
     avg_logprob, bucket) — the CCNet scoring + tercile machinery,
     shared with selection_pipeline (its Spark twin of ccnet_score_sql /
@@ -3063,14 +3065,23 @@ def ccnet_bucket_frame(d: DataFrame, approx: bool = False) -> DataFrame:
       and bucket sizes track thirds by VALUE cuts rather than ntile's
       equal-fill rule — on all-distinct scores with n divisible by 3
       the two forms agree exactly (pinned by a planted test)."""
-    spark = d.sparkSession
-    toked = (
-        d.repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", "source", tokens(F.lower(F.col("text"))).alias("_toks"))
-        # lazy: the vocabulary job materializes it; an eager checkpoint
-        # here paid one extra scheduling round-trip for nothing (r10)
-        .localCheckpoint(eager=False)
-    )
+    if toked is None:
+        spark = d.sparkSession
+        toked = (
+            d.repartition(spark.sparkContext.defaultParallelism)
+            .select(
+                "doc_id", "source", tokens(F.lower(F.col("text"))).alias("_toks")
+            )
+            # lazy: the vocabulary job materializes it; an eager checkpoint
+            # here paid one extra scheduling round-trip for nothing (r10)
+            .localCheckpoint(eager=False)
+        )
+    # ``toked``: a caller that already owns a materialized
+    # (doc_id, source, _toks) leaf passes it to skip this function's
+    # tokenize scan + checkpoint entirely (corpus_build fuses the
+    # quality-verdict chain into the SAME per-row pass, so the survivor
+    # corpus tokenizes once for both tiers — r10, guide §2.4); extra
+    # columns on the leaf are ignored here and never reach the explode.
     tok = toked.select("doc_id", "source", F.explode("_toks").alias("term"))
     # the corpus total rides the (bounded, vocab-sized) freq table as a
     # window-over-all column instead of a second aggregate broadcast +
