@@ -107,9 +107,25 @@ def flagship_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no entry string (null names drop out of collect_set). Inner joins
     # here would silently change the EXISTS semantics on any data
     # without strict FK integrity. Same single l_orderkey shuffle.
+    hits = orders.filter(F.col("o_totalprice") > 150000)
+    # pre-filter the fact side BEFORE the group-concat aggregate (guide
+    # §3.2): only hit orders are ever consumed downstream, so the
+    # semi-join drops the other ~half of lineitem before the heavy
+    # collect_set exchange — same values (the final inner join with
+    # hits discarded those groups anyway). Locally the hit-key side
+    # broadcasts; at scale the planner's SMJ shuffles lineitem on
+    # l_orderkey ONCE and the groupBy reuses that partitioning, so the
+    # total fact shuffles stay at one while the aggregate builds over
+    # hit orders only (measured sf0.1 interleaved A/B: 2.76s -> 2.38s,
+    # rows byte-identical).
+    li = lineitem.join(
+        hits.select("o_orderkey"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    )
     child_agg = (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey, "left")
-        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey, "left")
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left")
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey, "left")
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey, "left")
         .select(
             "l_orderkey",
@@ -130,7 +146,6 @@ def flagship_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    hits = orders.filter(F.col("o_totalprice") > 150000)
     return (
         hits.join(
             child_agg.filter(F.col("_max_qty") >= 30),
