@@ -84,9 +84,9 @@ QUERIES = [
     ("dsir_sample", "dsir_weights' plan + per-row hash gate, nothing lands", True),
     ("quality_drift", "per-row classifier fold + one (source, bin) count", True),
     ("gopher_rules", "pure per-row rule expressions, zero shuffles", True),
-    ("repetition_stats", "(doc_id, gram) partial/final count + per-doc rollups", True),
+    ("repetition_stats", "in-row sorted-run gram fold, shuffle-free (r10 fusion)", True),
     ("shard_plan", "one shard-keyed exchange + per-shard external sort", True),
-    ("quality_pipeline", "three narrow (id, flag) verdict joins, text never shuffles", True),
+    ("quality_pipeline", "one fused per-row verdict pass, zero joins (r10 fusion)", True),
     # round 9 (cont.): cluster-aware splits + the per-source datasheet
     ("leakage_safe_split", "certified cluster plan + id-only join + group window", True),
     ("corpus_card", "one tokenize scan -> (source, lang, digest) leaf, bounded tails", True),
