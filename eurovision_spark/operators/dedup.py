@@ -1747,13 +1747,26 @@ def dedup_decision_frames(
     )
     # digest collapse, computed ONCE and cached: the survivor set feeds
     # the LSH stage and the (doc_id, c) map feeds the final assembly —
-    # without the persist the md5 groupBy+join re-runs per consumer. At
+    # without the persist the md5 collapse re-runs per consumer. At
     # 100 TB a real pipeline materializes this stage boundary to parquet
     # (the digest collapse is a natural checkpoint); the persist is the
-    # single-pass stand-in.
-    dig = docs.select("doc_id", "text", F.md5("text").alias("_d"))
-    canon = dig.groupBy("_d").agg(F.min("doc_id").alias("c"))
-    mapc = dig.join(canon, "_d").select("doc_id", "text", "c").persist()
+    # single-pass stand-in. The canonical id is a min-over-window on
+    # the digest (r10, guide §2.4/§8): the old groupBy+join form ran
+    # the scan AND the per-doc md5 TWICE (once into the narrow canon
+    # aggregate, once into the join's streamed side) — the window
+    # computes identical values (min doc_id per digest group) from ONE
+    # scan and one md5 pass, trading the join for a single digest-keyed
+    # exchange of rows that must land in the cache anyway (measured
+    # sf0.1 interleaved A/B on the full decision pass: 4.36s -> 4.16s).
+    mapc = (
+        docs.select("doc_id", "text", F.md5("text").alias("_d"))
+        .select(
+            "doc_id",
+            "text",
+            F.min("doc_id").over(W.partitionBy("_d")).alias("c"),
+        )
+        .persist()
+    )
     surv = mapc.filter(F.col("doc_id") == F.col("c")).select("doc_id", "text")
     ne = verified_near_edges(surv)
     labels = cc_edge_list(
