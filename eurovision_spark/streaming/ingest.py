@@ -659,16 +659,23 @@ def intake_batch(spark: SparkSession, store_dir: str, batch_df: DataFrame) -> No
     def _read_or_empty(path: str, ddl: str) -> DataFrame:
         return _read_store_or_empty(spark, path, ddl)
 
-    grouped = batch_df.groupBy(F.md5("text").alias("_d")).agg(
-        F.min_by(F.struct("doc_id", "text"), F.col("doc_id")).alias("_r")
-    ).select("_r.doc_id", "_r.text")
+    # in-batch digest collapse as ONE min-over-window pass (r10, the
+    # batch dedup_decision_frames shape): the old groupBy(min_by) +
+    # digest join recomputed md5(text) three times over the batch and
+    # reassembled survivor/member rows it already had side by side
+    rep_w = batch_df.select(
+        "doc_id", "text", F.md5("text").alias("_d")
+    ).select(
+        "doc_id",
+        "text",
+        F.min("doc_id").over(W.partitionBy("_d")).alias("_rep"),
+    )
+    grouped = rep_w.filter(F.col("doc_id") == F.col("_rep")).select(
+        "doc_id", "text"
+    )
     # the collapsed members' ledger rows: exact_dup of the in-batch
     # survivor (they never probe the store — their text already did)
-    rep_of = batch_df.select("doc_id", F.md5("text").alias("_d")).join(
-        grouped.select(F.col("doc_id").alias("_rep"), F.md5("text").alias("_d")),
-        "_d",
-    )
-    collapsed = rep_of.filter(F.col("doc_id") != F.col("_rep")).select(
+    collapsed = rep_w.filter(F.col("doc_id") != F.col("_rep")).select(
         "doc_id",
         F.lit("exact_dup").alias("decision"),
         F.col("_rep").cast("bigint").alias("matched_id"),
