@@ -161,6 +161,52 @@ def main() -> None:
     except Exception:  # noqa: BLE001
         pass
 
+    # Burst evidence (r11, VERDICT r10 item #1 — ADDITIVE ONLY, the
+    # timed region per rep is untouched): this box takes external load
+    # bursts (loadavg 0.05 -> 7 with nothing local running) that span
+    # whole queries' min-of-N windows — in r10 one burst turned a real
+    # -10% suite improvement into 22 false per-query regression flags.
+    # Three additive signals make the next comparison burst-evident:
+    # (a) 1-min loadavg before/after the pass (detail line; the "after"
+    # reading includes our own task load, so the floor probes below are
+    # the cleaner signal), (b) the 1-task scheduling-floor probe
+    # re-measured BEFORE the pass and periodically DURING it (an
+    # inflated floor = the burst is live right now), and (c) a
+    # load_suspect re-time: when a query's reps disagree >=2x AND a
+    # floor probe taken at that moment reads >2.5x the session's quiet
+    # floor, the burst likely ate a rep — take ONE more timed rep
+    # (still min-of-N, nothing cached) and record the query + the probe
+    # value in the detail line's load_suspect map.
+    def _getload() -> float | None:
+        try:
+            return round(os.getloadavg()[0], 2)
+        except OSError:  # pragma: no cover - loadavg always exists on linux
+            return None
+
+    load1_before = _getload()
+    sc = spark.sparkContext
+    floor_probes: list[float] = []
+
+    def _floor_probe(n: int = 1) -> float:
+        best = None
+        for _ in range(n):
+            t0 = time.time()
+            sc.parallelize([0], 1).count()
+            v = round(time.time() - t0, 3)
+            floor_probes.append(v)
+            best = v if best is None else min(best, v)
+        return best
+
+    try:
+        # one discarded warmup first: the very first parallelize().count()
+        # of a session pays one-time codegen/scheduler setup (~1.3s
+        # measured) that would poison the probe list
+        sc.parallelize([0], 1).count()
+        floor_init = _floor_probe(5)
+    except Exception:  # noqa: BLE001 — instrumentation never kills the bench
+        floor_init = None
+    load_suspect: dict[str, float] = {}
+
     # Two passes per query: the first (cold) pays Catalyst analysis +
     # whole-stage-codegen compilation — a per-plan constant that
     # amortizes to nothing over a 100 TB run; the second (warm) is the
@@ -173,7 +219,16 @@ def main() -> None:
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE):
+        # mid-pass floor re-probe every 30 queries: a burst that spans
+        # part of the pass shows up as an inflated probe in the detail
+        # line's floor_probes list even when no single query trips the
+        # suspect path (costs ~0.13s x 2 over the whole pass)
+        if i and i % 30 == 0 and floor_init is not None:
+            try:
+                _floor_probe(1)
+            except Exception:  # noqa: BLE001
+                pass
         fn = specs[name].fn
         try:
             t0 = time.time()
@@ -195,6 +250,26 @@ def main() -> None:
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 runs.append(time.time() - t0)
+            # load_suspect re-time (r11): reps still disagreeing >=2x is
+            # burst-shaped; confirm with a floor probe taken NOW and, if
+            # the floor is inflated, pay one more rep so the burst can't
+            # own the min. Purely additive — every rep is the same
+            # noop-sink build, min-of-N stands.
+            if max(runs) > 2.0 * min(runs) and floor_init is not None:
+                try:
+                    probe = _floor_probe(1)
+                    # threshold off the BEST floor seen this session, not
+                    # the pre-pass value — a pass that STARTS loaded would
+                    # otherwise inflate its own burst threshold
+                    if probe > 2.5 * min(floor_probes):
+                        load_suspect[name] = probe
+                        t0 = time.time()
+                        fn(spark, sf_dir).write.format("noop").mode(
+                            "overwrite"
+                        ).save()
+                        runs.append(time.time() - t0)
+                except Exception:  # noqa: BLE001
+                    pass
             warm[name] = round(min(runs), 3)
         except Exception as exc:  # noqa: BLE001 — report, keep benching
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
@@ -211,13 +286,13 @@ def main() -> None:
     noop_floor = None
     heavy = None
     try:
-        sc = spark.sparkContext
-        floor_runs = []
-        for _ in range(5):
-            t0 = time.time()
-            sc.parallelize([0], 1).count()
-            floor_runs.append(time.time() - t0)
-        noop_floor = round(min(floor_runs), 3)
+        # post-pass probe as before; floor_sec is now the min over EVERY
+        # probe taken this session (pre-pass 5 + mid-pass + suspect +
+        # these 5) — the same quantity (the box's quiet scheduling
+        # floor), measured at more moments so a loaded window can't
+        # masquerade as the floor
+        _floor_probe(5)
+        noop_floor = round(min(floor_probes), 3)
         if warm:
             heavy_name = max(warm, key=warm.get)
             sc.setJobGroup("sg-heavy-probe", "job count for heaviest query")
@@ -273,7 +348,17 @@ def main() -> None:
         errors["_parse_registry"] = f"{type(exc).__name__}: {exc}"[:500]
 
     for line in format_output(
-        warm, cold, errors, n_lines, parse_sec, sf, noop_floor, heavy
+        warm,
+        cold,
+        errors,
+        n_lines,
+        parse_sec,
+        sf,
+        noop_floor,
+        heavy,
+        load1=[load1_before, _getload()],
+        floor_probes=floor_probes,
+        load_suspect=load_suspect,
     ):
         print(line)
 
@@ -287,6 +372,9 @@ def format_output(
     sf: float,
     noop_floor: float | None = None,
     heavy: dict | None = None,
+    load1: list[float | None] | None = None,
+    floor_probes: list[float] | None = None,
+    load_suspect: dict[str, float] | None = None,
 ) -> list[str]:
     """Two lines, DETAIL first, COMPACT last: the driver records only
     the LAST 2000 characters of stdout, and the single-line form kept
@@ -306,6 +394,17 @@ def format_output(
     }
     if errors:
         detail["errors"] = errors
+    # burst evidence (r11): 1-min loadavg around the pass, every floor
+    # probe taken during it, and the queries whose reps disagreed while
+    # the floor was measurably inflated. All detail-line-only — the
+    # compact contract line is unchanged except floor_sec's wider
+    # probe base.
+    if load1 is not None:
+        detail["load1"] = load1
+    if floor_probes:
+        detail["floor_probes"] = floor_probes
+    if load_suspect:
+        detail["load_suspect"] = load_suspect
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(warm.values()), 3),
