@@ -1773,36 +1773,39 @@ def dedup_decision_frames(
         ne, "doc_id_1", "doc_id_2", materialized=True,
         n_edges_hint=getattr(ne, "_sg_n_pairs", None),
     )
-    lab = labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
-    lab_c = lab.select(F.col("doc_id").alias("c"), F.col("cluster_id").alias("c_cluster"))
-    decisions = (
-        mapc.select("doc_id", "c")
-        .join(lab, "doc_id", "left")
-        .join(lab_c, "c", "left")
-        .select(
-            "doc_id",
-            F.when(F.col("doc_id") != F.col("c"), F.lit("exact_dup"))
-            .when(
-                F.col("cluster_id").isNotNull()
-                & (F.col("cluster_id") != F.col("doc_id")),
-                F.lit("near_dup"),
-            )
-            .otherwise(F.lit("kept"))
-            .alias("decision"),
-            F.when(
-                F.col("doc_id") != F.col("c"),
-                F.coalesce("c_cluster", F.col("c")),
-            )
-            .otherwise(F.coalesce("cluster_id", F.col("doc_id")))
-            .cast("bigint")
-            .alias("survivor_id"),
+    # ONE labels lookup keyed on the canonical id (r11, guide §2.4 —
+    # VERDICT r10 item #2): the old assembly joined the CC labels twice
+    # (lab on doc_id, lab_c on c) and kept_docs paid a third. But CC
+    # nodes come from edges over `surv`, where doc_id == c by
+    # construction, so lab[doc_id] is NULL on every exact_dup row and
+    # equals lab[c] on every surviving row — both outputs depend on
+    # lab[c] alone:
+    #   survivor_id = coalesce(lab[c], c)                  (all rows)
+    #   decision    = exact_dup  when doc_id != c
+    #                 near_dup   when lab[c] not null and lab[c] != doc_id
+    #                 kept       otherwise
+    # and kept = surviving rows whose lab[c] is null-or-self. One
+    # bounded-labels join shared by decisions AND kept_docs instead of
+    # three label joins across the two consumers; equivalence is pinned
+    # doc-for-doc against the two-join form in tests/test_pipeline_ops
+    # and by the unchanged dedup_pipeline/corpus_build oracle hashes.
+    lab_c = labels.select(F.col("node").alias("c"), F.col("comp").alias("c_cluster"))
+    j = mapc.join(lab_c, "c", "left")
+    decisions = j.select(
+        "doc_id",
+        F.when(F.col("doc_id") != F.col("c"), F.lit("exact_dup"))
+        .when(
+            F.col("c_cluster").isNotNull() & (F.col("c_cluster") != F.col("doc_id")),
+            F.lit("near_dup"),
         )
+        .otherwise(F.lit("kept"))
+        .alias("decision"),
+        F.coalesce("c_cluster", F.col("c")).cast("bigint").alias("survivor_id"),
     )
-    kept_docs = (
-        surv.join(lab, "doc_id", "left")
-        .filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
-        .select("doc_id", "text")
-    )
+    kept_docs = j.filter(
+        (F.col("doc_id") == F.col("c"))
+        & (F.col("c_cluster").isNull() | (F.col("c_cluster") == F.col("doc_id")))
+    ).select("doc_id", "text")
     return decisions, kept_docs
 
 

@@ -1856,9 +1856,11 @@ def _corpus_build_oracle(sf_dir: str) -> str:
     "joins and zero aggregates — bounded vocab broadcast, per-source "
     "tercile — or the sample-cut sibling, one shard-keyed exchange); "
     "the composition itself adds ONLY narrow (id, verdict) joins — "
-    "document text crosses a stage boundary once, at the survivor "
-    "checkpoint (the parquet materialization a real pipeline writes "
-    "between dedup and quality). DRIVER-facing (r10): took "
+    "document text crosses a stage boundary exactly twice, at the "
+    "digest-collapse exchange (the min-over-window canonical-id pass) "
+    "and at the survivor checkpoint (each the parquet materialization "
+    "a real pipeline writes anyway — pinned in tests/test_plans.py). "
+    "DRIVER-facing (r10): took "
     "selection_pipeline's slot — "
     "this op exercises that op's entire gate arithmetic (ccnet + md5 "
     "tail sampling + source remap) plus the three tiers it didn't, "
@@ -1897,7 +1899,14 @@ def corpus_build(
         F.col("doc_id").alias("orig_id"), "source"
     )
     # kept ids are base ids or near-copy ids (exact copies always
-    # collapse); copies inherit the original's source
+    # collapse); copies inherit the original's source. NOTE (r11,
+    # ADVICE r10): verdict coverage depends on this orig_id->documents
+    # INNER join — every kept id maps back to a documents row by
+    # construction (kept ids are base ids or +NEAR_COPY_OFFSET of base
+    # ids, both present in documents), so no verdict rows are lost; a
+    # dirty input whose kept id had no documents row would drop that
+    # doc's verdicts to NULL in the manifest. The FK holds on every
+    # suite corpus and the oracle pins it.
     orig = F.when(
         F.col("doc_id") >= NEAR_COPY_OFFSET, F.col("doc_id") - NEAR_COPY_OFFSET
     ).otherwise(F.col("doc_id"))

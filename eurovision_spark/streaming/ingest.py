@@ -662,13 +662,19 @@ def intake_batch(spark: SparkSession, store_dir: str, batch_df: DataFrame) -> No
     # in-batch digest collapse as ONE min-over-window pass (r10, the
     # batch dedup_decision_frames shape): the old groupBy(min_by) +
     # digest join recomputed md5(text) three times over the batch and
-    # reassembled survivor/member rows it already had side by side
-    rep_w = batch_df.select(
-        "doc_id", "text", F.md5("text").alias("_d")
-    ).select(
-        "doc_id",
-        "text",
-        F.min("doc_id").over(W.partitionBy("_d")).alias("_rep"),
+    # reassembled survivor/member rows it already had side by side.
+    # The pass is checkpointed (r11, ADVICE r10): BOTH consumers — the
+    # survivor filter feeding the probe/land/index legs and the
+    # collapsed ledger filter — read the one materialized leaf, so the
+    # md5+window work executes once per batch, not once per consumer.
+    rep_w = (
+        batch_df.select("doc_id", "text", F.md5("text").alias("_d"))
+        .select(
+            "doc_id",
+            "text",
+            F.min("doc_id").over(W.partitionBy("_d")).alias("_rep"),
+        )
+        .localCheckpoint(eager=False)
     )
     grouped = rep_w.filter(F.col("doc_id") == F.col("_rep")).select(
         "doc_id", "text"
@@ -680,7 +686,9 @@ def intake_batch(spark: SparkSession, store_dir: str, batch_df: DataFrame) -> No
         F.lit("exact_dup").alias("decision"),
         F.col("_rep").cast("bigint").alias("matched_id"),
     )
-    batch = grouped.localCheckpoint()  # decisions + landing + index share it
+    # decisions + landing + index share the survivor filter — a narrow
+    # in-partition filter over the rep_w leaf, so no second checkpoint
+    batch = grouped
     ex_idx = _read_or_empty(index_dir, "doc_id bigint, _d string, sh array<string>")
     ex_bands = _read_or_empty(
         sigindex_dir, "doc_id bigint, band_id int, band_sig string"

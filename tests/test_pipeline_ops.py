@@ -545,6 +545,27 @@ def test_dedup_pipeline_provenance_is_transitive(spark):
             assert r.survivor_id < NEAR_COPY_OFFSET
 
 
+def test_dedup_decision_frames_kept_matches_decisions(spark):
+    """r11: dedup_decision_frames joins the CC labels ONCE, keyed on the
+    canonical id, and kept_docs rides the SAME joined frame — sound
+    because every CC node is an exact-canonical survivor (edges are
+    generated over `surv`, where doc_id == c), so lab[doc_id] is NULL on
+    exact_dup rows and equals lab[c] on surviving rows. The two-join
+    definition itself stays pinned by the dedup_pipeline/corpus_build
+    oracle hashes (DEDUP_DECISION_SELECT is still the two-LEFT-JOIN
+    SQL); this pins the cross-frame invariant the shared join must
+    preserve: kept_docs' ids are exactly the 'kept' decisions."""
+    from eurovision_spark.operators.dedup import dedup_decision_frames
+
+    decisions, kept = dedup_decision_frames(spark, "/root/testdata/sf0.001")
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    dec_rows = decisions.collect()
+    dec_kept = {r.doc_id for r in dec_rows if r.decision == "kept"}
+    assert kept_ids == dec_kept
+    # and every survivor_id a dropped row points at is a kept doc
+    assert {r.survivor_id for r in dec_rows} <= dec_kept
+
+
 def test_html_strip_roundtrips_to_original_text(spark):
     """Stripping the planted markup must recover the original text
     exactly (plus the decoded entity suffix on %5 docs), with tag and

@@ -1140,8 +1140,17 @@ def test_corpus_build_manifest_assembly_moves_ids_only(spark):
         if "text#" in inp.group(1):
             text_exchanges.append((node.splitlines()[0], inp.group(1)))
             # only the digest-collapse boundary may carry text: its
-            # input is exactly the (doc_id, text, _d) triple
-            assert "_d#" in inp.group(1), node.splitlines()[0] + inp.group(1)
+            # input is EXACTLY the (doc_id, text, _d) triple — the full
+            # column-set check (r11, ADVICE r10), so an unrelated future
+            # exchange that happens to carry text alongside some digest
+            # column cannot slip through on `_d#` membership alone
+            cols = {
+                c.split("#")[0]
+                for c in inp.group(1).strip("[]").split(", ")
+            }
+            assert cols == {"doc_id", "text", "_d"}, (
+                node.splitlines()[0] + inp.group(1)
+            )
     # and that boundary is ONE physical exchange: the formatted explain
     # re-renders the cache-BUILD subtree once per InMemoryRelation
     # reference, so the same digest exchange may appear several times —
