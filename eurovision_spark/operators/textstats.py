@@ -577,9 +577,10 @@ TFIDF_TOPK = 3
     "smoothed idf, top-3 per doc. Rank key is the INTEGER triple "
     "(tf desc, df asc, term) so both engines agree independent of libm "
     "ln() ulp differences; the tfidf double is reported, not ranked on. "
-    "Scale shape: tf shuffles on (doc_id, term) once; df is a tiny "
-    "term-keyed aggregate that BROADCASTS back — the fact-sized tf "
-    "relation never reshuffles for the join.",
+    "Scale shape: tf shuffles on (doc_id, term) once; df is a "
+    "term-keyed (vocabulary-sized) aggregate whose join is stats-"
+    "driven — broadcast while it fits, shuffled when a web-scale "
+    "vocabulary doesn't (no forced hint, r11).",
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -590,8 +591,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = tok.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
     w = W.partitionBy("doc_id").orderBy(F.col("tf").desc(), "df", "term")
+    # r11 (VERDICT r10 item #5): no forced broadcast on df — the
+    # term-keyed document-frequency table is vocabulary-sized, which a
+    # 100 TB web corpus makes unbroadcastable; AQE picks broadcast at
+    # runtime while it fits and degrades to a shuffled join when it
+    # doesn't. The one-row n_docs always broadcasts.
     return (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .join(F.broadcast(n_docs))
         .withColumn("tfidf", F.round(F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 4))
         .withColumn("rn", F.row_number().over(w))
@@ -1166,29 +1172,42 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "primitive): per-doc mean log-probability of its tokens under the "
     "corpus's own unigram distribution — low scorers are gibberish or "
     "vocabulary outliers, the classic cheap quality gate before an "
-    "expensive model-based filter. Two bounded shuffles at any scale: "
-    "the term-count aggregate (map-side combined, vocabulary-sized "
-    "output) BROADCASTs back to the token stream, and the per-doc mean "
-    "pre-aggregates in-partition (a doc's exploded tokens stay "
-    "co-located through narrow ops), so the final exchange moves one "
-    "row per document, never per token.",
+    "expensive model-based filter. Scale shape: the term-count "
+    "aggregate is map-side combined (vocabulary-sized output), its "
+    "one-row total broadcasts, and the vocab-vs-token join is "
+    "stats-driven — Catalyst/AQE broadcasts the vocab while it fits "
+    "and degrades to a shuffled join when a 100 TB vocabulary doesn't "
+    "(no forced-broadcast hint, r11); the per-doc mean pre-aggregates "
+    "in-partition, so the final exchange moves one row per document, "
+    "never per token.",
     driver=False,  # registry-gated: oracle-checked at sf0.001 (pytest) + sf0.01 (verify)
 )
 def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     tok = d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term"))
-    # corpus total = sum of the vocab counts, riding the (bounded,
-    # vocab-sized) freq table as a window-over-all column — never a
-    # third full scan+tokenize of the corpus, and (r10) one broadcast
-    # build instead of an aggregate broadcast + crossJoin; counts are
-    # integer-valued doubles, so the sum is order-exact
+    # the vocab count materializes ONCE (vocabulary-sized — the stats
+    # table an LM-scoring pipeline lands anyway); the one-row corpus
+    # total aggregates over the leaf and always broadcasts, and the
+    # token join reads the same leaf, so neither consumer re-derives
+    # the corpus scan. r11 (VERDICT r10 item #5): the r10 form rode the
+    # total on freq as a window-over-all column and force-broadcast
+    # freq into the token join — both silently assume the vocabulary is
+    # bounded, which web text at 100 TB is not (a SinglePartition
+    # exchange of the whole vocab + a broadcast hint AQE cannot
+    # demote). The vocab join is now left to the planner — locally it
+    # still plans broadcast from the leaf's measured size, at scale it
+    # degrades to a shuffled join (the bigram_logprob discipline).
+    # Counts are integer-valued doubles, so the sum is order-exact and
+    # n is identical either way.
     freq = (
         tok.groupBy("term")
         .agg(F.count("*").cast("double").alias("c"))
-        .withColumn("n", F.sum("c").over(W.partitionBy()))
+        .localCheckpoint(eager=False)
     )
+    tot = freq.agg(F.sum("c").alias("n"))
     return (
-        tok.join(F.broadcast(freq), "term")
+        tok.join(freq, "term")
+        .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
@@ -3083,17 +3102,23 @@ def ccnet_bucket_frame(
     # corpus tokenizes once for both tiers — r10, guide §2.4); extra
     # columns on the leaf are ignored here and never reach the explode.
     tok = toked.select("doc_id", "source", F.explode("_toks").alias("term"))
-    # the corpus total rides the (bounded, vocab-sized) freq table as a
-    # window-over-all column instead of a second aggregate broadcast +
-    # crossJoin — one broadcast build instead of two (r10); identical
-    # (c, n) doubles reach the log
+    # vocab count materialized once; one-row total over the leaf
+    # broadcasts; the vocab join is left to the planner (r11, VERDICT
+    # r10 item #5 — see unigram_logprob: the window-over-all total and
+    # the forced freq broadcast both assumed a bounded vocabulary, a
+    # SinglePartition-exchange + un-demotable-broadcast cliff at 100 TB
+    # web text; locally the planner still picks broadcast off the
+    # leaf's measured size). Identical (c, n) doubles reach the log —
+    # integer-valued counts sum order-exactly.
     freq = (
         tok.groupBy("term")
         .agg(F.count("*").cast("double").alias("c"))
-        .withColumn("n", F.sum("c").over(W.partitionBy()))
+        .localCheckpoint(eager=False)
     )
+    tot = freq.agg(F.sum("c").alias("n"))
     scored = (
-        tok.join(F.broadcast(freq), "term")
+        tok.join(freq, "term")
+        .crossJoin(F.broadcast(tot))
         .groupBy("doc_id", "source")
         .agg(
             F.count("*").alias("n_tokens"),

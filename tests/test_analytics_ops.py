@@ -1024,3 +1024,33 @@ def test_bm25_search_python_recompute_and_planted_relevance(spark, tmp_path):
     for q, rows in got.items():
         assert rows[0][1] == q, (q, rows)  # self doc at rank 1
         assert len(rows) == 1  # nothing else shares any query term
+
+
+def test_bm25_query_cap_is_a_contract(spark, tmp_path):
+    """BM25_QUERY_CAP ratified as the op's contract (r11, VERDICT r10
+    item #6; introduced r10): the probe workload is FIXED-SIZE by
+    design — only doc_ids below the cap seed queries, because a query
+    log is workload-sized, not corpus-sized, and an uncapped probe set
+    makes the postings x queries match volume quadratic in the corpus
+    (measured 52s at the x10 tier before the cap). Above-cap docs
+    remain fully retrievable corpus members. The fixture spans the cap
+    so the boundary is exercised on both sides."""
+    from eurovision_spark.catalog import registry
+    from eurovision_spark.operators.textstats import (
+        BM25_QUERY_CAP,
+        BM25_QUERY_MOD,
+    )
+
+    shared = "alpha beta gamma delta epsilon"
+    below = [0, BM25_QUERY_MOD, 2 * BM25_QUERY_MOD]
+    above = [BM25_QUERY_CAP, BM25_QUERY_CAP + BM25_QUERY_MOD, BM25_QUERY_CAP + 7]
+    spark.createDataFrame(
+        [(i, shared, len(shared)) for i in below + above],
+        "doc_id bigint, text string, n_chars int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = registry()["bm25_search"].fn(spark, str(tmp_path)).collect()
+    # ids at the query stride but >= cap never seed queries...
+    assert {r.query_id for r in out} == set(below)
+    # ...yet above-cap docs are still searched and retrieved (every doc
+    # shares the vocabulary, so each query's result set includes them)
+    assert set(above) <= {r.doc_id for r in out}
