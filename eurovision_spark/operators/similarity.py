@@ -308,6 +308,11 @@ TARGET_BUCKET_SIZE = 64  # expected vectors per band-bucket at any corpus size
 # branch is size-driven and IDENTICAL in both engines, so the candidate
 # sets — and hence the verified output — still match exactly.
 NEAR_DUP_SMALL_N = 100_000
+# Per-side budget for broadcasting the FULL vector table into the
+# verify joins (n x dim x 8 bytes): past it the id-only candidate pair
+# list is the cheaper broadcast (r11; measured at x10 — see
+# embedding_near_dup). Engine-side plan choice only, never semantics.
+VEC_BCAST_BYTES = 8 << 20
 
 # Planted-copy ids live at +10^15 — far above any realistic doc/vec
 # count (the +1e6 offset collided with REAL ids past a million rows,
@@ -384,12 +389,17 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(as_double(F.col("embedding")), lambda x: x * 2.0).alias("v"),
     )
     vecs = orig.unionByName(copy)
-    # bits per band from the corpus size: one tiny count() action (at
-    # real scale this would come from table stats). Plane expressions
-    # are then plan-time literals, as in the single-band variant.
+    # bits per band from the corpus size: one tiny agg action (at real
+    # scale this would come from table stats) — the same action also
+    # reads the vector dimension, which sizes the verify-path choice
+    # below (r11) without a second job. Plane expressions are then
+    # plan-time literals, as in the single-band variant.
     import math
 
-    n = vecs.count()
+    stats_row = vecs.agg(
+        F.count("*").alias("n"), F.first(F.size("v")).alias("dim")
+    ).head()
+    n, dim = stats_row["n"], stats_row["dim"] or 0
     b = max(N_PLANES, math.ceil(math.log2(max(n, 1) / TARGET_BUCKET_SIZE)))
     nbands = 1 if n < NEAR_DUP_SMALL_N else NEAR_DUP_BANDS
     band_structs = F.array(
@@ -420,10 +430,20 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vec_id_2"), F.col("v").alias("v2"), F.col("nv").alias("n2")
     )
     cos = dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
-    if n < NEAR_DUP_SMALL_N:
-        # small corpus: the vector table itself fits a broadcast
-        # (n×dim×8B < 64 MB), so the candidate pairs stay distributed
-        # and BOTH vector lookups are map-side — zero verify shuffles
+    # verify-path choice is BYTES-driven (r11, measured at the x10
+    # tier): the old n < NEAR_DUP_SMALL_N branch routed 80k x 64-dim
+    # vectors (two ~41 MB broadcast builds) down the double-broadcast
+    # path — interleaved A/B at x10: 8.5s double-broadcast vs 6.1s
+    # pairs-broadcast. Broadcasting BOTH vector sides only pays while
+    # the built relation is genuinely small; past the budget the
+    # id-only pair list (16 B/pair) is the cheaper broadcast and the
+    # vectors make one vec_id_2 hash exchange. Join strategy only —
+    # candidates, verification and output are identical either way
+    # (NEAR_DUP_SMALL_N keeps governing nbands, mirrored in the
+    # oracle; this branch is engine-side plan choice).
+    if n * dim * 8 <= VEC_BCAST_BYTES:
+        # small vector table: candidate pairs stay distributed and
+        # BOTH vector lookups are map-side — zero verify shuffles
         verified = pairs.join(F.broadcast(a), "vec_id_1").join(
             F.broadcast(c), "vec_id_2"
         )
