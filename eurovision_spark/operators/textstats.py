@@ -3102,20 +3102,20 @@ def ccnet_bucket_frame(
     # corpus tokenizes once for both tiers — r10, guide §2.4); extra
     # columns on the leaf are ignored here and never reach the explode.
     tok = toked.select("doc_id", "source", F.explode("_toks").alias("term"))
-    # vocab count materialized once; one-row total over the leaf
-    # broadcasts; the vocab join is left to the planner (r11, VERDICT
-    # r10 item #5 — see unigram_logprob: the window-over-all total and
-    # the forced freq broadcast both assumed a bounded vocabulary, a
-    # SinglePartition-exchange + un-demotable-broadcast cliff at 100 TB
-    # web text; locally the planner still picks broadcast off the
-    # leaf's measured size). Identical (c, n) doubles reach the log —
-    # integer-valued counts sum order-exactly.
-    freq = (
-        tok.groupBy("term")
-        .agg(F.count("*").cast("double").alias("c"))
-        .localCheckpoint(eager=False)
-    )
-    tot = freq.agg(F.sum("c").alias("n"))
+    freq = tok.groupBy("term").agg(F.count("*").cast("double").alias("c"))
+    # the one-row corpus total comes from the CHECKPOINTED token-array
+    # leaf — sum of per-doc array sizes == sum of the vocab counts,
+    # exact integer arithmetic in doubles, so identical (c, n) values
+    # reach the log — and broadcasts. The vocab join is left to the
+    # planner (r11, VERDICT r10 item #5 — see unigram_logprob: the r10
+    # window-over-all total and forced freq broadcast both assumed a
+    # bounded vocabulary, a SinglePartition-exchange + un-demotable-
+    # broadcast cliff at 100 TB web text; locally the planner still
+    # picks broadcast off measured sizes). Reading the total off the
+    # leaf instead of a second freq reference keeps freq
+    # single-consumer (no checkpoint, no re-derivation) and prices the
+    # total at one cheap array-size scan of the leaf.
+    tot = toked.agg(F.sum(F.size("_toks")).cast("double").alias("n"))
     scored = (
         tok.join(freq, "term")
         .crossJoin(F.broadcast(tot))
