@@ -302,11 +302,10 @@ def main() -> None:
             "bounded by the design constant (~TARGET_BUCKET_SIZE/2 x "
             "skew, independent of n — each further bit doubling halves "
             "bucket population), so cost tracks n linearly; the "
-            "verify itself is the broadcast small-n path here and the "
-            "density-adaptive shuffled-hash path above 100k vectors. "
-            "Benign: the id_typo_pairs precedent, with the one-time "
-            "step explained by the floor arithmetic instead of output "
-            "volume.\n"
+            "verify path is bytes-driven since r11 (see the r11 note "
+            "below). Benign: the id_typo_pairs precedent, with the "
+            "one-time step explained by the floor arithmetic instead "
+            "of output volume.\n"
             "- **contamination_bloom's top tiers (r10, by design)**: "
             "BLOOM_BITS is sized for a FIXED eval suite (production "
             "suites are MBs and do not grow with the corpus); the "
@@ -324,6 +323,39 @@ def main() -> None:
             "the corpus scan per reference (10/4/12/~8/6 parquet "
             "scans -> 2/0/0/0/4, pinned in tests/test_plans.py); "
             "oracle hashes unchanged.\n"
+            "- **dedup_survivors' full-text repartition (r11, A/B-ed at "
+            "x10 per VERDICT r10 item #4 — KEPT)**: interleaved "
+            "same-session A/B, WITH vs WITHOUT the "
+            "repartition(defaultParallelism) of the copies frame: x10 "
+            "2.36s vs 7.60s (3.2x — the single-file x10 parquet gives "
+            "~6 input splits and the md5-per-shingle fold dominates "
+            "the narrow exchange), sf0.1 1.25s vs 1.40s. Unlike "
+            "gopher_rules' pure rule map, the per-row signature work "
+            "here is heavy enough that the one narrow exchange pays "
+            "for itself at every measured tier — the "
+            "_minhash_signatures rationale applies, not the "
+            "gopher_rules one.\n"
+            "- **minhash_lsh_jaccard's AQE-off bounded-build scope "
+            "(r11, A/B-ed at x10 per VERDICT r10 item #3 — KEPT, "
+            "wash)**: two interleaved same-session A/Bs (conf toggle "
+            "neutralized for the ON variant, identical code "
+            "otherwise): x10 OFF {3.94, 4.75} vs ON {4.12, 4.45} — "
+            "overlapping, direction flips between sessions; sf0.1 OFF "
+            "{2.24, 2.37} vs ON {2.10, 2.20} (~0.1s, within the "
+            "burst spread). The static exchanges do NOT lose at "
+            "scale; the 4-fewer-jobs shape keeps its local floor "
+            "value, so the route stands.\n"
+            "- **embedding_near_dup's verify path (r11, fixed from the "
+            "x10 measurement)**: the branch reused NEAR_DUP_SMALL_N "
+            "(100k vectors), so the x10 tier's 80k x 64-dim table — "
+            "two ~41 MB broadcast builds — still took the "
+            "double-vector-broadcast path. Interleaved A/B at x10: "
+            "8.5s double-broadcast vs 6.1s shipping the id-only pair "
+            "list and one vec_id_2 hash exchange. The choice is now "
+            "bytes-driven (n x dim x 8 vs an 8 MB per-side budget, "
+            "dim read from the same stats action); join strategy "
+            "only — candidates and output identical, oracle hashes "
+            "unchanged, sf0.1 and below stay on the broadcast path.\n"
             "- **Reading burst residue**: the 3-run guard dodges "
             "short load bursts but not ones spanning all three runs "
             "of a cell — a cell whose x10 time sits BELOW its sf0.1 "
